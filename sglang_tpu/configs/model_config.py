@@ -1,0 +1,118 @@
+"""ModelConfig: normalized view over HF config.json.
+
+Ref: srt/configs/model_config.py. Reads the HF config (via transformers
+AutoConfig from a local dir, or a plain dict) and exposes the fields the
+runtime needs with GQA/head-dim defaults resolved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+
+DTYPE_MAP = {
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.bfloat16,  # TPU has no fp16 MXU path; serve fp16 ckpts as bf16
+    "float32": jnp.float32,
+    "auto": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    architectures: List[str]
+    vocab_size: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    hidden_act: str = "silu"
+    attention_bias: bool = False
+    context_length: int = 8192
+    dtype: Any = jnp.bfloat16
+    hf_config: Optional[Any] = None
+    model_path: str = ""
+    # MoE
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    # Qwen3/gemma-style extras
+    qk_norm: bool = False
+    logit_softcap: Optional[float] = None
+    sliding_window: Optional[int] = None
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @classmethod
+    def from_hf(
+        cls,
+        hf_config: Any,
+        dtype: str = "auto",
+        context_length: Optional[int] = None,
+        model_path: str = "",
+    ) -> "ModelConfig":
+        g = lambda k, d=None: getattr(hf_config, k, d)
+        num_heads = g("num_attention_heads")
+        hidden = g("hidden_size")
+        head_dim = g("head_dim") or hidden // num_heads
+        max_pos = g("max_position_embeddings", 8192)
+        return cls(
+            architectures=list(g("architectures", []) or []),
+            vocab_size=g("vocab_size"),
+            hidden_size=hidden,
+            num_hidden_layers=g("num_hidden_layers"),
+            num_attention_heads=num_heads,
+            num_key_value_heads=g("num_key_value_heads") or num_heads,
+            head_dim=head_dim,
+            intermediate_size=g("intermediate_size"),
+            rms_norm_eps=g("rms_norm_eps", 1e-6),
+            rope_theta=g("rope_theta", 10000.0),
+            rope_scaling=g("rope_scaling", None),
+            max_position_embeddings=max_pos,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            hidden_act=g("hidden_act", "silu"),
+            attention_bias=bool(g("attention_bias", False) or g("qkv_bias", False)),
+            context_length=context_length or max_pos,
+            dtype=DTYPE_MAP[dtype],
+            hf_config=hf_config,
+            model_path=model_path,
+            num_experts=g("num_local_experts", 0) or g("num_experts", 0) or 0,
+            num_experts_per_tok=g("num_experts_per_tok", 0) or 0,
+            moe_intermediate_size=g("moe_intermediate_size", 0) or 0,
+            sliding_window=g("sliding_window", None),
+        )
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        dtype: str = "auto",
+        context_length: Optional[int] = None,
+        trust_remote_code: bool = False,
+        model_override_args: Optional[str] = None,
+    ) -> "ModelConfig":
+        from transformers import AutoConfig
+
+        hf_config = AutoConfig.from_pretrained(
+            model_path, trust_remote_code=trust_remote_code
+        )
+        if model_override_args:
+            for k, v in json.loads(model_override_args).items():
+                setattr(hf_config, k, v)
+        return cls.from_hf(
+            hf_config, dtype=dtype, context_length=context_length,
+            model_path=model_path,
+        )

@@ -1,0 +1,60 @@
+"""Functional parameter/layer plumbing.
+
+Models in this framework are pure functions over a FLAT dict of jax.Arrays
+(`params["model/layers/0/attn/q_proj"]`), plus a static spec table that
+declares each parameter's shape, dtype, and mesh PartitionSpec. This
+replaces the reference's torch nn.Module + Column/RowParallelLinear weight
+objects (srt/layers/linear.py) with the idiomatic JAX shape: GSPMD
+propagates shardings from the parameter NamedShardings; no collective is
+written by hand in model code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ParamSpec:
+    shape: Tuple[int, ...]
+    dtype: Any
+    spec: P = P()
+    # Optional per-param initializer used by dummy (random-weight) loading.
+    init_scale: float = 0.02
+
+
+SpecTree = Dict[str, ParamSpec]
+
+
+def join(*parts: str) -> str:
+    return "/".join(p for p in parts if p)
+
+
+def init_dummy_params(
+    specs: SpecTree, seed: int, mesh_ctx=None
+) -> Params:
+    """Random weights for --load-format dummy (ref: model_loader/loader.py:4118).
+
+    Deterministic per param name so TP shards agree across hosts.
+    """
+    params: Params = {}
+    for name, spec in sorted(specs.items()):
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
+        )
+        arr = (
+            jax.random.normal(key, spec.shape, jnp.float32) * spec.init_scale
+        ).astype(spec.dtype)
+        if mesh_ctx is not None:
+            arr = jax.device_put(
+                arr, jax.sharding.NamedSharding(mesh_ctx.mesh, spec.spec)
+            )
+        params[name] = arr
+    return params

@@ -1,0 +1,48 @@
+"""RMSNorm / LayerNorm (functional). Ref: srt/layers/layernorm.py.
+
+Computed in float32 and cast back — matches HF Llama semantics so greedy
+decode is token-identical. Fused residual-add variant returns (out, resid)
+like the reference's fused_add_rmsnorm path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
+
+
+class RMSNorm:
+    def __init__(self, size: int, eps: float, dtype):
+        self.size, self.eps, self.dtype = size, eps, dtype
+
+    def specs(self, prefix: str) -> SpecTree:
+        return {
+            join(prefix, "weight"): ParamSpec(
+                (self.size,), self.dtype, P(), init_scale=0.0
+            )
+        }
+
+    def __call__(
+        self,
+        params: Params,
+        prefix: str,
+        x: jax.Array,
+        residual: Optional[jax.Array] = None,
+    ):
+        orig_dtype = x.dtype
+        if residual is not None:
+            x = x + residual
+            residual = x
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        w = params[join(prefix, "weight")]
+        out = (xf * w.astype(jnp.float32)).astype(orig_dtype)
+        if residual is not None:
+            return out, residual
+        return out

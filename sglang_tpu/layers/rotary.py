@@ -1,0 +1,113 @@
+"""Rotary position embeddings. Ref: srt/layers/rotary_embedding/base.py:78.
+
+Implements the HF/neox interleaving convention (rotate_half) used by
+Llama/Qwen/Mistral families, plus llama3-style frequency scaling and
+linear/dynamic-NTK scaling. cos/sin tables are precomputed once on device
+and gathered by position inside jit — no per-step host work.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_inv_freq(head_dim: int, rope_theta: float) -> jnp.ndarray:
+    return 1.0 / (
+        rope_theta
+        ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+
+
+def apply_llama3_scaling(
+    inv_freq: jnp.ndarray,
+    factor: float,
+    low_freq_factor: float,
+    high_freq_factor: float,
+    original_max_position: int,
+) -> jnp.ndarray:
+    low_freq_wavelen = original_max_position / low_freq_factor
+    high_freq_wavelen = original_max_position / high_freq_factor
+    wavelen = 2 * math.pi / inv_freq
+    smooth = (original_max_position / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    scaled = jnp.where(
+        wavelen > low_freq_wavelen,
+        inv_freq / factor,
+        jnp.where(
+            wavelen < high_freq_wavelen,
+            inv_freq,
+            (1 - smooth) * inv_freq / factor + smooth * inv_freq,
+        ),
+    )
+    return scaled
+
+
+class RotaryEmbedding:
+    def __init__(
+        self,
+        head_dim: int,
+        rotary_dim: Optional[int],
+        max_position: int,
+        rope_theta: float,
+        rope_scaling: Optional[dict] = None,
+    ):
+        self.head_dim = head_dim
+        self.rotary_dim = rotary_dim or head_dim
+        self.max_position = max_position
+        inv_freq = compute_inv_freq(self.rotary_dim, rope_theta)
+        mscale = 1.0
+        if rope_scaling:
+            rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+            if rtype == "llama3":
+                inv_freq = apply_llama3_scaling(
+                    inv_freq,
+                    rope_scaling["factor"],
+                    rope_scaling["low_freq_factor"],
+                    rope_scaling["high_freq_factor"],
+                    rope_scaling["original_max_position_embeddings"],
+                )
+            elif rtype == "linear":
+                inv_freq = inv_freq / rope_scaling["factor"]
+            elif rtype == "dynamic":
+                # Dynamic NTK: recompute theta for the max length we serve.
+                factor = rope_scaling["factor"]
+                theta = rope_theta * (
+                    (factor * max_position / rope_scaling.get(
+                        "original_max_position_embeddings", max_position
+                    ) - (factor - 1))
+                    ** (self.rotary_dim / (self.rotary_dim - 2))
+                )
+                inv_freq = compute_inv_freq(self.rotary_dim, theta)
+            elif rtype in ("default", "mrope", ""):
+                pass
+        t = jnp.arange(max_position, dtype=jnp.float32)
+        freqs = jnp.outer(t, inv_freq)  # [max_pos, rot/2]
+        self.cos_table = jnp.cos(freqs) * mscale  # float32
+        self.sin_table = jnp.sin(freqs) * mscale
+
+    def __call__(
+        self, positions: jax.Array, q: jax.Array, k: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """positions: [T]; q: [T, nq, hd]; k: [T, nk, hd]."""
+        cos = self.cos_table[positions][:, None, :]  # [T, 1, rot/2]
+        sin = self.sin_table[positions][:, None, :]
+        q = _apply_neox(q, cos, sin, self.rotary_dim)
+        k = _apply_neox(k, cos, sin, self.rotary_dim)
+        return q, k
+
+
+def _apply_neox(x: jax.Array, cos, sin, rotary_dim: int) -> jax.Array:
+    dtype = x.dtype
+    rot = x[..., :rotary_dim].astype(jnp.float32)
+    x1, x2 = rot[..., : rotary_dim // 2], rot[..., rotary_dim // 2 :]
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    out = jnp.concatenate([o1, o2], axis=-1).astype(dtype)
+    if rotary_dim == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rotary_dim:]], axis=-1)

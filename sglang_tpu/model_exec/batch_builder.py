@@ -1,0 +1,100 @@
+"""Host-side construction of padded ForwardBatch arrays.
+
+Bridges the scheduler's per-request Python state to the static-bucketed
+device arrays (the TPU analog of ScheduleBatch.prepare_for_extend /
+prepare_for_decode, ref srt/managers/schedule_batch.py:2340,3001).
+Everything here is numpy; transfer happens when the jitted step consumes it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.model_exec.forward_batch import ForwardBatch, ForwardMode
+from sglang_tpu.utils import bucketize, cdiv
+
+
+@dataclasses.dataclass
+class SeqInput:
+    """One sequence's contribution to a forward step."""
+
+    new_token_ids: Sequence[int]  # tokens to run this step
+    prefix_len: int  # tokens already in KV (radix cache hit / prior chunks)
+    page_ids: Sequence[int]  # pages covering [0, prefix_len + len(new))
+    # decode only: position = prefix_len (the single new token's position)
+
+
+DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
+DEFAULT_TOKEN_BUCKETS = [64, 256, 512, 1024, 2048, 4096, 8192, 16384]
+DEFAULT_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
+PAGE_BUCKETS = [8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def build_forward_batch(
+    seqs: List[SeqInput],
+    page_size: int,
+    mode: ForwardMode,
+    token_buckets: Optional[Sequence[int]] = None,
+    bs_buckets: Optional[Sequence[int]] = None,
+) -> ForwardBatch:
+    n = len(seqs)
+    assert n > 0
+    total_new = sum(len(s.new_token_ids) for s in seqs)
+    if mode.is_decode():
+        assert all(len(s.new_token_ids) == 1 for s in seqs)
+        B = bucketize(n, bs_buckets or DEFAULT_DECODE_BS_BUCKETS)
+        T = B
+    else:
+        B = bucketize(n, bs_buckets or DEFAULT_BS_BUCKETS)
+        T = bucketize(total_new, token_buckets or DEFAULT_TOKEN_BUCKETS)
+
+    max_pages_needed = max(len(s.page_ids) for s in seqs)
+    P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)
+
+    input_ids = np.zeros(T, np.int32)
+    positions = np.zeros(T, np.int32)
+    seq_lens = np.zeros(B, np.int32)
+    q_lens = np.zeros(B, np.int32)
+    cu_q_lens = np.zeros(B + 1, np.int32)
+    seq_ids = np.full(T, max(n - 1, 0), np.int32)
+    page_table = np.zeros((B, P), np.int32)  # page 0 = reserved/trash
+    out_cache_loc = np.zeros(T, np.int32)  # slot 0..page_size-1 = trash page
+    logits_indices = np.zeros(B, np.int32)
+
+    off = 0
+    for i, s in enumerate(seqs):
+        q = len(s.new_token_ids)
+        input_ids[off : off + q] = s.new_token_ids
+        positions[off : off + q] = np.arange(s.prefix_len, s.prefix_len + q)
+        seq_lens[i] = s.prefix_len + q
+        q_lens[i] = q
+        cu_q_lens[i + 1] = cu_q_lens[i] + q
+        seq_ids[off : off + q] = i
+        page_table[i, : len(s.page_ids)] = s.page_ids
+        # token slot for each new token
+        for j in range(q):
+            pos = s.prefix_len + j
+            page = s.page_ids[pos // page_size]
+            out_cache_loc[off + j] = page * page_size + pos % page_size
+        logits_indices[i] = off + q - 1
+        off += q
+    cu_q_lens[n + 1 :] = cu_q_lens[n]
+    # Padded rows: make logits_indices point at a real token (0) — they are
+    # filtered host-side by num_seqs.
+    return ForwardBatch(
+        input_ids=jnp.asarray(input_ids),
+        positions=jnp.asarray(positions),
+        seq_lens=jnp.asarray(seq_lens),
+        q_lens=jnp.asarray(q_lens),
+        cu_q_lens=jnp.asarray(cu_q_lens),
+        seq_ids=jnp.asarray(seq_ids),
+        page_table=jnp.asarray(page_table),
+        out_cache_loc=jnp.asarray(out_cache_loc),
+        logits_indices=jnp.asarray(logits_indices),
+        num_seqs=jnp.asarray(n, jnp.int32),
+        mode=mode,
+    )

@@ -1,0 +1,74 @@
+"""ForwardBatch: device-side metadata for one model forward.
+
+Ref: srt/model_executor/forward_batch_info.py:98 (ForwardMode), :412
+(ForwardBatch). TPU-native differences: every array has a STATIC bucketed
+shape (token bucket T for extend, batch bucket B for decode) so one jit
+program per bucket replaces CUDA-graph capture; padding rows are masked via
+seq_lens/num_seqs rather than shape changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class ForwardMode(enum.IntEnum):
+    EXTEND = 1  # ragged prefill / chunked prefill (mixed with decode later)
+    DECODE = 2  # one new token per running seq
+    IDLE = 3  # no work (DP-attention sync steps)
+    TARGET_VERIFY = 4  # speculative verify over draft tokens
+    DRAFT_EXTEND = 5
+
+    def is_extend(self) -> bool:
+        return self in (
+            ForwardMode.EXTEND,
+            ForwardMode.TARGET_VERIFY,
+            ForwardMode.DRAFT_EXTEND,
+        )
+
+    def is_decode(self) -> bool:
+        return self == ForwardMode.DECODE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ForwardBatch:
+    """All shapes static per (mode, T, B, max_pages) bucket.
+
+    T = padded token count (extend) or padded batch size (decode, T == B).
+    B = padded sequence count.
+    """
+
+    # --- data fields (device arrays) ---
+    input_ids: jax.Array  # [T] int32
+    positions: jax.Array  # [T] int32
+    seq_lens: jax.Array  # [B] int32: total context length AFTER this step
+    q_lens: jax.Array  # [B] int32: new tokens per seq this step (decode: 1)
+    cu_q_lens: jax.Array  # [B+1] int32: prefix-sum of q_lens (token offsets)
+    seq_ids: jax.Array  # [T] int32: owning seq index per token (pad: B-1)
+    page_table: jax.Array  # [B, max_pages] int32 page ids into the KV pool
+    out_cache_loc: jax.Array  # [T] int32 token-slot for each new token's KV
+    logits_indices: jax.Array  # [B] int32 index into [T] of each seq's last tok
+    num_seqs: jax.Array  # [] int32 actual (unpadded) sequence count
+
+    # --- static fields ---
+    mode: ForwardMode = dataclasses.field(
+        metadata=dict(static=True), default=ForwardMode.EXTEND
+    )
+
+    @property
+    def padded_num_tokens(self) -> int:
+        return self.input_ids.shape[0]
+
+    @property
+    def padded_bs(self) -> int:
+        return self.seq_lens.shape[0]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]

@@ -1,0 +1,225 @@
+"""ModelRunner: owns params, KV pool, attention backend, jitted step programs.
+
+Ref: srt/model_executor/model_runner.py:283 (ModelRunner), :1452 (forward).
+TPU-native redesign:
+
+- One jitted step program per static bucket (mode, T, B, max_pages) — JAX's
+  jit cache keyed on shapes replaces CUDA-graph capture/replay
+  (ref init_cuda_graphs model_runner.py:985).
+- The KV pool is DONATED through every step, so scatter updates are
+  in-place on device; the runner swaps in the returned handle.
+- Sampling runs inside the same program (fused with the logits matmul);
+  results come back as async device arrays so the host scheduler can
+  overlap scheduling of step N+1 with device execution of step N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.mem.kv_pool import KVCachePool, KVPoolConfig
+from sglang_tpu.model_exec.forward_batch import ForwardBatch, ForwardMode
+from sglang_tpu.model_exec.weight_loader import load_model_weights
+from sglang_tpu.models.registry import get_model_class
+from sglang_tpu.ops.attention import get_attention_backend
+from sglang_tpu.ops.sampling import SamplingTensors, compute_logprobs, sample
+from sglang_tpu.parallel.mesh import MeshContext, create_mesh, set_mesh_context
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import cdiv
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ForwardOutput:
+    """Async device arrays from one step (fetch with np.asarray when needed)."""
+
+    next_tokens: jax.Array  # [B] int32
+    chosen_logprobs: jax.Array  # [B] f32
+    top_logprob_vals: Optional[jax.Array] = None  # [B, K]
+    top_logprob_ids: Optional[jax.Array] = None  # [B, K]
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: Optional[ModelConfig] = None,
+        mesh_ctx: Optional[MeshContext] = None,
+    ):
+        self.server_args = server_args
+        if model_config is None:
+            model_config = ModelConfig.from_model_path(
+                server_args.model_path,
+                dtype=server_args.dtype,
+                context_length=server_args.context_length,
+                trust_remote_code=server_args.trust_remote_code,
+                model_override_args=server_args.model_override_args,
+            )
+        self.model_config = model_config
+        if mesh_ctx is None:
+            mesh_ctx = create_mesh(
+                tp_size=server_args.tp_size, dp_size=1, pp_size=1
+            )
+        self.mesh_ctx = mesh_ctx
+        set_mesh_context(mesh_ctx)
+
+        model_cls = get_model_class(model_config.architectures)
+        self.model = model_cls(model_config)
+        self.specs = self.model.param_specs()
+
+        t0 = time.perf_counter()
+        self.params = load_model_weights(
+            self.model,
+            self.specs,
+            mesh_ctx,
+            server_args.model_path,
+            load_format=server_args.load_format,
+            seed=server_args.random_seed,
+        )
+        logger.info("weights loaded in %.1fs", time.perf_counter() - t0)
+
+        self._init_kv_pool()
+        backend_name = server_args.attention_backend or (
+            "pallas" if jax.default_backend() == "tpu" else "xla_native"
+        )
+        backend_cls = get_attention_backend(backend_name)
+        self.attn_backend = backend_cls(
+            model_config.num_attention_heads,
+            model_config.num_key_value_heads,
+            model_config.head_dim,
+            server_args.page_size,
+        )
+        logger.info("attention backend: %s", backend_name)
+
+        self._step = jax.jit(
+            self._step_impl,
+            donate_argnums=(1,),
+            static_argnames=("return_top_logprobs",),
+        )
+
+    # ---- KV sizing ----
+    def _init_kv_pool(self) -> None:
+        c = self.model_config
+        sa = self.server_args
+        if sa.max_total_tokens is not None:
+            num_tokens = sa.max_total_tokens
+        else:
+            num_tokens = self._profile_max_tokens()
+        num_pages = max(2, cdiv(num_tokens, sa.page_size) + 1)
+        kv_dtype = c.dtype if sa.kv_cache_dtype == "auto" else jnp.dtype(
+            sa.kv_cache_dtype
+        )
+        cfg = KVPoolConfig(
+            num_layers=c.num_hidden_layers,
+            num_kv_heads=c.num_key_value_heads,
+            head_dim=c.head_dim,
+            page_size=sa.page_size,
+            num_pages=num_pages,
+            dtype=kv_dtype,
+        )
+        self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
+        self.max_total_tokens = (num_pages - 1) * sa.page_size
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB total)",
+            num_pages,
+            sa.page_size,
+            cfg.bytes_total() / (1 << 30),
+        )
+
+    def _profile_max_tokens(self) -> int:
+        """Size KV from free HBM after weights (ref: mem_fraction_static)."""
+        c = self.model_config
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"]
+            used = stats["bytes_in_use"]
+        except Exception:
+            # CPU or unsupported: small default for tests.
+            return 65536
+        budget = int(limit * self.server_args.mem_fraction_static) - used
+        per_token = (
+            c.num_hidden_layers
+            * 2
+            * c.num_key_value_heads
+            * c.head_dim
+            * np.dtype(self.kv_dtype_np()).itemsize
+        )
+        # KV is sharded over tp on heads: budget is per-chip, so scale.
+        shard = (
+            self.mesh_ctx.tp_size
+            if c.num_key_value_heads % max(self.mesh_ctx.tp_size, 1) == 0
+            else 1
+        )
+        n = max(budget * shard // per_token, 4096)
+        return int(n)
+
+    def kv_dtype_np(self):
+        c = self.model_config
+        sa = self.server_args
+        return c.dtype if sa.kv_cache_dtype == "auto" else jnp.dtype(sa.kv_cache_dtype)
+
+    # ---- the jitted step ----
+    def _step_impl(
+        self,
+        params,
+        kv,
+        fb: ForwardBatch,
+        st: SamplingTensors,
+        token_counts: Optional[jax.Array],
+        vocab_mask: Optional[jax.Array],
+        return_top_logprobs: int = 0,
+    ):
+        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        sel = hidden[fb.logits_indices]  # [B, H]
+        logits = self.model.compute_logits(params, sel).astype(jnp.float32)
+        tokens, chosen_lp = sample(logits, st, token_counts, vocab_mask)
+        out = [kv, tokens, chosen_lp]
+        if return_top_logprobs > 0:
+            vals, ids = compute_logprobs(logits, return_top_logprobs)
+            out += [vals, ids]
+        else:
+            out += [None, None]
+        if token_counts is not None:
+            B = tokens.shape[0]
+            token_counts = token_counts.at[jnp.arange(B), tokens].add(1)
+        out.append(token_counts)
+        return tuple(out)
+
+    def forward(
+        self,
+        fb: ForwardBatch,
+        st: SamplingTensors,
+        token_counts: Optional[jax.Array] = None,
+        vocab_mask: Optional[jax.Array] = None,
+        return_top_logprobs: int = 0,
+    ) -> Tuple[ForwardOutput, Optional[jax.Array]]:
+        new_kv, tokens, chosen_lp, tv, ti, new_counts = self._step(
+            self.params,
+            self.kv_pool.kv,
+            fb,
+            st,
+            token_counts,
+            vocab_mask,
+            return_top_logprobs=return_top_logprobs,
+        )
+        self.kv_pool.swap(new_kv)
+        return (
+            ForwardOutput(
+                next_tokens=tokens,
+                chosen_logprobs=chosen_lp,
+                top_logprob_vals=tv,
+                top_logprob_ids=ti,
+            ),
+            new_counts,
+        )

@@ -1,0 +1,110 @@
+"""Weight loading: HF safetensors -> sharded device params.
+
+Ref: srt/model_loader/loader.py (DefaultModelLoader:374, dummy format
+:4118). Flow: iterate the checkpoint's tensors, let the model map each HF
+name to (param, fusion-slot, transformed array), assemble host-side numpy
+buffers, then device_put with each param's NamedSharding (GSPMD shards at
+transfer time — on multihost each host only materializes its addressable
+shards via jax.make_array_from_callback; single-host path uses device_put).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+
+from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, init_dummy_params
+from sglang_tpu.parallel.mesh import MeshContext
+
+logger = logging.getLogger(__name__)
+
+
+def _iter_checkpoint_tensors(model_path: str):
+    """Yield (name, numpy array) from safetensors (preferred) or torch bins."""
+    st_files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for name in sf.keys():
+                    yield name, sf.get_tensor(name)
+        return
+    bin_files = sorted(glob.glob(os.path.join(model_path, "pytorch_model*.bin")))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            for name, t in sd.items():
+                yield name, t.float().numpy()
+        return
+    raise FileNotFoundError(f"no checkpoint files under {model_path}")
+
+
+def _to_numpy(arr) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.dtype == np.float16 or str(a.dtype) == "bfloat16":
+        a = a.astype(np.float32)
+    return a
+
+
+def load_model_weights(
+    model,
+    specs: SpecTree,
+    mesh_ctx: MeshContext,
+    model_path: str,
+    load_format: str = "auto",
+    seed: int = 0,
+) -> Params:
+    if load_format == "dummy":
+        return init_dummy_params(specs, seed, mesh_ctx)
+
+    buffers: Dict[str, np.ndarray] = {}
+    filled: Dict[str, int] = {}
+    for hf_name, tensor in _iter_checkpoint_tensors(model_path):
+        for pname, slot, arr in model.map_hf_weight(hf_name, _to_numpy(tensor)):
+            if pname not in specs:
+                logger.warning("mapped param %s not in spec tree; skipping", pname)
+                continue
+            spec = specs[pname]
+            if pname not in buffers:
+                buffers[pname] = np.empty(spec.shape, dtype=np.float32)
+                filled[pname] = 0
+            if slot is None:
+                assert arr.shape == spec.shape, (pname, arr.shape, spec.shape)
+                buffers[pname][...] = arr
+            else:
+                # Fusion slot on the second-to-last axis group: [in, n_fused, out]
+                # or bias [n_fused, out].
+                target = buffers[pname]
+                if target.ndim == 3:
+                    target[:, slot, :] = arr
+                elif target.ndim == 2:
+                    target[slot, :] = arr.reshape(-1)
+                else:
+                    raise ValueError(f"bad fused target ndim for {pname}")
+            filled[pname] += 1
+
+    params: Params = {}
+    missing = []
+    for pname, spec in specs.items():
+        if pname not in buffers:
+            missing.append(pname)
+            continue
+        arr = buffers.pop(pname).astype(spec.dtype)
+        params[pname] = jax.device_put(
+            arr, NamedSharding(mesh_ctx.mesh, spec.spec)
+        )
+    if missing:
+        raise ValueError(f"missing weights for params: {missing[:8]}... "
+                         f"({len(missing)} total)")
+    return params

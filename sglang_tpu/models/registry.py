@@ -1,0 +1,33 @@
+"""Model registry: HF `architectures[0]` -> model class.
+
+Ref: srt/models/* each exporting EntryClass; srt/models/registry.py. Ours
+is an explicit table (import-cheap, no dir scan needed yet).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Dict, Tuple
+
+# architecture name -> (module, class)
+_MODEL_TABLE: Dict[str, Tuple[str, str]] = {
+    "LlamaForCausalLM": ("sglang_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("sglang_tpu.models.llama", "Qwen2ForCausalLM"),
+    "Qwen3ForCausalLM": ("sglang_tpu.models.llama", "Qwen3ForCausalLM"),
+    "MistralForCausalLM": ("sglang_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
+    "Qwen3MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen3MoeForCausalLM"),
+    "MixtralForCausalLM": ("sglang_tpu.models.mixtral", "MixtralForCausalLM"),
+}
+
+
+def get_model_class(architectures):
+    for arch in architectures:
+        if arch in _MODEL_TABLE:
+            module, cls = _MODEL_TABLE[arch]
+            return getattr(importlib.import_module(module), cls)
+    raise ValueError(f"no model implementation for architectures={architectures}")
+
+
+def register_model(arch: str, module: str, cls: str) -> None:
+    _MODEL_TABLE[arch] = (module, cls)

@@ -1,0 +1,73 @@
+"""Attention backend interface + registry.
+
+Ref: srt/layers/attention/base_attn_backend.py:33 (AttentionBackend ABC:
+forward_extend/forward_decode) and attention_registry.py:31. Our backends
+are pure functions over (q, k, v, kv_pool, ForwardBatch) called INSIDE the
+jitted model program, so there is no init_forward_metadata host step and no
+CUDA-graph state — bucketed jit handles that.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple, Type
+
+import jax
+
+from sglang_tpu.mem.kv_pool import write_kv
+from sglang_tpu.model_exec.forward_batch import ForwardBatch
+
+
+class AttentionBackend:
+    """Stateless (per-call) attention executor."""
+
+    name = "base"
+
+    def __init__(self, num_q_heads: int, num_kv_heads: int, head_dim: int,
+                 page_size: int, scale: float | None = None):
+        self.num_q_heads = num_q_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.page_size = page_size
+        self.scale = scale if scale is not None else head_dim**-0.5
+
+    def __call__(
+        self,
+        q: jax.Array,  # [T, nq, hd]
+        k: jax.Array,  # [T, nk, hd] new keys
+        v: jax.Array,  # [T, nk, hd] new values
+        layer_id: int,
+        kv: jax.Array,  # full pool [L, 2, S, nk, hd]
+        fb: ForwardBatch,
+    ) -> Tuple[jax.Array, jax.Array]:
+        kv = write_kv(kv, layer_id, k, v, fb.out_cache_loc)
+        if fb.mode.is_decode():
+            out = self.forward_decode(q, layer_id, kv, fb)
+        else:
+            out = self.forward_extend(q, layer_id, kv, fb)
+        return out, kv
+
+    def forward_decode(self, q, layer_id, kv, fb):
+        raise NotImplementedError
+
+    def forward_extend(self, q, layer_id, kv, fb):
+        raise NotImplementedError
+
+
+ATTENTION_BACKENDS: Dict[str, Type[AttentionBackend]] = {}
+
+
+def register_attention_backend(name: str) -> Callable:
+    def deco(cls):
+        cls.name = name
+        ATTENTION_BACKENDS[name] = cls
+        return cls
+
+    return deco
+
+
+def get_attention_backend(name: str) -> Type[AttentionBackend]:
+    if name not in ATTENTION_BACKENDS:
+        raise ValueError(
+            f"unknown attention backend {name!r}; have {sorted(ATTENTION_BACKENDS)}"
+        )
+    return ATTENTION_BACKENDS[name]

@@ -1,0 +1,63 @@
+"""Pure-XLA paged attention (reference fallback; runs on CPU/TPU anywhere).
+
+Ref behavior: srt/layers/attention/torch_native_backend.py. Used for
+correctness tests and as the baseline the Pallas kernels are checked
+against. Gathers the paged KV into dense [.., max_ctx, ..] form — O(ctx)
+memory per token, so only for modest context in tests; the Pallas backend
+is the production path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_tpu.model_exec.forward_batch import ForwardBatch
+from sglang_tpu.ops.attention.base import AttentionBackend, register_attention_backend
+
+NEG_INF = -1e30
+
+
+def _flat_slot_indices(page_table: jax.Array, page_size: int) -> jax.Array:
+    """[B, max_pages] page ids -> [B, max_ctx] token-slot ids."""
+    offs = jnp.arange(page_size, dtype=jnp.int32)
+    idx = page_table[:, :, None] * page_size + offs[None, None, :]
+    return idx.reshape(page_table.shape[0], -1)
+
+
+@register_attention_backend("xla_native")
+class XlaNativeBackend(AttentionBackend):
+    def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
+        B, nq, hd = q.shape
+        nk = self.num_kv_heads
+        group = nq // nk
+        slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
+        k = kv[layer_id, 0][slots]  # [B, C, nk, hd]
+        v = kv[layer_id, 1][slots]
+        qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * self.scale
+        ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
+        mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bkgc,bckd->bkgd", probs, v.astype(jnp.float32))
+        return out.reshape(B, nq, hd).astype(q.dtype)
+
+    def forward_extend(self, q, layer_id, kv, fb: ForwardBatch):
+        T, nq, hd = q.shape
+        nk = self.num_kv_heads
+        group = nq // nk
+        slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
+        tok_slots = slots[fb.seq_ids]  # [T, C]
+        k = kv[layer_id, 0][tok_slots]  # [T, C, nk, hd]
+        v = kv[layer_id, 1][tok_slots]
+        qf = q.reshape(T, nk, group, hd).astype(jnp.float32)
+        scores = jnp.einsum("tkgd,tckd->tkgc", qf, k.astype(jnp.float32)) * self.scale
+        ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
+        # Causal over absolute positions: token with position p sees ctx [0, p].
+        mask = ctx[None, :] <= fb.positions[:, None]  # [T, C]
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("tkgc,tckd->tkgd", probs, v.astype(jnp.float32))
+        return out.reshape(T, nq, hd).astype(q.dtype)

@@ -1,0 +1,127 @@
+"""On-device sampler (runs inside the jitted step program).
+
+Ref: srt/layers/sampler.py:70 + sampling/sampling_batch_info.py. All
+branches are vectorized over the batch — greedy rows and sampled rows share
+one program via jnp.where, which keeps a single jit signature per bucket.
+
+Strategy (TPU-shaped):
+- greedy -> argmax
+- unrestricted sampling -> Gumbel-max (no sort, no cumsum over V)
+- top-k/top-p/min-p -> restrict to the top TOPK_CAP candidates via
+  lax.top_k, apply masks there, Gumbel-max within. top_p truncation beyond
+  TOPK_CAP candidates is approximated (mass outside the top 256 is
+  negligible); exactness for top_k <= TOPK_CAP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+TOPK_CAP = 256
+NEG_INF = -1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingTensors:
+    """Per-batch-row sampling controls, shape [B]."""
+
+    temperatures: jax.Array  # f32 (0.0 == greedy)
+    top_ks: jax.Array  # i32 (>= TOPK_CAP means "all")
+    top_ps: jax.Array  # f32
+    min_ps: jax.Array  # f32
+    # Penalties: token-count state [B, V] int32, allocated only when used.
+    # (ref: srt/sampling/penaltylib)
+    freq_penalties: jax.Array  # f32 [B]
+    pres_penalties: jax.Array  # f32 [B]
+    rep_penalties: jax.Array  # f32 [B]
+    rng_keys: jax.Array  # uint32 [B, 2] (per-row fold of seed+step)
+
+
+def apply_penalties(
+    logits: jax.Array,
+    token_counts: Optional[jax.Array],
+    st: SamplingTensors,
+) -> jax.Array:
+    if token_counts is None:
+        return logits
+    counts = token_counts.astype(jnp.float32)
+    appeared = (counts > 0).astype(jnp.float32)
+    logits = logits - st.freq_penalties[:, None] * counts
+    logits = logits - st.pres_penalties[:, None] * appeared
+    rp = st.rep_penalties[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(appeared > 0, penalized, logits)
+    return logits
+
+
+def sample(
+    logits: jax.Array,  # [B, V] float32
+    st: SamplingTensors,
+    token_counts: Optional[jax.Array] = None,
+    vocab_mask: Optional[jax.Array] = None,  # bool [B, V], True = banned
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (next_tokens [B] int32, logprobs_of_chosen [B] f32)."""
+    B, V = logits.shape
+    logits = apply_penalties(logits, token_counts, st)
+    if vocab_mask is not None:
+        logits = jnp.where(vocab_mask, NEG_INF, logits)
+
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temps = jnp.maximum(st.temperatures, 1e-6)[:, None]
+    scaled = logits / temps
+
+    # --- restricted path: top-k / top-p / min-p within TOPK_CAP candidates ---
+    top_vals, top_idx = jax.lax.top_k(scaled, min(TOPK_CAP, V))  # [B, C]
+    C = top_vals.shape[1]
+    ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
+    keep = ranks < jnp.minimum(st.top_ks, C)[:, None]
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens while cumulative prob (exclusive) < top_p.
+    keep &= (cum - probs) < st.top_ps[:, None]
+    keep &= probs >= (st.min_ps[:, None] * probs[:, :1])
+    masked_vals = jnp.where(keep, top_vals, NEG_INF)
+
+    gumbel_t = -jnp.log(
+        -jnp.log(
+            jax.vmap(lambda k: jax.random.uniform(k, (C,), jnp.float32, 1e-10, 1.0))(
+                st.rng_keys
+            )
+        )
+    )
+    restricted_choice = jnp.argmax(masked_vals + gumbel_t, axis=-1)
+    restricted_tokens = jnp.take_along_axis(
+        top_idx, restricted_choice[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+
+    # --- unrestricted path: Gumbel-max over full vocab ---
+    gumbel_v = -jnp.log(
+        -jnp.log(
+            jax.vmap(lambda k: jax.random.uniform(k, (V,), jnp.float32, 1e-10, 1.0))(
+                st.rng_keys
+            )
+        )
+    )
+    free_tokens = jnp.argmax(scaled + gumbel_v, axis=-1).astype(jnp.int32)
+
+    is_greedy = st.temperatures == 0.0
+    needs_top = (st.top_ks < V) | (st.top_ps < 1.0) | (st.min_ps > 0.0)
+    sampled = jnp.where(needs_top, restricted_tokens, free_tokens)
+    tokens = jnp.where(is_greedy, greedy_tokens, sampled)
+
+    logprobs_all = jax.nn.log_softmax(logits, axis=-1)
+    chosen_logprob = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=1)[:, 0]
+    return tokens, chosen_logprob
+
+
+def compute_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-k logprobs for the logprob API: ([B, k] vals, [B, k] ids)."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(lp, k)
+    return vals, idx.astype(jnp.int32)

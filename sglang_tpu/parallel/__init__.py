@@ -1,0 +1,6 @@
+from sglang_tpu.parallel.mesh import (
+    MeshContext,
+    create_mesh,
+    get_mesh_context,
+    set_mesh_context,
+)

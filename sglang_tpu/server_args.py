@@ -1,0 +1,200 @@
+"""ServerArgs: the single typed config object for the whole runtime.
+
+Mirrors the flag surface of the reference's srt/server_args.py (ServerArgs
+dataclass, ~700 flags; we replicate the names from the subset that matters
+for drop-in bench compatibility — reference srt/server_args.py:438+) but is
+a fresh TPU-first design: device topology is a JAX mesh spec, static-shape
+bucketing replaces CUDA-graph capture lists, and there is no NCCL/port-per-
+rank plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import random
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from sglang_tpu.utils import cdiv, find_free_port
+
+
+@dataclass
+class ServerArgs:
+    # Model & tokenizer
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    tokenizer_mode: str = "auto"
+    skip_tokenizer_init: bool = False
+    trust_remote_code: bool = False
+    context_length: Optional[int] = None
+    revision: Optional[str] = None
+    model_override_args: Optional[str] = None  # JSON dict merged into HF config
+
+    # Serving
+    host: str = "127.0.0.1"
+    port: int = 30000
+    api_key: Optional[str] = None
+    served_model_name: Optional[str] = None
+    chat_template: Optional[str] = None
+
+    # Dtype / quantization
+    dtype: str = "auto"  # auto -> bfloat16 on TPU
+    kv_cache_dtype: str = "auto"
+    quantization: Optional[str] = None  # fp8 | int8 | int4 (weight-only)
+
+    # Memory / KV cache
+    mem_fraction_static: Optional[float] = None
+    max_total_tokens: Optional[int] = None
+    max_running_requests: Optional[int] = None
+    max_prefill_tokens: int = 16384
+    chunked_prefill_size: int = 4096
+    page_size: int = 64  # tokens per KV page (TPU DMA-friendly; ref default 1)
+    max_pages_per_req: Optional[int] = None
+
+    # Scheduling
+    schedule_policy: str = "lpm"  # lpm | fcfs | dfs-weight | lof | random
+    schedule_conservativeness: float = 1.0
+    disable_radix_cache: bool = False
+    disable_overlap_schedule: bool = False
+    stream_interval: int = 1
+    max_queued_requests: Optional[int] = None
+    retract_decode_steps: int = 20
+
+    # Parallelism (mesh axes)
+    tp_size: int = 1
+    dp_size: int = 1
+    ep_size: int = 1
+    pp_size: int = 1
+    nnodes: int = 1
+    node_rank: int = 0
+    dist_init_addr: Optional[str] = None
+
+    # Attention / kernels
+    attention_backend: Optional[str] = None  # pallas | xla_native (auto by platform)
+    sampling_backend: Optional[str] = None  # device | token_oracle
+    disable_jit: bool = False
+
+    # Decode-time features
+    grammar_backend: str = "native"  # our own FSM engine (ref: xgrammar)
+    constrained_json_whitespace_pattern: Optional[str] = None
+    speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM | STANDALONE
+    speculative_num_steps: int = 3
+    speculative_num_draft_tokens: int = 4
+    speculative_eagle_topk: int = 1
+    speculative_draft_model_path: Optional[str] = None
+
+    # LoRA
+    enable_lora: bool = False
+    max_loras_per_batch: int = 4
+    max_lora_rank: Optional[int] = None
+    lora_paths: Optional[List[str]] = None
+
+    # Loading
+    load_format: str = "auto"  # auto | safetensors | dummy
+    random_seed: Optional[int] = None
+
+    # Logging / observability
+    log_level: str = "info"
+    log_requests: bool = False
+    enable_metrics: bool = False
+    decode_log_interval: int = 40
+
+    # Process topology
+    enable_single_process: bool = False  # run all managers in-process (tests)
+    zmq_transport: str = "ipc"  # ipc | tcp
+
+    # Buckets (static-shape jit programs; TPU replacement for CUDA graphs)
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_token_buckets: Optional[List[int]] = None
+
+    # Multimodal
+    enable_multimodal: bool = False
+    mm_image_token_limit: int = 4096
+
+    # Disaggregation (PD)
+    disaggregation_mode: str = "null"  # null | prefill | decode
+    disaggregation_bootstrap_port: int = 8998
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.random_seed is None:
+            self.random_seed = random.randint(0, 2**31 - 1)
+        if self.mem_fraction_static is None:
+            # Leave headroom for activations; weights accounted separately.
+            self.mem_fraction_static = 0.85
+        if self.dtype == "auto":
+            self.dtype = "bfloat16"
+        if self.max_running_requests is None:
+            self.max_running_requests = 256
+        if self.chunked_prefill_size % self.page_size != 0:
+            self.chunked_prefill_size = cdiv(
+                self.chunked_prefill_size, self.page_size
+            ) * self.page_size
+
+    @property
+    def world_size(self) -> int:
+        return self.tp_size * self.dp_size * self.pp_size
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=f.default)
+            elif f.type in ("Optional[List[str]]",):
+                parser.add_argument(name, type=str, nargs="*", default=None)
+            elif f.type in ("Optional[List[int]]",):
+                parser.add_argument(name, type=int, nargs="*", default=None)
+            else:
+                typ = str
+                if f.type in ("int", int, "Optional[int]"):
+                    typ = int
+                elif f.type in ("float", float, "Optional[float]"):
+                    typ = float
+                default = f.default if f.default is not dataclasses.MISSING else None
+                parser.add_argument(name, type=typ, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in vars(args).items() if k in field_names}
+        return cls(**kwargs)
+
+
+def prepare_server_args(argv: List[str]) -> ServerArgs:
+    parser = argparse.ArgumentParser(description="sglang-tpu server")
+    ServerArgs.add_cli_args(parser)
+    return ServerArgs.from_cli_args(parser.parse_args(argv))
+
+
+@dataclass
+class PortArgs:
+    """ZMQ addresses connecting TokenizerManager <-> Scheduler <-> Detokenizer.
+
+    Reference: srt/server_args.py PortArgs.init_new (:9480). We keep the
+    3-hop pipe shape; ipc:// on one host, tcp:// across hosts.
+    """
+
+    tokenizer_ipc: str = ""
+    scheduler_ipc: str = ""
+    detokenizer_ipc: str = ""
+
+    @classmethod
+    def init_new(cls, server_args: ServerArgs) -> "PortArgs":
+        if server_args.zmq_transport == "tcp":
+            return cls(
+                tokenizer_ipc=f"tcp://{server_args.host}:{find_free_port()}",
+                scheduler_ipc=f"tcp://{server_args.host}:{find_free_port()}",
+                detokenizer_ipc=f"tcp://{server_args.host}:{find_free_port()}",
+            )
+        base = f"/tmp/sglang_tpu_{os.getpid()}_{random.randint(0, 1 << 30)}"
+        return cls(
+            tokenizer_ipc=f"ipc://{base}_tok",
+            scheduler_ipc=f"ipc://{base}_sched",
+            detokenizer_ipc=f"ipc://{base}_detok",
+        )
