@@ -1,0 +1,125 @@
+"""Request state machine.
+
+Ref: srt/managers/schedule_batch.py:802 (Req) — fill_ids, prefix_indices,
+logprobs, finish reasons. Ours tracks pages instead of token indices and
+keeps all device-facing state out (the ScheduleCore builds arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, Dict, List, Optional
+
+from sglang_tpu.sampling.sampling_params import SamplingParams
+
+
+class ReqStatus(enum.Enum):
+    WAITING = "waiting"
+    RUNNING = "running"
+    FINISHED = "finished"
+    ABORTED = "aborted"
+
+
+@dataclasses.dataclass
+class FinishReason:
+    kind: str  # "stop" | "length" | "eos" | "abort"
+    matched_token: Optional[int] = None
+    matched_str: Optional[str] = None
+
+    def to_json(self):
+        if self.kind in ("stop", "eos"):
+            d = {"type": "stop"}
+            if self.matched_token is not None:
+                d["matched"] = self.matched_token
+            return d
+        if self.kind == "length":
+            return {"type": "length"}
+        return {"type": "abort"}
+
+
+class Req:
+    def __init__(
+        self,
+        rid: str,
+        input_ids: List[int],
+        sampling_params: SamplingParams,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        eos_token_ids: Optional[set] = None,
+        arrival_time: Optional[float] = None,
+        lora_id: Optional[str] = None,
+    ):
+        self.rid = rid
+        self.input_ids = list(input_ids)
+        self.output_ids: List[int] = []
+        self.sampling_params = sampling_params
+        self.return_logprob = return_logprob
+        self.top_logprobs_num = top_logprobs_num
+        self.eos_token_ids = eos_token_ids or set()
+        self.arrival_time = arrival_time or time.time()
+        self.lora_id = lora_id
+
+        self.status = ReqStatus.WAITING
+        self.finish_reason: Optional[FinishReason] = None
+
+        # KV/cache state
+        self.pages: List[int] = []  # all pages covering the sequence
+        self.cached_len = 0  # tokens served from radix cache (page-aligned)
+        self.prefill_progress = 0  # tokens already run through prefill
+        self.last_node = None  # radix tree node locked by this req
+        self.req_slot: Optional[int] = None  # device-resident slot id
+
+        # Outputs
+        self.output_logprobs: List[float] = []
+        self.output_top_logprobs: List[Any] = []
+        self.spec_accepted_tokens = 0
+
+        # Grammar / constrained decoding state (set by grammar backend)
+        self.grammar = None
+
+        # Streaming bookkeeping
+        self.stream_offset = 0
+        self.queue_time: Optional[float] = None
+        self.start_time: Optional[float] = None
+
+    # ---- derived ----
+    @property
+    def seq_len(self) -> int:
+        return len(self.input_ids) + len(self.output_ids)
+
+    @property
+    def all_ids(self) -> List[int]:
+        return self.input_ids + self.output_ids
+
+    @property
+    def is_prefill_done(self) -> bool:
+        # The final prefill chunk also generates the first output token.
+        return self.prefill_progress >= len(self.input_ids)
+
+    @property
+    def remaining_prefill(self) -> int:
+        return len(self.input_ids) - self.prefill_progress
+
+    def finished(self) -> bool:
+        return self.status in (ReqStatus.FINISHED, ReqStatus.ABORTED)
+
+    # ---- stop conditions (token-level; string-level lives in detokenizer) ----
+    def check_finished(self, new_token: int) -> Optional[FinishReason]:
+        sp = self.sampling_params
+        if len(self.output_ids) >= sp.max_new_tokens:
+            return FinishReason("length")
+        if len(self.output_ids) < sp.min_new_tokens:
+            return None
+        if not sp.ignore_eos and new_token in self.eos_token_ids:
+            return FinishReason("eos", matched_token=new_token)
+        if sp.stop_token_ids and new_token in sp.stop_token_ids:
+            return FinishReason("stop", matched_token=new_token)
+        return None
+
+    def __repr__(self):
+        return (
+            f"Req({self.rid}, in={len(self.input_ids)}, out={len(self.output_ids)}, "
+            f"status={self.status.value})"
+        )

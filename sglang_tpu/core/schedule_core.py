@@ -1,0 +1,524 @@
+"""ScheduleCore: the continuous-batching engine.
+
+Ref: srt/managers/scheduler.py (event_loop_overlap:1718,
+get_next_batch_to_run:2961, get_new_batch_prefill:3103,
+update_running_batch:3427, retraction) + schedule_batch.py — redesigned
+around the TPU execution model:
+
+- The device step is fully async (JAX dispatch); the host schedules step
+  N+1 while step N runs. Decode inputs come from the device-resident
+  next-token buffer (future map), so scheduling never waits on sampled
+  tokens. Results are processed one step late — exactly the reference's
+  overlap event loop, with XLA async dispatch instead of CUDA streams.
+- Static-bucketed ForwardBatch construction replaces CUDA-graph capture.
+- Page-granular RadixCache admission; eviction + retraction on pressure.
+
+This class is transport-agnostic: Engine calls it inline; the Scheduler
+process wraps it with ZMQ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sglang_tpu.core.radix_cache import RadixCache
+from sglang_tpu.core.req import FinishReason, Req, ReqStatus
+from sglang_tpu.core.schedule_policy import SchedulePolicy
+from sglang_tpu.mem.allocator import PageAllocator, ReqSlotPool
+from sglang_tpu.model_exec.batch_builder import SeqInput, build_forward_batch
+from sglang_tpu.model_exec.forward_batch import ForwardMode
+from sglang_tpu.model_exec.model_runner import ForwardOutput, ModelRunner
+from sglang_tpu.sampling.sampling_batch_info import build_sampling_tensors
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import cdiv
+
+logger = logging.getLogger(__name__)
+
+MAX_BANNED_TOKENS = 8
+
+
+@dataclasses.dataclass
+class StepOutput:
+    rid: str
+    new_token: Optional[int]
+    finish_reason: Optional[dict]
+    logprob: Optional[float] = None
+    top_logprobs: Optional[Tuple[List[float], List[int]]] = None
+    completion_tokens: int = 0
+    cached_tokens: int = 0
+    prompt_tokens: int = 0
+
+
+@dataclasses.dataclass
+class _Row:
+    req: Req
+    kind: str  # "chunk" | "final" | "decode"
+    epoch: int
+    device_step: int  # index of the sampled token (== output idx)
+
+
+@dataclasses.dataclass
+class _PendingBatch:
+    rows: List[_Row]
+    out: ForwardOutput
+    mode: ForwardMode
+    launch_time: float
+
+
+class ScheduleCore:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        runner: ModelRunner,
+        tokenizer=None,
+    ):
+        self.args = server_args
+        self.runner = runner
+        self.tokenizer = tokenizer
+        self.page_size = server_args.page_size
+        self.allocator = PageAllocator(
+            runner.kv_pool.config.num_pages, self.page_size
+        )
+        self.radix = RadixCache(
+            self.page_size, self.allocator, disable=server_args.disable_radix_cache
+        )
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
+        self.slots = ReqSlotPool(server_args.max_running_requests)
+
+        self.waiting: List[Req] = []
+        self.running: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+        self.pending: deque[_PendingBatch] = deque()
+        self.pipeline_depth = 1 if server_args.disable_overlap_schedule else 2
+
+        self.eos_token_ids = set()
+        if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
+            self.eos_token_ids.add(tokenizer.eos_token_id)
+        gc = getattr(runner.model_config.hf_config, "eos_token_id", None)
+        if isinstance(gc, int):
+            self.eos_token_ids.add(gc)
+        elif isinstance(gc, (list, tuple)):
+            self.eos_token_ids.update(gc)
+
+        # metrics
+        self.num_generated_tokens = 0
+        self.num_prefill_tokens = 0
+        self.num_cached_tokens = 0
+        self.last_log = time.time()
+
+    # ------------------------------------------------------------------ API
+    def add_request(self, req: Req) -> None:
+        if not req.eos_token_ids:
+            req.eos_token_ids = self.eos_token_ids
+        req.queue_time = time.time()
+        req._epoch = 0
+        req._device_seq_len = 0
+        req._device_step = 0
+        req._fill_len = 0
+        req._seed = (
+            req.sampling_params.sampling_seed
+            if req.sampling_params.sampling_seed is not None
+            else (hash(req.rid) ^ self.args.random_seed) & 0x7FFFFFFF
+        )
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str) -> None:
+        for req in self.waiting:
+            if req.rid == rid:
+                req.status = ReqStatus.ABORTED
+                self.waiting.remove(req)
+                return
+        for req in self.running:
+            if req.rid == rid:
+                self._finish_req(req, FinishReason("abort"))
+                return
+        if self.chunked_req is not None and self.chunked_req.rid == rid:
+            req = self.chunked_req
+            self.chunked_req = None
+            self._finish_req(req, FinishReason("abort"))
+
+    def has_work(self) -> bool:
+        return bool(
+            self.waiting or self.running or self.chunked_req or self.pending
+        )
+
+    def step(self) -> List[StepOutput]:
+        """Schedule + launch at most one batch; process due results."""
+        launched = self._schedule_and_launch()
+        outputs: List[StepOutput] = []
+        if launched:
+            # Keep at most pipeline_depth-1 batches in flight.
+            while len(self.pending) >= self.pipeline_depth:
+                outputs.extend(self._process_batch_result(self.pending.popleft()))
+        elif self.pending:
+            outputs.extend(self._process_batch_result(self.pending.popleft()))
+        self._maybe_log()
+        return outputs
+
+    def flush_cache(self) -> bool:
+        if self.running or self.waiting or self.chunked_req or self.pending:
+            return False
+        self.radix.reset()
+        self.allocator.clear()
+        self.slots.clear()
+        return True
+
+    # ------------------------------------------------------ batch scheduling
+    def _schedule_and_launch(self) -> bool:
+        batch = self._get_prefill_batch()
+        mode = ForwardMode.EXTEND
+        if batch is None:
+            batch = self._get_decode_batch()
+            mode = ForwardMode.DECODE
+        if batch is None:
+            return False
+        rows, seq_inputs = batch
+        fb = build_forward_batch(
+            seq_inputs,
+            self.page_size,
+            mode,
+            trash_slot=self.runner.trash_slot,
+        )
+        sp_list = [r.req.sampling_params for r in rows]
+        seeds = [r.req._seed for r in rows]
+        steps = [r.device_step for r in rows]
+        st = build_sampling_tensors(sp_list, seeds, steps, fb.padded_bs)
+        banned = self._build_banned_tokens(rows, fb.padded_bs)
+        needs_penalty = any(r.req.sampling_params.needs_penalties for r in rows)
+        if needs_penalty:
+            self.runner.ensure_penalty_buf()
+        any_top = max(
+            (r.req.top_logprobs_num for r in rows if r.kind != "chunk"), default=0
+        )
+        out = self.runner.forward(
+            fb, st, banned_tokens=banned, return_top_logprobs=any_top
+        )
+        self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
+        return True
+
+    def _build_banned_tokens(self, rows: List[_Row], padded_bs: int):
+        import jax.numpy as jnp
+
+        need = False
+        arr = np.full((padded_bs, MAX_BANNED_TOKENS), -1, np.int32)
+        for i, r in enumerate(rows):
+            sp = r.req.sampling_params
+            if sp.min_new_tokens > 0 and r.device_step < sp.min_new_tokens:
+                banned = list(r.req.eos_token_ids) + list(sp.stop_token_ids or [])
+                if sp.ignore_eos:
+                    banned = list(sp.stop_token_ids or [])
+                for j, t in enumerate(banned[:MAX_BANNED_TOKENS]):
+                    arr[i, j] = t
+                    need = True
+        return jnp.asarray(arr) if need else None
+
+    # ---- prefill admission ----
+    def _get_prefill_batch(self):
+        budget = self.args.chunked_prefill_size
+        rows: List[_Row] = []
+        seq_inputs: List[SeqInput] = []
+
+        # Continue an in-flight chunked prefill first (exclusively).
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            q = min(req._fill_len - req.prefill_progress, budget)
+            if not self._extend_pages(req, req.prefill_progress + q):
+                self._evict_for(cdiv(req.prefill_progress + q, self.page_size))
+                if not self._extend_pages(req, req.prefill_progress + q):
+                    return None  # wait for memory
+            is_final = req.prefill_progress + q >= req._fill_len
+            rows.append(
+                _Row(req, "final" if is_final else "chunk", req._epoch,
+                     req._device_step)
+            )
+            seq_inputs.append(
+                SeqInput(
+                    req.all_ids[req.prefill_progress : req.prefill_progress + q],
+                    req.prefill_progress,
+                    req.pages,
+                    req_slot=req.req_slot if is_final else -1,
+                )
+            )
+            req.prefill_progress += q
+            req._device_seq_len = req.prefill_progress
+            if is_final:
+                req._device_step += 1
+                req._device_seq_len = req._fill_len  # last token KV pending
+                self.chunked_req = None
+                self.running.append(req)
+            return rows, seq_inputs
+
+        if not self.waiting:
+            return None
+        if len(self.running) >= self.args.max_running_requests:
+            return None
+
+        self.policy.order(self.waiting)
+        admitted: List[Req] = []
+        for req in list(self.waiting):
+            if len(self.running) + len(admitted) >= self.args.max_running_requests:
+                break
+            if budget <= 0:
+                break
+            slot = self.slots.alloc()
+            if slot is None:
+                break
+            # Re-match against the CURRENT tree: earlier admissions in this
+            # loop may have evicted pages referenced by the policy's match.
+            mr = self.radix.match_prefix(req.all_ids)
+            req._fill_len = len(req.all_ids)
+            # Never match the entire input: the last token must be computed
+            # to produce logits. Back off one page if fully cached.
+            cached = min(mr.length, req._fill_len - 1)
+            cached = (cached // self.page_size) * self.page_size
+            npages_cached = cached // self.page_size
+            req.cached_len = cached
+            req.prefill_progress = cached
+            req.pages = list(mr.pages[:npages_cached])
+            req.last_node = mr.node
+            self.radix.inc_lock(mr.node)
+            req.req_slot = slot
+
+            q = min(req._fill_len - cached, budget)
+            target = cached + q
+            if not self._extend_pages(req, target):
+                self._evict_for(cdiv(target, self.page_size) - len(req.pages))
+                if not self._extend_pages(req, target):
+                    # out of memory — undo and stop admitting
+                    self.radix.dec_lock(mr.node)
+                    self.slots.free(slot)
+                    req.req_slot = None
+                    req.pages = []
+                    break
+            is_final = target >= req._fill_len
+            rows.append(
+                _Row(
+                    req,
+                    "final" if is_final else "chunk",
+                    req._epoch,
+                    len(req.output_ids),  # retracted reqs resume mid-output
+                )
+            )
+            seq_inputs.append(
+                SeqInput(
+                    req.all_ids[cached:target],
+                    cached,
+                    req.pages,
+                    req_slot=req.req_slot if is_final else -1,
+                )
+            )
+            req.prefill_progress = target
+            req._device_seq_len = target
+            budget -= q
+            self.num_prefill_tokens += q
+            self.num_cached_tokens += cached
+            admitted.append(req)
+            req.status = ReqStatus.RUNNING
+            req.start_time = time.time()
+            if req.sampling_params.needs_penalties and req.output_ids:
+                self.runner.seed_penalty_row(req.req_slot, req.output_ids)
+            elif req.sampling_params.needs_penalties:
+                self.runner.seed_penalty_row(req.req_slot, [])
+            if not is_final:
+                self.chunked_req = req
+                break
+            req._device_step = len(req.output_ids) + 1
+        for req in admitted:
+            self.waiting.remove(req)
+            if req is not self.chunked_req:
+                self.running.append(req)
+        if not rows:
+            # roll back anything? (nothing admitted)
+            return None
+        return rows, seq_inputs
+
+    # ---- decode ----
+    def _get_decode_batch(self):
+        if not self.running:
+            return None
+        rows: List[_Row] = []
+        seq_inputs: List[SeqInput] = []
+        for req in list(self.running):
+            if req.status != ReqStatus.RUNNING:
+                continue  # retracted earlier in this same loop
+            # Don't run steps we already know are beyond max_new_tokens.
+            if req._device_step >= req.sampling_params.max_new_tokens:
+                continue
+            pos = req._device_seq_len
+            if not self._extend_pages(req, pos + 1):
+                freed = self._evict_for(1)
+                if not self._extend_pages(req, pos + 1):
+                    self._retract_one()
+                    if req.status != ReqStatus.RUNNING or req not in self.running:
+                        continue
+                    if not self._extend_pages(req, pos + 1):
+                        continue
+            rows.append(_Row(req, "decode", req._epoch, req._device_step))
+            seq_inputs.append(
+                SeqInput([0], pos, req.pages, req_slot=req.req_slot)
+            )
+            req._device_seq_len = pos + 1
+            req._device_step += 1
+        if not rows:
+            return None
+        return rows, seq_inputs
+
+    # ---- memory helpers ----
+    def _extend_pages(self, req: Req, target_tokens: int) -> bool:
+        need = cdiv(target_tokens, self.page_size) - len(req.pages)
+        if need <= 0:
+            return True
+        pages = self.allocator.alloc(need)
+        if pages is None:
+            return False
+        req.pages.extend(pages)
+        return True
+
+    def _evict_for(self, num_pages: int) -> int:
+        if num_pages <= 0:
+            return 0
+        return self.radix.evict(num_pages)
+
+    def _retract_one(self) -> Optional[Req]:
+        """Kick the newest running request back to the waiting queue."""
+        victims = [r for r in self.running if r.status == ReqStatus.RUNNING]
+        if len(victims) <= 1:
+            return None
+        victim = max(victims, key=lambda r: r.arrival_time)
+        self._release_req_memory(victim, cache=False)
+        victim.status = ReqStatus.WAITING
+        victim._epoch += 1
+        victim.prefill_progress = 0
+        victim.cached_len = 0
+        victim._device_seq_len = 0
+        victim._device_step = len(victim.output_ids)
+        self.running.remove(victim)
+        self.waiting.insert(0, victim)
+        logger.info("retracted %s (memory pressure)", victim.rid)
+        return victim
+
+    def _release_req_memory(self, req: Req, cache: bool) -> None:
+        ps = self.page_size
+        if req.last_node is not None:
+            self.radix.dec_lock(req.last_node)
+            req.last_node = None
+        own_start = req.cached_len // ps  # pages owned by req (not tree)
+        if cache and not self.radix.disable and req._device_seq_len > 0:
+            kv_len = min(req._device_seq_len, len(req.all_ids))
+            aligned = (kv_len // ps) * ps
+            npages = aligned // ps
+            if aligned > 0:
+                matched = self.radix.insert(
+                    req.all_ids[:aligned], req.pages[:npages]
+                )
+                # free our duplicates in [cached_len, matched) and the tail
+                dup = req.pages[own_start : matched // ps]
+                tail = req.pages[npages:]
+                if dup:
+                    self.allocator.free(dup)
+                if tail:
+                    self.allocator.free(tail)
+            else:
+                self.allocator.free(req.pages[own_start:])
+        else:
+            self.allocator.free(req.pages[own_start:])
+        req.pages = []
+        if req.req_slot is not None:
+            self.slots.free(req.req_slot)
+            req.req_slot = None
+
+    def _finish_req(self, req: Req, reason: FinishReason) -> None:
+        req.finish_reason = reason
+        req.status = (
+            ReqStatus.ABORTED if reason.kind == "abort" else ReqStatus.FINISHED
+        )
+        if req in self.running:
+            self.running.remove(req)
+        self._release_req_memory(req, cache=True)
+
+    # --------------------------------------------------------- result path
+    def _process_batch_result(self, pb: _PendingBatch) -> List[StepOutput]:
+        tokens = np.asarray(pb.out.next_tokens)
+        logprobs = np.asarray(pb.out.chosen_logprobs)
+        top_v = (
+            np.asarray(pb.out.top_logprob_vals)
+            if pb.out.top_logprob_vals is not None
+            else None
+        )
+        top_i = (
+            np.asarray(pb.out.top_logprob_ids)
+            if pb.out.top_logprob_ids is not None
+            else None
+        )
+        outputs: List[StepOutput] = []
+        for i, row in enumerate(pb.rows):
+            req = row.req
+            if row.kind == "chunk":
+                continue
+            if req._epoch != row.epoch or req.finished():
+                continue  # stale (retracted or finished during overlap)
+            if row.device_step != len(req.output_ids):
+                continue  # phantom overlap step beyond a finish; drop
+            token = int(tokens[i])
+            req.output_ids.append(token)
+            self.num_generated_tokens += 1
+            if req.return_logprob:
+                req.output_logprobs.append(float(logprobs[i]))
+                if req.top_logprobs_num and top_v is not None:
+                    k = req.top_logprobs_num
+                    req.output_top_logprobs.append(
+                        (top_v[i, :k].tolist(), top_i[i, :k].tolist())
+                    )
+            fr = req.check_finished(token)
+            if fr is None and req.sampling_params.stop:
+                fr = self._check_stop_strings(req)
+            if fr is not None:
+                self._finish_req(req, fr)
+            outputs.append(
+                StepOutput(
+                    rid=req.rid,
+                    new_token=token,
+                    finish_reason=fr.to_json() if fr else None,
+                    logprob=float(logprobs[i]) if req.return_logprob else None,
+                    top_logprobs=(
+                        req.output_top_logprobs[-1]
+                        if req.return_logprob and req.top_logprobs_num
+                        else None
+                    ),
+                    completion_tokens=len(req.output_ids),
+                    cached_tokens=req.cached_len,
+                    prompt_tokens=len(req.input_ids),
+                )
+            )
+        return outputs
+
+    def _check_stop_strings(self, req: Req) -> Optional[FinishReason]:
+        if self.tokenizer is None:
+            return None
+        sp = req.sampling_params
+        max_stop = max(len(s) for s in sp.stop)
+        tail_tokens = req.output_ids[-(max_stop + 16) :]
+        text = self.tokenizer.decode(tail_tokens)
+        for s in sp.stop:
+            if s in text:
+                return FinishReason("stop", matched_str=s)
+        return None
+
+    def _maybe_log(self) -> None:
+        now = time.time()
+        if now - self.last_log > 10:
+            self.last_log = now
+            logger.info(
+                "running=%d waiting=%d gen_tokens=%d free_pages=%d radix_pages=%d",
+                len(self.running),
+                len(self.waiting),
+                self.num_generated_tokens,
+                self.allocator.available_pages(),
+                self.radix.total_cached_pages(),
+            )

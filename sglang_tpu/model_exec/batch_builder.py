@@ -26,6 +26,7 @@ class SeqInput:
     prefix_len: int  # tokens already in KV (radix cache hit / prior chunks)
     page_ids: Sequence[int]  # pages covering [0, prefix_len + len(new))
     # decode only: position = prefix_len (the single new token's position)
+    req_slot: int = -1  # device slot; -1 -> trash slot (no state publish)
 
 
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
@@ -40,6 +41,7 @@ def build_forward_batch(
     mode: ForwardMode,
     token_buckets: Optional[Sequence[int]] = None,
     bs_buckets: Optional[Sequence[int]] = None,
+    trash_slot: int = 0,
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
@@ -64,6 +66,7 @@ def build_forward_batch(
     page_table = np.zeros((B, P), np.int32)  # page 0 = reserved/trash
     out_cache_loc = np.zeros(T, np.int32)  # slot 0..page_size-1 = trash page
     logits_indices = np.zeros(B, np.int32)
+    req_slots = np.full(B, trash_slot, np.int32)
 
     off = 0
     for i, s in enumerate(seqs):
@@ -81,6 +84,7 @@ def build_forward_batch(
             page = s.page_ids[pos // page_size]
             out_cache_loc[off + j] = page * page_size + pos % page_size
         logits_indices[i] = off + q - 1
+        req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
         off += q
     cu_q_lens[n + 1 :] = cu_q_lens[n]
     # Padded rows: make logits_indices point at a real token (0) — they are
@@ -96,5 +100,6 @@ def build_forward_batch(
         out_cache_loc=jnp.asarray(out_cache_loc),
         logits_indices=jnp.asarray(logits_indices),
         num_seqs=jnp.asarray(n, jnp.int32),
+        req_slots=jnp.asarray(req_slots),
         mode=mode,
     )

@@ -55,6 +55,12 @@ class ForwardBatch:
     out_cache_loc: jax.Array  # [T] int32 token-slot for each new token's KV
     logits_indices: jax.Array  # [B] int32 index into [T] of each seq's last tok
     num_seqs: jax.Array  # [] int32 actual (unpadded) sequence count
+    # Device-resident request slots: decode steps read their input token from
+    # next_tokens_buf[req_slots] (the overlap-schedule future-map analog,
+    # ref srt/managers/overlap_utils.py FutureMap). Rows that must not
+    # publish state (padding, non-final prefill chunks) point at the trash
+    # slot (= buffer's last index).
+    req_slots: jax.Array  # [B] int32
 
     # --- static fields ---
     mode: ForwardMode = dataclasses.field(

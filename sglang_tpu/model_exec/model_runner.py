@@ -102,10 +102,25 @@ class ModelRunner:
         )
         logger.info("attention backend: %s", backend_name)
 
+        # Device-resident per-request state (indexed by req_slot; last index
+        # is the trash slot). next_tokens_buf is the overlap-schedule
+        # future-map analog: decode steps read their input token from it so
+        # the host never blocks on the previous step's sampled tokens.
+        self.num_slots = server_args.max_running_requests
+        self.trash_slot = self.num_slots
+        self.next_tokens_buf = jnp.zeros(self.num_slots + 1, jnp.int32)
+        self.penalty_buf: Optional[jax.Array] = None  # [S+1, V] lazily made
+
         self._step = jax.jit(
             self._step_impl,
-            donate_argnums=(1,),
+            donate_argnums=(1, 2, 3),
             static_argnames=("return_top_logprobs",),
+        )
+        self._override_tokens = jax.jit(
+            lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
+        )
+        self._seed_penalty_row = jax.jit(
+            self._seed_penalty_row_impl, donate_argnums=(0,)
         )
 
     # ---- KV sizing ----
@@ -174,52 +189,95 @@ class ModelRunner:
         self,
         params,
         kv,
+        next_buf,
+        penalty_buf,
         fb: ForwardBatch,
         st: SamplingTensors,
-        token_counts: Optional[jax.Array],
         vocab_mask: Optional[jax.Array],
+        banned_tokens: Optional[jax.Array],  # [B, K] int32, -1 = none
         return_top_logprobs: int = 0,
     ):
+        if fb.mode.is_decode():
+            # Input token comes from the device future-map, not the host.
+            fb = dataclasses.replace(fb, input_ids=next_buf[fb.req_slots])
         hidden, kv = self.model(params, fb, kv, self.attn_backend)
         sel = hidden[fb.logits_indices]  # [B, H]
         logits = self.model.compute_logits(params, sel).astype(jnp.float32)
+        B = logits.shape[0]
+        if banned_tokens is not None:
+            bias = jnp.where(banned_tokens >= 0, -1e30, 0.0)
+            idx = jnp.maximum(banned_tokens, 0)
+            logits = logits.at[jnp.arange(B)[:, None], idx].add(bias)
+        token_counts = None
+        if penalty_buf is not None:
+            token_counts = penalty_buf[fb.req_slots]
         tokens, chosen_lp = sample(logits, st, token_counts, vocab_mask)
-        out = [kv, tokens, chosen_lp]
+        next_buf = next_buf.at[fb.req_slots].set(tokens)
+        if penalty_buf is not None:
+            penalty_buf = penalty_buf.at[fb.req_slots, tokens].add(1)
         if return_top_logprobs > 0:
-            vals, ids = compute_logprobs(logits, return_top_logprobs)
-            out += [vals, ids]
+            tv, ti = compute_logprobs(logits, return_top_logprobs)
         else:
-            out += [None, None]
-        if token_counts is not None:
-            B = tokens.shape[0]
-            token_counts = token_counts.at[jnp.arange(B), tokens].add(1)
-        out.append(token_counts)
-        return tuple(out)
+            tv, ti = None, None
+        return kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti
+
+    def _seed_penalty_row_impl(self, penalty_buf, slot, tokens, valid):
+        """Rebuild one slot's output-token counts (after retraction)."""
+        penalty_buf = penalty_buf.at[slot, :].set(0)
+        inc = valid.astype(jnp.int32)
+        return penalty_buf.at[slot, tokens].add(inc)
+
+    def ensure_penalty_buf(self) -> None:
+        if self.penalty_buf is None:
+            self.penalty_buf = jnp.zeros(
+                (self.num_slots + 1, self.model_config.vocab_size), jnp.int32
+            )
+
+    def seed_penalty_row(self, slot: int, token_ids) -> None:
+        self.ensure_penalty_buf()
+        pad = 64 * max(1, cdiv(max(len(token_ids), 1), 64))
+        toks = np.zeros(pad, np.int32)
+        valid = np.zeros(pad, np.bool_)
+        toks[: len(token_ids)] = token_ids
+        valid[: len(token_ids)] = True
+        self.penalty_buf = self._seed_penalty_row(
+            self.penalty_buf, jnp.asarray(slot, jnp.int32), jnp.asarray(toks),
+            jnp.asarray(valid),
+        )
+
+    def override_next_tokens(self, slots, values) -> None:
+        """Token-oracle / speculative override of the device future-map."""
+        self.next_tokens_buf = self._override_tokens(
+            self.next_tokens_buf,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(np.asarray(values, np.int32)),
+        )
 
     def forward(
         self,
         fb: ForwardBatch,
         st: SamplingTensors,
-        token_counts: Optional[jax.Array] = None,
         vocab_mask: Optional[jax.Array] = None,
+        banned_tokens: Optional[jax.Array] = None,
         return_top_logprobs: int = 0,
-    ) -> Tuple[ForwardOutput, Optional[jax.Array]]:
-        new_kv, tokens, chosen_lp, tv, ti, new_counts = self._step(
+    ) -> ForwardOutput:
+        new_kv, new_buf, new_pen, tokens, chosen_lp, tv, ti = self._step(
             self.params,
             self.kv_pool.kv,
+            self.next_tokens_buf,
+            self.penalty_buf,
             fb,
             st,
-            token_counts,
             vocab_mask,
+            banned_tokens,
             return_top_logprobs=return_top_logprobs,
         )
         self.kv_pool.swap(new_kv)
-        return (
-            ForwardOutput(
-                next_tokens=tokens,
-                chosen_logprobs=chosen_lp,
-                top_logprob_vals=tv,
-                top_logprob_ids=ti,
-            ),
-            new_counts,
+        self.next_tokens_buf = new_buf
+        self.penalty_buf = new_pen
+        return ForwardOutput(
+            next_tokens=tokens,
+            chosen_logprobs=chosen_lp,
+            top_logprob_vals=tv,
+            top_logprob_ids=ti,
         )

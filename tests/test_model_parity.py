@@ -57,13 +57,18 @@ def _our_greedy(model_dir, prompt_ids, n_new, page_size=16, chunk=None):
     ]
     prefix = 0
     token = None
-    for ch in chunks:
+    trash = runner.trash_slot
+    for ci, ch in enumerate(chunks):
+        is_final = ci == len(chunks) - 1
         npages = cdiv(prefix + len(ch), page_size)
         fb = build_forward_batch(
-            [SeqInput(ch, prefix, pages[:npages])], page_size, ForwardMode.EXTEND
+            [SeqInput(ch, prefix, pages[:npages], req_slot=0 if is_final else -1)],
+            page_size,
+            ForwardMode.EXTEND,
+            trash_slot=trash,
         )
         st = build_sampling_tensors([sp], [0], [0], fb.padded_bs)
-        out, _ = runner.forward(fb, st)
+        out = runner.forward(fb, st)
         token = int(np.asarray(out.next_tokens)[0])
         prefix += len(ch)
     out_tokens.append(token)
@@ -71,12 +76,13 @@ def _our_greedy(model_dir, prompt_ids, n_new, page_size=16, chunk=None):
     for step in range(1, n_new):
         npages = cdiv(prefix + 1, page_size)
         fb = build_forward_batch(
-            [SeqInput([token], prefix, pages[:npages])],
+            [SeqInput([token], prefix, pages[:npages], req_slot=0)],
             page_size,
             ForwardMode.DECODE,
+            trash_slot=trash,
         )
         st = build_sampling_tensors([sp], [0], [step], fb.padded_bs)
-        out, _ = runner.forward(fb, st)
+        out = runner.forward(fb, st)
         token = int(np.asarray(out.next_tokens)[0])
         prefix += 1
         out_tokens.append(token)
