@@ -33,6 +33,8 @@ class FinishReason:
             d = {"type": "stop"}
             if self.matched_token is not None:
                 d["matched"] = self.matched_token
+            elif self.matched_str is not None:
+                d["matched"] = self.matched_str
             return d
         if self.kind == "length":
             return {"type": "length"}

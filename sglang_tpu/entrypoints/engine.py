@@ -1,0 +1,247 @@
+"""Engine: offline in-process API (and the server's backbone).
+
+Ref: srt/entrypoints/engine.py:199 (Engine), :352 (generate), :1036
+(_launch_subprocesses); EngineBase abstract surface (EngineBase.py:7-77).
+
+Topology: like the reference we keep TokenizerManager (here, in-caller
+asyncio), Scheduler (own proc/thread — owns the TPU mesh), and Detokenizer
+(own proc/thread), connected by ZMQ. With enable_single_process=True the
+three run as threads over inproc:// sockets (same code path) — used for
+tests and notebook/offline use; the HTTP server launches real processes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import atexit
+import logging
+import multiprocessing as mp
+import threading
+import time
+from typing import Any, AsyncGenerator, Dict, Iterator, List, Optional, Union
+
+from sglang_tpu.managers.io_struct import GenerateReqInput
+from sglang_tpu.server_args import PortArgs, ServerArgs
+from sglang_tpu.utils import configure_logger
+
+logger = logging.getLogger(__name__)
+
+
+def _inproc_port_args() -> PortArgs:
+    import random
+
+    base = f"inproc://sglang_tpu_{random.randint(0, 1 << 62)}"
+    return PortArgs(
+        tokenizer_ipc=f"{base}_tok",
+        scheduler_ipc=f"{base}_sched",
+        detokenizer_ipc=f"{base}_detok",
+    )
+
+
+def launch_managers(server_args: ServerArgs):
+    """Start scheduler + detokenizer; return (port_args, procs/threads)."""
+    from sglang_tpu.managers.detokenizer_manager import run_detokenizer
+    from sglang_tpu.managers.scheduler import run_scheduler
+
+    workers = []
+    if server_args.enable_single_process:
+        port_args = _inproc_port_args()
+        # Bind order matters for inproc: binders must start first. The
+        # detokenizer binds detokenizer_ipc; TokenizerManager binds
+        # tokenizer_ipc (created by caller before scheduler connects).
+        ready = threading.Event()
+        t_detok = threading.Thread(
+            target=run_detokenizer,
+            args=(server_args, port_args),
+            daemon=True,
+            name="detokenizer",
+        )
+        t_sched = threading.Thread(
+            target=run_scheduler,
+            args=(server_args, port_args, ready),
+            daemon=True,
+            name="scheduler",
+        )
+        workers += [t_detok, t_sched]
+        return port_args, workers, (t_detok, t_sched, ready)
+    else:
+        port_args = PortArgs.init_new(server_args)
+        ctx = mp.get_context("spawn")
+        p_detok = ctx.Process(
+            target=run_detokenizer, args=(server_args, port_args), daemon=True
+        )
+        p_detok.start()
+        p_sched = ctx.Process(
+            target=run_scheduler, args=(server_args, port_args), daemon=True
+        )
+        p_sched.start()
+        workers += [p_detok, p_sched]
+        return port_args, workers, None
+
+
+class Engine:
+    """Synchronous offline API; also usable async via async_generate."""
+
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        configure_logger(server_args.log_level)
+        self.server_args = server_args
+
+        # Dedicated asyncio loop thread for the TokenizerManager.
+        self._loop = asyncio.new_event_loop()
+        self._loop_thread = threading.Thread(
+            target=self._loop.run_forever, daemon=True, name="engine-loop"
+        )
+        self._loop_thread.start()
+
+        if server_args.enable_single_process:
+            port_args, self._workers, extra = launch_managers(server_args)
+            self.port_args = port_args
+            # TokenizerManager must bind tokenizer_ipc before others connect.
+            self.tokenizer_manager = self._run_coro(
+                self._make_tm(server_args, port_args)
+            )
+            t_detok, t_sched, ready = extra
+            t_detok.start()
+            time.sleep(0.05)  # let detok bind before scheduler connects
+            t_sched.start()
+        else:
+            port_args = PortArgs.init_new(server_args)
+            self.port_args = port_args
+            self.tokenizer_manager = self._run_coro(
+                self._make_tm(server_args, port_args)
+            )
+            _, self._workers, _ = self._launch_procs(server_args, port_args)
+        self._run_coro(self.tokenizer_manager.wait_ready())
+        atexit.register(self.shutdown)
+
+    @staticmethod
+    async def _make_tm(server_args, port_args):
+        from sglang_tpu.managers.tokenizer_manager import TokenizerManager
+
+        tm = TokenizerManager(server_args, port_args)
+        tm.start()
+        return tm
+
+    def _launch_procs(self, server_args, port_args):
+        from sglang_tpu.managers.detokenizer_manager import run_detokenizer
+        from sglang_tpu.managers.scheduler import run_scheduler
+
+        ctx = mp.get_context("spawn")
+        p_detok = ctx.Process(
+            target=run_detokenizer, args=(server_args, port_args), daemon=True
+        )
+        p_detok.start()
+        p_sched = ctx.Process(
+            target=run_scheduler, args=(server_args, port_args), daemon=True
+        )
+        p_sched.start()
+        return port_args, [p_detok, p_sched], None
+
+    # ---------------------------------------------------------------- utils
+    def _run_coro(self, coro):
+        return asyncio.run_coroutine_threadsafe(coro, self._loop).result()
+
+    # ------------------------------------------------------------------ API
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ):
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
+            stream=stream,
+            rid=rid,
+        )
+        if stream:
+            return self._stream_sync(gri)
+        outs = self._run_coro(self._collect(gri))
+        if not gri.is_batch():
+            return outs[0]
+        return outs
+
+    async def _collect(self, gri: GenerateReqInput):
+        outs = []
+        async for out in self.tokenizer_manager.generate_request(gri):
+            outs.append(out)
+        return outs
+
+    def _stream_sync(self, gri: GenerateReqInput) -> Iterator[Dict]:
+        import queue as _q
+
+        q: _q.Queue = _q.Queue()
+
+        async def pump():
+            try:
+                async for out in self.tokenizer_manager.generate_request(gri):
+                    q.put(out)
+            except Exception as e:  # noqa: BLE001
+                q.put(e)
+            finally:
+                q.put(StopIteration)
+
+        asyncio.run_coroutine_threadsafe(pump(), self._loop)
+        while True:
+            item = q.get()
+            if item is StopIteration:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    async def async_generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids=None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ):
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
+            stream=stream,
+            rid=rid,
+        )
+        if stream:
+            return self.tokenizer_manager.generate_request(gri)
+        outs = []
+        async for out in self.tokenizer_manager.generate_request(gri):
+            outs.append(out)
+        return outs[0] if not gri.is_batch() else outs
+
+    def flush_cache(self) -> bool:
+        return self._run_coro(self.tokenizer_manager.flush_cache())
+
+    def get_server_info(self) -> Dict[str, Any]:
+        return self._run_coro(self.tokenizer_manager.get_server_info())
+
+    def update_weights_from_disk(self, model_path: str, load_format="auto"):
+        return self._run_coro(
+            self.tokenizer_manager.update_weights_from_disk(
+                model_path, load_format
+            )
+        )
+
+    def health(self) -> bool:
+        return self._run_coro(self.tokenizer_manager.health())
+
+    def shutdown(self) -> None:
+        for w in getattr(self, "_workers", []):
+            if isinstance(w, mp.Process) and w.is_alive():
+                w.terminate()

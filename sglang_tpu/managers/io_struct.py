@@ -1,0 +1,183 @@
+"""Inter-manager message structs (ZMQ traffic).
+
+Ref: srt/managers/io_struct.py (GenerateReqInput:160,
+TokenizedGenerateReqInput:864, BatchTokenIDOutput:1324, BatchStrOutput:1424,
+msgspec-serialized). We use plain dataclasses + pickle protocol 5 (msgspec
+isn't in this image); the wire format is an implementation detail behind
+send_pyobj/recv_pyobj wrappers in zmq_utils.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import uuid
+from typing import Any, Dict, List, Optional, Union
+
+from sglang_tpu.sampling.sampling_params import SamplingParams
+
+
+@dataclasses.dataclass
+class GenerateReqInput:
+    """User-facing /generate input (pre-tokenization)."""
+
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+    sampling_params: Optional[Union[Dict, List[Dict]]] = None
+    rid: Optional[Union[str, List[str]]] = None
+    return_logprob: Union[bool, List[bool]] = False
+    logprob_start_len: Union[int, List[int]] = -1
+    top_logprobs_num: Union[int, List[int]] = 0
+    stream: bool = False
+    lora_path: Optional[Union[str, List[str]]] = None
+    session_params: Optional[Dict] = None
+    return_text_in_logprobs: bool = False
+    # Multimodal (round-2 surface)
+    image_data: Optional[Any] = None
+
+    def is_batch(self) -> bool:
+        if self.text is not None:
+            return not isinstance(self.text, str)
+        if self.input_ids is not None:
+            return bool(self.input_ids) and isinstance(self.input_ids[0], list)
+        return False
+
+    def batch_size(self) -> int:
+        if not self.is_batch():
+            return 1
+        return len(self.text if self.text is not None else self.input_ids)
+
+    def normalize(self) -> List["GenerateReqInput"]:
+        """Split a batch request into per-item requests."""
+        n = self.batch_size()
+        if not self.is_batch():
+            if self.rid is None:
+                self.rid = uuid.uuid4().hex
+            return [self]
+
+        def pick(v, i, default=None):
+            if isinstance(v, list):
+                return v[i] if i < len(v) else default
+            return v
+
+        out = []
+        for i in range(n):
+            out.append(
+                GenerateReqInput(
+                    text=pick(self.text, i) if self.text is not None else None,
+                    input_ids=(
+                        pick(self.input_ids, i) if self.input_ids is not None else None
+                    ),
+                    sampling_params=(
+                        self.sampling_params[i]
+                        if isinstance(self.sampling_params, list)
+                        else self.sampling_params
+                    ),
+                    rid=(
+                        pick(self.rid, i)
+                        if isinstance(self.rid, list)
+                        else uuid.uuid4().hex
+                    ),
+                    return_logprob=pick(self.return_logprob, i, False),
+                    top_logprobs_num=pick(self.top_logprobs_num, i, 0),
+                    stream=self.stream,
+                    lora_path=pick(self.lora_path, i),
+                )
+            )
+        return out
+
+
+@dataclasses.dataclass
+class TokenizedGenerateReqInput:
+    rid: str
+    input_ids: List[int]
+    sampling_params: SamplingParams
+    return_logprob: bool = False
+    top_logprobs_num: int = 0
+    stream: bool = False
+    lora_path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class BatchTokenOut:
+    """Scheduler -> Detokenizer: one step's new tokens."""
+
+    rids: List[str]
+    tokens: List[int]
+    finish_reasons: List[Optional[dict]]  # None = not finished
+    logprobs: List[Optional[float]]
+    top_logprobs: List[Optional[Any]]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+    prompt_tokens: List[int]
+    skip_special_tokens: List[bool]
+    spaces_between_special_tokens: List[bool]
+    stop_strs: List[Optional[List[str]]]
+    no_stop_trim: List[bool]
+
+
+@dataclasses.dataclass
+class BatchStrOut:
+    """Detokenizer -> TokenizerManager: decoded text deltas."""
+
+    rids: List[str]
+    delta_texts: List[str]
+    output_ids: List[List[int]]  # new token ids since last emit
+    finish_reasons: List[Optional[dict]]
+    logprobs: List[Optional[float]]
+    top_logprobs: List[Optional[Any]]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+    prompt_tokens: List[int]
+
+
+@dataclasses.dataclass
+class AbortReq:
+    rid: str
+
+
+@dataclasses.dataclass
+class FlushCacheReq:
+    pass
+
+
+@dataclasses.dataclass
+class FlushCacheResp:
+    success: bool
+
+
+@dataclasses.dataclass
+class GetServerInfoReq:
+    pass
+
+
+@dataclasses.dataclass
+class GetServerInfoResp:
+    info: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class HealthCheckReq:
+    pass
+
+
+@dataclasses.dataclass
+class HealthCheckResp:
+    ok: bool
+
+
+@dataclasses.dataclass
+class UpdateWeightsReq:
+    model_path: str
+    load_format: str = "auto"
+
+
+@dataclasses.dataclass
+class UpdateWeightsResp:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
+class SchedulerReady:
+    ok: bool
+    info: Dict[str, Any] = dataclasses.field(default_factory=dict)

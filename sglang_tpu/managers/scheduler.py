@@ -1,0 +1,175 @@
+"""Scheduler event loop: wraps ScheduleCore with the ZMQ control plane.
+
+Ref: srt/managers/scheduler.py:4930 (run_scheduler_process) +
+event_loop_overlap:1718. One scheduler owns the whole TPU mesh (single
+jit program across chips) — unlike the reference's one-process-per-GPU
+NCCL layout, there is no per-rank fan-out on a single host.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional
+
+import zmq
+
+from sglang_tpu.core.req import Req
+from sglang_tpu.core.schedule_core import ScheduleCore, StepOutput
+from sglang_tpu.managers.io_struct import (
+    AbortReq,
+    BatchTokenOut,
+    FlushCacheReq,
+    FlushCacheResp,
+    GetServerInfoReq,
+    GetServerInfoResp,
+    HealthCheckReq,
+    HealthCheckResp,
+    SchedulerReady,
+    TokenizedGenerateReqInput,
+    UpdateWeightsReq,
+    UpdateWeightsResp,
+)
+from sglang_tpu.managers.zmq_utils import drain_pyobj, make_socket, send_pyobj
+from sglang_tpu.model_exec.model_runner import ModelRunner
+from sglang_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+class Scheduler:
+    def __init__(self, server_args: ServerArgs, port_args):
+        self.server_args = server_args
+        self.recv_sock = make_socket(port_args.scheduler_ipc, zmq.PULL, bind=True)
+        self.to_detok = make_socket(port_args.detokenizer_ipc, zmq.PUSH, bind=False)
+
+        from sglang_tpu.tokenizer import get_tokenizer
+
+        tokenizer = (
+            None
+            if server_args.skip_tokenizer_init
+            else get_tokenizer(server_args.tokenizer_path,
+                               server_args.trust_remote_code)
+        )
+        self.runner = ModelRunner(server_args)
+        self.core = ScheduleCore(server_args, self.runner, tokenizer)
+        self._req_meta = {}  # rid -> (skip_special, spaces_between, stop, no_trim)
+
+    def handle_msg(self, msg) -> None:
+        if isinstance(msg, TokenizedGenerateReqInput):
+            sp = msg.sampling_params
+            req = Req(
+                msg.rid,
+                msg.input_ids,
+                sp,
+                return_logprob=msg.return_logprob,
+                top_logprobs_num=msg.top_logprobs_num,
+                lora_id=msg.lora_path,
+            )
+            self._req_meta[msg.rid] = (
+                sp.skip_special_tokens,
+                sp.spaces_between_special_tokens,
+                list(sp.stop or []),
+                sp.no_stop_trim,
+            )
+            self.core.add_request(req)
+        elif isinstance(msg, AbortReq):
+            self.core.abort_request(msg.rid)
+        elif isinstance(msg, FlushCacheReq):
+            ok = self.core.flush_cache()
+            send_pyobj(self.to_detok, FlushCacheResp(success=ok))
+        elif isinstance(msg, HealthCheckReq):
+            send_pyobj(self.to_detok, HealthCheckResp(ok=True))
+        elif isinstance(msg, GetServerInfoReq):
+            send_pyobj(
+                self.to_detok,
+                GetServerInfoResp(
+                    info=dict(
+                        running_requests=len(self.core.running),
+                        waiting_requests=len(self.core.waiting),
+                        max_total_tokens=self.runner.max_total_tokens,
+                        free_pages=self.core.allocator.available_pages(),
+                        radix_pages=self.core.radix.total_cached_pages(),
+                        generated_tokens=self.core.num_generated_tokens,
+                        cached_tokens=self.core.num_cached_tokens,
+                        model_path=self.server_args.model_path,
+                    )
+                ),
+            )
+        elif isinstance(msg, UpdateWeightsReq):
+            try:
+                from sglang_tpu.model_exec.weight_loader import load_model_weights
+
+                self.runner.params = load_model_weights(
+                    self.runner.model,
+                    self.runner.specs,
+                    self.runner.mesh_ctx,
+                    msg.model_path,
+                    load_format=msg.load_format,
+                    seed=self.server_args.random_seed,
+                )
+                send_pyobj(self.to_detok, UpdateWeightsResp(True, "ok"))
+            except Exception as e:  # noqa: BLE001
+                send_pyobj(self.to_detok, UpdateWeightsResp(False, str(e)))
+        else:
+            logger.warning("unknown message %r", type(msg))
+
+    def outputs_to_msg(self, outs: List[StepOutput]) -> BatchTokenOut:
+        msg = BatchTokenOut(
+            rids=[], tokens=[], finish_reasons=[], logprobs=[], top_logprobs=[],
+            completion_tokens=[], cached_tokens=[], prompt_tokens=[],
+            skip_special_tokens=[], spaces_between_special_tokens=[],
+            stop_strs=[], no_stop_trim=[],
+        )
+        for o in outs:
+            meta = self._req_meta.get(o.rid, (True, True, [], False))
+            msg.rids.append(o.rid)
+            msg.tokens.append(o.new_token)
+            msg.finish_reasons.append(o.finish_reason)
+            msg.logprobs.append(o.logprob)
+            msg.top_logprobs.append(o.top_logprobs)
+            msg.completion_tokens.append(o.completion_tokens)
+            msg.cached_tokens.append(o.cached_tokens)
+            msg.prompt_tokens.append(o.prompt_tokens)
+            msg.skip_special_tokens.append(meta[0])
+            msg.spaces_between_special_tokens.append(meta[1])
+            msg.stop_strs.append(meta[2])
+            msg.no_stop_trim.append(meta[3])
+            if o.finish_reason is not None:
+                self._req_meta.pop(o.rid, None)
+        return msg
+
+    def event_loop(self) -> None:
+        poller = zmq.Poller()
+        poller.register(self.recv_sock, zmq.POLLIN)
+        while True:
+            for msg in drain_pyobj(self.recv_sock):
+                if msg is None:
+                    return
+                self.handle_msg(msg)
+            if self.core.has_work():
+                outs = self.core.step()
+                if outs:
+                    send_pyobj(self.to_detok, self.outputs_to_msg(outs))
+            else:
+                poller.poll(timeout=2)
+
+
+def run_scheduler(server_args: ServerArgs, port_args, ready_event=None):
+    """Process/thread target."""
+    try:
+        sched = Scheduler(server_args, port_args)
+    except Exception:
+        logger.exception("scheduler init failed")
+        if ready_event is not None:
+            ready_event.set()  # unblock launcher; it will see failure on use
+        raise
+    send_pyobj(
+        sched.to_detok,
+        SchedulerReady(
+            ok=True, info=dict(max_total_tokens=sched.runner.max_total_tokens)
+        ),
+    )
+    if ready_event is not None:
+        ready_event.set()
+    sched.event_loop()

@@ -1,0 +1,262 @@
+"""TokenizerManager: async request hub in the API-server process.
+
+Ref: srt/managers/tokenizer_manager.py (generate_request:765,
+_tokenize_one_request:998, _send_one_request:1561, handle_loop:2215).
+Tokenizes, ships requests to the scheduler over ZMQ, and awaits
+detokenized outputs; also owns the control-plane RPCs (flush/health/
+server-info/weight-update).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import pickle
+import logging
+import time
+from collections import deque
+from typing import Any, AsyncGenerator, Dict, List, Optional
+
+import zmq
+import zmq.asyncio
+
+from sglang_tpu.managers import zmq_utils
+from sglang_tpu.managers.io_struct import (
+    AbortReq,
+    BatchStrOut,
+    FlushCacheReq,
+    FlushCacheResp,
+    GenerateReqInput,
+    GetServerInfoReq,
+    GetServerInfoResp,
+    HealthCheckReq,
+    HealthCheckResp,
+    SchedulerReady,
+    TokenizedGenerateReqInput,
+    UpdateWeightsReq,
+    UpdateWeightsResp,
+)
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from sglang_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ReqState:
+    rid: str
+    queue: asyncio.Queue
+    text: str = ""
+    output_ids: List[Any] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[Any] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    created: float = dataclasses.field(default_factory=time.time)
+
+
+class TokenizerManager:
+    def __init__(self, server_args: ServerArgs, port_args):
+        self.server_args = server_args
+        self.port_args = port_args
+        if server_args.skip_tokenizer_init:
+            self.tokenizer = None
+        else:
+            from sglang_tpu.tokenizer import get_tokenizer
+
+            self.tokenizer = get_tokenizer(
+                server_args.tokenizer_path, server_args.trust_remote_code
+            )
+        ctx = zmq_utils.get_ctx(port_args.tokenizer_ipc)
+        actx = zmq.asyncio.Context.shadow(ctx.underlying)
+        self.recv_sock = actx.socket(zmq.PULL)
+        self.recv_sock.set_hwm(0)
+        self.recv_sock.bind(port_args.tokenizer_ipc)
+        self.send_sock = actx.socket(zmq.PUSH)
+        self.send_sock.set_hwm(0)
+        self.send_sock.connect(port_args.scheduler_ipc)
+
+        self.rid_to_state: Dict[str, ReqState] = {}
+        self._control_waiters: Dict[type, deque] = {}
+        self.ready = asyncio.Event()
+        self.scheduler_info: Dict[str, Any] = {}
+        self._handle_task: Optional[asyncio.Task] = None
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> None:
+        if self._handle_task is None:
+            self._handle_task = asyncio.get_event_loop().create_task(
+                self.handle_loop()
+            )
+
+    async def wait_ready(self, timeout: float = 600) -> None:
+        self.start()
+        await asyncio.wait_for(self.ready.wait(), timeout)
+
+    async def handle_loop(self) -> None:
+        while True:
+            data = await self.recv_sock.recv()
+            msg = pickle.loads(data)
+            if isinstance(msg, BatchStrOut):
+                self._handle_batch_output(msg)
+            elif isinstance(msg, SchedulerReady):
+                self.scheduler_info = msg.info
+                self.ready.set()
+            else:
+                waiters = self._control_waiters.get(type(msg))
+                if waiters:
+                    fut = waiters.popleft()
+                    if not fut.done():
+                        fut.set_result(msg)
+                else:
+                    logger.warning("unexpected message %r", type(msg))
+
+    def _handle_batch_output(self, msg: BatchStrOut) -> None:
+        for i, rid in enumerate(msg.rids):
+            st = self.rid_to_state.get(rid)
+            if st is None:
+                continue
+            st.text += msg.delta_texts[i]
+            st.output_ids.extend(msg.output_ids[i])
+            if msg.logprobs[i] is not None:
+                st.logprobs.append(msg.logprobs[i])
+            if msg.top_logprobs[i] is not None:
+                st.top_logprobs.append(msg.top_logprobs[i])
+            fr = msg.finish_reasons[i]
+            if fr is not None:
+                st.finished = True
+            st.queue.put_nowait(
+                dict(
+                    delta=msg.delta_texts[i],
+                    finish_reason=fr,
+                    completion_tokens=msg.completion_tokens[i],
+                    cached_tokens=msg.cached_tokens[i],
+                    prompt_tokens=msg.prompt_tokens[i],
+                )
+            )
+
+    # ------------------------------------------------------------ generation
+    def _tokenize(self, gri: GenerateReqInput) -> List[int]:
+        if gri.input_ids is not None:
+            return list(gri.input_ids)
+        if self.tokenizer is None:
+            raise ValueError("tokenizer disabled; pass input_ids")
+        return self.tokenizer.encode(gri.text)
+
+    def _to_tokenized(self, gri: GenerateReqInput) -> TokenizedGenerateReqInput:
+        sp_dict = dict(gri.sampling_params or {})
+        sp = SamplingParams(**sp_dict)
+        sp.normalize()
+        input_ids = self._tokenize(gri)
+        ctx_limit = self.server_args.context_length
+        if ctx_limit and len(input_ids) >= ctx_limit:
+            raise ValueError(
+                f"prompt ({len(input_ids)} tokens) exceeds context length "
+                f"{ctx_limit}"
+            )
+        return TokenizedGenerateReqInput(
+            rid=gri.rid,
+            input_ids=input_ids,
+            sampling_params=sp,
+            return_logprob=bool(gri.return_logprob),
+            top_logprobs_num=int(gri.top_logprobs_num or 0),
+            stream=gri.stream,
+            lora_path=gri.lora_path,
+        )
+
+    async def generate_request(
+        self, gri: GenerateReqInput
+    ) -> AsyncGenerator[Dict[str, Any], None]:
+        """Yields cumulative output dicts; final one carries finish_reason."""
+        await self.wait_ready()
+        singles = gri.normalize()
+        if len(singles) == 1:
+            async for out in self._generate_one(singles[0]):
+                yield out
+            return
+        # Batch: run concurrently, yield per-item finals in order.
+        async def collect(g):
+            last = None
+            async for out in self._generate_one(g):
+                last = out
+            return last
+
+        results = await asyncio.gather(*(collect(g) for g in singles))
+        for r in results:
+            yield r
+
+    async def _generate_one(self, gri: GenerateReqInput):
+        treq = self._to_tokenized(gri)
+        state = ReqState(rid=treq.rid, queue=asyncio.Queue())
+        self.rid_to_state[treq.rid] = state
+        await self.send_sock.send(pickle.dumps(treq, protocol=5))
+        try:
+            while True:
+                try:
+                    item = await asyncio.wait_for(state.queue.get(), timeout=300)
+                except asyncio.TimeoutError:
+                    raise RuntimeError(f"request {treq.rid} timed out")
+                out = self._build_output(gri, treq, state, item)
+                if gri.stream or item["finish_reason"] is not None:
+                    yield out
+                if item["finish_reason"] is not None:
+                    return
+        finally:
+            self.rid_to_state.pop(treq.rid, None)
+
+    def _build_output(self, gri, treq, state: ReqState, item) -> Dict[str, Any]:
+        meta = {
+            "id": treq.rid,
+            "finish_reason": item["finish_reason"],
+            "prompt_tokens": item["prompt_tokens"] or len(treq.input_ids),
+            "completion_tokens": item["completion_tokens"],
+            "cached_tokens": item["cached_tokens"],
+            "e2e_latency": time.time() - state.created,
+        }
+        if treq.return_logprob:
+            meta["output_token_logprobs"] = [
+                (lp, tid, None)
+                for lp, tid in zip(state.logprobs, state.output_ids)
+            ]
+            if treq.top_logprobs_num:
+                meta["output_top_logprobs"] = list(state.top_logprobs)
+        return {
+            "text": state.text,
+            "output_ids": list(state.output_ids),
+            "meta_info": meta,
+        }
+
+    async def abort_request(self, rid: str) -> None:
+        await self.send_sock.send(
+            pickle.dumps(AbortReq(rid=rid), protocol=5)
+        )
+
+    # -------------------------------------------------------------- control
+    async def _control_rpc(self, req, resp_type, timeout: float = 120):
+        fut = asyncio.get_event_loop().create_future()
+        self._control_waiters.setdefault(resp_type, deque()).append(fut)
+        await self.send_sock.send(pickle.dumps(req, protocol=5))
+        return await asyncio.wait_for(fut, timeout)
+
+    async def flush_cache(self) -> bool:
+        resp = await self._control_rpc(FlushCacheReq(), FlushCacheResp)
+        return resp.success
+
+    async def health(self) -> bool:
+        try:
+            resp = await self._control_rpc(HealthCheckReq(), HealthCheckResp, 30)
+            return resp.ok
+        except asyncio.TimeoutError:
+            return False
+
+    async def get_server_info(self) -> Dict[str, Any]:
+        resp = await self._control_rpc(GetServerInfoReq(), GetServerInfoResp)
+        return resp.info
+
+    async def update_weights_from_disk(self, model_path: str,
+                                       load_format: str = "auto"):
+        resp = await self._control_rpc(
+            UpdateWeightsReq(model_path=model_path, load_format=load_format),
+            UpdateWeightsResp,
+            timeout=600,
+        )
+        return resp.success, resp.message

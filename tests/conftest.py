@@ -41,4 +41,24 @@ def tiny_llama_dir(tmp_path_factory):
     model.eval()
     path = tmp_path_factory.mktemp("tiny_llama")
     model.save_pretrained(path, safe_serialization=True)
+    _write_tiny_tokenizer(str(path), vocab_size=256)
     return str(path)
+
+
+def _write_tiny_tokenizer(path: str, vocab_size: int):
+    """Word-level tokenizer: '<unk> <s> </s> w3 w4 ... wN' (offline-safe)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for i in range(3, vocab_size):
+        vocab[f"w{i}"] = i
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        unk_token="<unk>",
+        bos_token="<s>",
+        eos_token="</s>",
+    )
+    fast.save_pretrained(path)

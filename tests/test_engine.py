@@ -1,0 +1,135 @@
+"""Engine e2e (single-process topology: threads + inproc ZMQ).
+
+Ref: srt/entrypoints/engine.py API surface (generate/async_generate/
+flush_cache/get_server_info/update_weights).
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_llama_dir):
+    from sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=4096,
+        max_running_requests=16,
+        enable_single_process=True,
+        log_level="warning",
+    )
+    yield eng
+    eng.shutdown()
+
+
+def test_generate_text(engine):
+    out = engine.generate(
+        prompt="w10 w11 w12 w13",
+        sampling_params={"temperature": 0, "max_new_tokens": 8, "ignore_eos": True},
+    )
+    assert isinstance(out["text"], str)
+    assert len(out["output_ids"]) == 8
+    assert out["meta_info"]["finish_reason"]["type"] == "length"
+    assert out["meta_info"]["prompt_tokens"] == 4
+    assert out["meta_info"]["completion_tokens"] == 8
+
+
+def test_generate_input_ids(engine):
+    out = engine.generate(
+        input_ids=[5, 6, 7, 8],
+        sampling_params={"temperature": 0, "max_new_tokens": 4, "ignore_eos": True},
+    )
+    assert len(out["output_ids"]) == 4
+
+
+def test_batch_generate(engine):
+    outs = engine.generate(
+        prompt=["w10 w11 w12", "w20 w21 w22 w23"],
+        sampling_params={"temperature": 0, "max_new_tokens": 5, "ignore_eos": True},
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o["output_ids"]) == 5
+
+
+def test_streaming(engine):
+    chunks = list(
+        engine.generate(
+            prompt="w30 w31 w32",
+            sampling_params={"temperature": 0, "max_new_tokens": 6,
+                             "ignore_eos": True},
+            stream=True,
+        )
+    )
+    assert len(chunks) >= 2
+    assert chunks[-1]["meta_info"]["finish_reason"] is not None
+    # cumulative text grows monotonically
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["text"].startswith(a["text"]) or a["text"] == ""
+
+
+def test_deterministic_same_prompt(engine):
+    sp = {"temperature": 0, "max_new_tokens": 6, "ignore_eos": True}
+    o1 = engine.generate(prompt="w40 w41 w42 w43 w44", sampling_params=sp)
+    o2 = engine.generate(prompt="w40 w41 w42 w43 w44", sampling_params=sp)
+    assert o1["output_ids"] == o2["output_ids"]
+    assert o2["meta_info"]["cached_tokens"] > 0  # radix hit on second run
+
+
+def test_logprobs(engine):
+    out = engine.generate(
+        prompt="w50 w51 w52",
+        sampling_params={"temperature": 0, "max_new_tokens": 4, "ignore_eos": True},
+        return_logprob=True,
+        top_logprobs_num=3,
+    )
+    lps = out["meta_info"]["output_token_logprobs"]
+    assert len(lps) == 4
+    for lp, tid, _ in lps:
+        assert lp <= 0.0
+    assert len(out["meta_info"]["output_top_logprobs"]) == 4
+
+
+def test_sampling_seed_reproducible(engine):
+    sp = {
+        "temperature": 0.9,
+        "top_p": 0.9,
+        "max_new_tokens": 8,
+        "sampling_seed": 1234,
+        "ignore_eos": True,
+    }
+    o1 = engine.generate(prompt="w60 w61", sampling_params=dict(sp))
+    o2 = engine.generate(prompt="w60 w61", sampling_params=dict(sp))
+    assert o1["output_ids"] == o2["output_ids"]
+
+
+def test_server_info_and_flush(engine):
+    info = engine.get_server_info()
+    assert info["max_total_tokens"] > 0
+    assert engine.health()
+    assert engine.flush_cache() in (True, False)
+
+
+def test_stop_string(engine, tiny_llama_dir):
+    # find what greedy generates, then stop on a substring of it
+    base = engine.generate(
+        prompt="w70 w71 w72",
+        sampling_params={"temperature": 0, "max_new_tokens": 6, "ignore_eos": True},
+    )
+    words = base["text"].split()
+    assert len(words) >= 3
+    stop_word = words[2]
+    out = engine.generate(
+        prompt="w70 w71 w72",
+        sampling_params={
+            "temperature": 0,
+            "max_new_tokens": 6,
+            "stop": [stop_word],
+            "ignore_eos": True,
+        },
+    )
+    assert stop_word not in out["text"]
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
