@@ -1,0 +1,306 @@
+"""HTTP server (aiohttp): native + OpenAI-compatible endpoints.
+
+Ref: srt/entrypoints/http_server.py — endpoint parity targets listed in
+SURVEY.md §2.1 (/generate:869, /health:646, /get_model_info:723,
+/get_server_info:771, /flush_cache:946, /update_weights_from_disk:1215,
+/abort_request:1587, /v1/completions:1694, /v1/chat/completions:1702,
+/v1/models:1823). FastAPI isn't in this image; aiohttp serves the same
+surface.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from sglang_tpu.entrypoints.openai_api import OpenAIServing, _finish_reason_str
+from sglang_tpu.managers.io_struct import GenerateReqInput
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import configure_logger
+
+logger = logging.getLogger(__name__)
+
+
+def _json_error(message: str, status: int = 400) -> web.Response:
+    return web.json_response(
+        {"error": {"message": message, "type": "invalid_request_error"}},
+        status=status,
+    )
+
+
+def _sse(data) -> bytes:
+    if isinstance(data, str):
+        return f"data: {data}\n\n".encode()
+    return f"data: {json.dumps(data, ensure_ascii=False)}\n\n".encode()
+
+
+class HttpServer:
+    def __init__(self, server_args: ServerArgs, tokenizer_manager):
+        self.args = server_args
+        self.tm = tokenizer_manager
+        self.openai = OpenAIServing(tokenizer_manager, server_args.served_model_name)
+        self.start_time = time.time()
+
+    # ------------------------------------------------------------ native API
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="ok")
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        gri = GenerateReqInput(
+            input_ids=[1], sampling_params={"max_new_tokens": 1, "temperature": 0}
+        )
+        try:
+            async for _ in self.tm.generate_request(gri):
+                pass
+            return web.Response(text="ok")
+        except Exception as e:  # noqa: BLE001
+            return web.Response(text=f"unhealthy: {e}", status=503)
+
+    async def get_model_info(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "model_path": self.args.model_path,
+                "tokenizer_path": self.args.tokenizer_path,
+                "served_model_name": self.args.served_model_name,
+                "is_generation": True,
+            }
+        )
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        info = await self.tm.get_server_info()
+        info.update(
+            {
+                "version": "0.1.0",
+                "uptime": time.time() - self.start_time,
+                "tp_size": self.args.tp_size,
+                "dp_size": self.args.dp_size,
+                "page_size": self.args.page_size,
+                "schedule_policy": self.args.schedule_policy,
+            }
+        )
+        return web.json_response(info)
+
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+        except Exception:
+            return _json_error("invalid JSON body")
+        try:
+            gri = GenerateReqInput(
+                text=body.get("text"),
+                input_ids=body.get("input_ids"),
+                sampling_params=body.get("sampling_params"),
+                rid=body.get("rid"),
+                return_logprob=body.get("return_logprob", False),
+                top_logprobs_num=body.get("top_logprobs_num", 0),
+                stream=body.get("stream", False),
+                lora_path=body.get("lora_path"),
+            )
+        except Exception as e:  # noqa: BLE001
+            return _json_error(str(e))
+
+        if gri.stream:
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            try:
+                async for out in self.tm.generate_request(gri):
+                    await resp.write(_sse(out))
+                await resp.write(_sse("[DONE]"))
+            except Exception as e:  # noqa: BLE001
+                await resp.write(_sse({"error": str(e)}))
+            return resp
+        try:
+            outs = []
+            async for out in self.tm.generate_request(gri):
+                outs.append(out)
+            result = outs if gri.is_batch() else outs[-1]
+            return web.json_response(result)
+        except ValueError as e:
+            return _json_error(str(e))
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        ok = await self.tm.flush_cache()
+        return web.json_response({"success": ok}, status=200 if ok else 400)
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        await self.tm.abort_request(body.get("rid", ""))
+        return web.json_response({"success": True})
+
+    async def update_weights_from_disk(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok, msg = await self.tm.update_weights_from_disk(
+            body["model_path"], body.get("load_format", "auto")
+        )
+        return web.json_response({"success": ok, "message": msg})
+
+    # ------------------------------------------------------------ OpenAI API
+    async def v1_models(self, request: web.Request) -> web.Response:
+        return web.json_response(self.openai.models_response())
+
+    async def v1_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            gri = self.openai.completions_to_gri(body)
+        except ValueError as e:
+            return _json_error(str(e))
+        created = int(time.time())
+        if gri.stream:
+            cid = f"cmpl-{uuid.uuid4().hex}"
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            sent_len = 0
+            try:
+                async for out in self.tm.generate_request(gri):
+                    delta = out["text"][sent_len:]
+                    sent_len = len(out["text"])
+                    fr = out["meta_info"]["finish_reason"]
+                    if delta or fr:
+                        await resp.write(
+                            _sse(
+                                self.openai.completion_stream_chunk(
+                                    body, delta, 0, fr, created, cid
+                                )
+                            )
+                        )
+                await resp.write(_sse("[DONE]"))
+            except Exception as e:  # noqa: BLE001
+                await resp.write(_sse({"error": str(e)}))
+            return resp
+        try:
+            outs = []
+            async for out in self.tm.generate_request(gri):
+                outs.append(out)
+            if not gri.is_batch():
+                outs = outs[-1:]
+            return web.json_response(
+                self.openai.completion_response(body, outs, created)
+            )
+        except ValueError as e:
+            return _json_error(str(e))
+
+    async def v1_chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            gri = self.openai.chat_to_gri(body)
+        except ValueError as e:
+            return _json_error(str(e))
+        created = int(time.time())
+        if gri.stream:
+            cid = f"chatcmpl-{uuid.uuid4().hex}"
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            sent_len = 0
+            first = True
+            try:
+                async for out in self.tm.generate_request(gri):
+                    delta = out["text"][sent_len:]
+                    sent_len = len(out["text"])
+                    fr = out["meta_info"]["finish_reason"]
+                    if delta or fr or first:
+                        await resp.write(
+                            _sse(
+                                self.openai.chat_stream_chunk(
+                                    body, delta, fr, created, cid, first
+                                )
+                            )
+                        )
+                        first = False
+                await resp.write(_sse("[DONE]"))
+            except Exception as e:  # noqa: BLE001
+                await resp.write(_sse({"error": str(e)}))
+            return resp
+        try:
+            out = None
+            async for o in self.tm.generate_request(gri):
+                out = o
+            return web.json_response(self.openai.chat_response(body, out, created))
+        except ValueError as e:
+            return _json_error(str(e))
+
+    # --------------------------------------------------------------- wiring
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+        r = app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_post("/generate", self.generate)
+        r.add_get("/flush_cache", self.flush_cache)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_get("/v1/models", self.v1_models)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        return app
+
+
+async def _serve(server_args: ServerArgs) -> None:
+    from sglang_tpu.entrypoints.engine import launch_managers
+    from sglang_tpu.managers.tokenizer_manager import TokenizerManager
+
+    if server_args.enable_single_process:
+        import threading
+        import time as _time
+
+        port_args, workers, extra = launch_managers(server_args)
+        tm = TokenizerManager(server_args, port_args)
+        tm.start()
+        t_detok, t_sched, ready = extra
+        t_detok.start()
+        _time.sleep(0.05)
+        t_sched.start()
+    else:
+        from sglang_tpu.server_args import PortArgs
+        import multiprocessing as mp
+
+        from sglang_tpu.managers.detokenizer_manager import run_detokenizer
+        from sglang_tpu.managers.scheduler import run_scheduler
+
+        port_args = PortArgs.init_new(server_args)
+        tm = TokenizerManager(server_args, port_args)
+        tm.start()
+        ctx = mp.get_context("spawn")
+        p_detok = ctx.Process(
+            target=run_detokenizer, args=(server_args, port_args), daemon=True
+        )
+        p_detok.start()
+        p_sched = ctx.Process(
+            target=run_scheduler, args=(server_args, port_args), daemon=True
+        )
+        p_sched.start()
+
+    await tm.wait_ready()
+    server = HttpServer(server_args, tm)
+    app = server.build_app()
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, server_args.host, server_args.port)
+    await site.start()
+    logger.info(
+        "server listening on http://%s:%d", server_args.host, server_args.port
+    )
+    while True:
+        await asyncio.sleep(3600)
+
+
+def launch_server(server_args: ServerArgs) -> None:
+    configure_logger(server_args.log_level)
+    asyncio.run(_serve(server_args))

@@ -1,0 +1,243 @@
+"""OpenAI-compatible API adapters (/v1/completions, /v1/chat/completions,
+/v1/models).
+
+Ref: srt/entrypoints/openai/{serving_base.py:73,serving_chat.py:193,903,
+1443,1710, protocol.py}. Request parsing is plain-dict (schema mirrors
+OpenAI); adaptation target is GenerateReqInput, same as the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any, AsyncGenerator, Dict, List, Optional
+
+from sglang_tpu.managers.io_struct import GenerateReqInput
+
+OPENAI_SAMPLING_FIELDS = (
+    ("temperature", "temperature"),
+    ("top_p", "top_p"),
+    ("top_k", "top_k"),
+    ("min_p", "min_p"),
+    ("frequency_penalty", "frequency_penalty"),
+    ("presence_penalty", "presence_penalty"),
+    ("repetition_penalty", "repetition_penalty"),
+    ("stop", "stop"),
+    ("stop_token_ids", "stop_token_ids"),
+    ("seed", "sampling_seed"),
+    ("min_tokens", "min_new_tokens"),
+    ("ignore_eos", "ignore_eos"),
+    ("skip_special_tokens", "skip_special_tokens"),
+)
+
+
+def _sampling_from_request(body: Dict[str, Any]) -> Dict[str, Any]:
+    sp: Dict[str, Any] = {}
+    for src, dst in OPENAI_SAMPLING_FIELDS:
+        if body.get(src) is not None:
+            sp[dst] = body[src]
+    max_tokens = body.get("max_completion_tokens") or body.get("max_tokens")
+    sp["max_new_tokens"] = int(max_tokens) if max_tokens is not None else 128
+    rf = body.get("response_format")
+    if isinstance(rf, dict):
+        if rf.get("type") == "json_schema":
+            schema = rf.get("json_schema", {}).get("schema")
+            if schema is not None:
+                sp["json_schema"] = json.dumps(schema)
+        elif rf.get("type") == "json_object":
+            sp["json_schema"] = json.dumps({"type": "object"})
+    if body.get("regex") is not None:
+        sp["regex"] = body["regex"]
+    if body.get("ebnf") is not None:
+        sp["ebnf"] = body["ebnf"]
+    return sp
+
+
+def _usage(meta: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "prompt_tokens": meta.get("prompt_tokens", 0),
+        "completion_tokens": meta.get("completion_tokens", 0),
+        "total_tokens": meta.get("prompt_tokens", 0)
+        + meta.get("completion_tokens", 0),
+        "prompt_tokens_details": {"cached_tokens": meta.get("cached_tokens", 0)},
+    }
+
+
+def _finish_reason_str(fr: Optional[dict]) -> Optional[str]:
+    if fr is None:
+        return None
+    return {"stop": "stop", "length": "length", "abort": "abort"}.get(
+        fr.get("type"), "stop"
+    )
+
+
+class OpenAIServing:
+    def __init__(self, tokenizer_manager, served_model: str):
+        self.tm = tokenizer_manager
+        self.served_model = served_model
+
+    # ------------------------------------------------------------ completions
+    def completions_to_gri(self, body: Dict[str, Any]) -> GenerateReqInput:
+        prompt = body.get("prompt")
+        if prompt is None:
+            raise ValueError("prompt is required")
+        sp = _sampling_from_request(body)
+        kwargs: Dict[str, Any] = dict(
+            sampling_params=sp,
+            stream=bool(body.get("stream", False)),
+            return_logprob=body.get("logprobs") is not None,
+            top_logprobs_num=int(body.get("logprobs") or 0),
+        )
+        # prompt may be str | [str] | [int] | [[int]]
+        if isinstance(prompt, str):
+            kwargs["text"] = prompt
+        elif prompt and isinstance(prompt[0], int):
+            kwargs["input_ids"] = prompt
+        elif prompt and isinstance(prompt[0], str):
+            kwargs["text"] = prompt
+        else:
+            kwargs["input_ids"] = prompt
+        return GenerateReqInput(**kwargs)
+
+    def completion_response(
+        self, body: Dict, outs: List[Dict], created: int
+    ) -> Dict:
+        choices = []
+        for i, out in enumerate(outs):
+            meta = out["meta_info"]
+            ch = {
+                "index": i,
+                "text": out["text"],
+                "finish_reason": _finish_reason_str(meta["finish_reason"]),
+                "logprobs": None,
+            }
+            if meta.get("output_token_logprobs") is not None:
+                ch["logprobs"] = {
+                    "token_logprobs": [
+                        x[0] for x in meta["output_token_logprobs"]
+                    ],
+                    "tokens": [str(x[1]) for x in meta["output_token_logprobs"]],
+                    "top_logprobs": None,
+                }
+            choices.append(ch)
+        total = {
+            "prompt_tokens": sum(o["meta_info"].get("prompt_tokens", 0) for o in outs),
+            "completion_tokens": sum(
+                o["meta_info"].get("completion_tokens", 0) for o in outs
+            ),
+        }
+        total["total_tokens"] = total["prompt_tokens"] + total["completion_tokens"]
+        return {
+            "id": f"cmpl-{uuid.uuid4().hex}",
+            "object": "text_completion",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": choices,
+            "usage": total,
+        }
+
+    def completion_stream_chunk(
+        self, body: Dict, delta_text: str, index: int, fr: Optional[dict],
+        created: int, cid: str,
+    ) -> Dict:
+        return {
+            "id": cid,
+            "object": "text_completion",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": [
+                {
+                    "index": index,
+                    "text": delta_text,
+                    "finish_reason": _finish_reason_str(fr),
+                    "logprobs": None,
+                }
+            ],
+        }
+
+    # ------------------------------------------------------------------ chat
+    def chat_to_gri(self, body: Dict[str, Any]) -> GenerateReqInput:
+        messages = body.get("messages")
+        if not messages:
+            raise ValueError("messages is required")
+        tokenizer = self.tm.tokenizer
+        if tokenizer is None:
+            raise ValueError("chat API requires a tokenizer")
+        try:
+            prompt_ids = tokenizer.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True
+            )
+        except Exception:
+            # Fallback template (no chat_template in tokenizer config)
+            text = ""
+            for m in messages:
+                text += f"<|{m['role']}|>\n{m['content']}\n"
+            text += "<|assistant|>\n"
+            prompt_ids = tokenizer.encode(text)
+        sp = _sampling_from_request(body)
+        top_lp = 0
+        if body.get("logprobs"):
+            top_lp = int(body.get("top_logprobs") or 0)
+        return GenerateReqInput(
+            input_ids=list(prompt_ids),
+            sampling_params=sp,
+            stream=bool(body.get("stream", False)),
+            return_logprob=bool(body.get("logprobs")),
+            top_logprobs_num=top_lp,
+        )
+
+    def chat_response(self, body: Dict, out: Dict, created: int) -> Dict:
+        meta = out["meta_info"]
+        return {
+            "id": f"chatcmpl-{uuid.uuid4().hex}",
+            "object": "chat.completion",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": [
+                {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": out["text"]},
+                    "finish_reason": _finish_reason_str(meta["finish_reason"]),
+                    "logprobs": None,
+                }
+            ],
+            "usage": _usage(meta),
+        }
+
+    def chat_stream_chunk(
+        self, body: Dict, delta: Optional[str], fr: Optional[dict],
+        created: int, cid: str, first: bool = False,
+    ) -> Dict:
+        d: Dict[str, Any] = {}
+        if first:
+            d["role"] = "assistant"
+            d["content"] = delta or ""
+        elif delta is not None:
+            d["content"] = delta
+        return {
+            "id": cid,
+            "object": "chat.completion.chunk",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": [
+                {
+                    "index": 0,
+                    "delta": d,
+                    "finish_reason": _finish_reason_str(fr),
+                }
+            ],
+        }
+
+    def models_response(self) -> Dict:
+        return {
+            "object": "list",
+            "data": [
+                {
+                    "id": self.served_model,
+                    "object": "model",
+                    "created": int(time.time()),
+                    "owned_by": "sglang-tpu",
+                }
+            ],
+        }

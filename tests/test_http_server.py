@@ -1,0 +1,179 @@
+"""HTTP server e2e: launch a real server subprocess, hit the API.
+
+Ref test strategy: popen_launch_server (python/sglang/test/test_utils.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+import requests
+
+from sglang_tpu.utils import find_free_port
+
+
+@pytest.fixture(scope="module")
+def server(tiny_llama_dir):
+    port = find_free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        TOKENIZERS_PARALLELISM="false",
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "sglang_tpu.launch_server",
+            "--model-path", tiny_llama_dir,
+            "--dtype", "float32",
+            "--attention-backend", "xla_native",
+            "--page-size", "4",
+            "--max-total-tokens", "4096",
+            "--port", str(port),
+            "--enable-single-process",
+            "--log-level", "warning",
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            if requests.get(base + "/health", timeout=2).status_code == 200:
+                break
+        except Exception:
+            pass
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise RuntimeError(f"server died:\n{out[-4000:]}")
+        time.sleep(1)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not become healthy")
+    yield base
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_health_and_info(server):
+    assert requests.get(server + "/health").status_code == 200
+    info = requests.get(server + "/get_model_info").json()
+    assert info["is_generation"]
+    sinfo = requests.get(server + "/get_server_info").json()
+    assert sinfo["max_total_tokens"] > 0
+
+
+def test_generate(server):
+    r = requests.post(
+        server + "/generate",
+        json={
+            "text": "w10 w11 w12",
+            "sampling_params": {"temperature": 0, "max_new_tokens": 6,
+                               "ignore_eos": True},
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert len(out["output_ids"]) == 6
+    assert out["meta_info"]["finish_reason"]["type"] == "length"
+
+
+def test_generate_stream(server):
+    r = requests.post(
+        server + "/generate",
+        json={
+            "text": "w20 w21",
+            "sampling_params": {"temperature": 0, "max_new_tokens": 5,
+                               "ignore_eos": True},
+            "stream": True,
+        },
+        stream=True,
+    )
+    events = []
+    for line in r.iter_lines():
+        if line.startswith(b"data: "):
+            payload = line[6:]
+            if payload == b"[DONE]":
+                break
+            events.append(json.loads(payload))
+    assert events
+    assert events[-1]["meta_info"]["finish_reason"] is not None
+
+
+def test_v1_completions(server):
+    r = requests.post(
+        server + "/v1/completions",
+        json={
+            "model": "test",
+            "prompt": "w30 w31 w32",
+            "max_tokens": 5,
+            "temperature": 0,
+            "ignore_eos": True,
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 5
+    assert isinstance(out["choices"][0]["text"], str)
+
+
+def test_v1_chat_completions(server):
+    r = requests.post(
+        server + "/v1/chat/completions",
+        json={
+            "model": "test",
+            "messages": [{"role": "user", "content": "w40 w41"}],
+            "max_tokens": 5,
+            "temperature": 0,
+            "ignore_eos": True,
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_v1_chat_stream(server):
+    r = requests.post(
+        server + "/v1/chat/completions",
+        json={
+            "model": "test",
+            "messages": [{"role": "user", "content": "w50"}],
+            "max_tokens": 5,
+            "temperature": 0,
+            "stream": True,
+            "ignore_eos": True,
+        },
+        stream=True,
+    )
+    chunks = []
+    for line in r.iter_lines():
+        if line.startswith(b"data: "):
+            payload = line[6:]
+            if payload == b"[DONE]":
+                break
+            chunks.append(json.loads(payload))
+    assert chunks
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] is not None
+
+
+def test_v1_models(server):
+    out = requests.get(server + "/v1/models").json()
+    assert out["data"][0]["id"]
+
+
+def test_flush_cache(server):
+    # wait for in-flight work to settle, then flush
+    time.sleep(1)
+    r = requests.post(server + "/flush_cache")
+    assert r.status_code in (200, 400)
