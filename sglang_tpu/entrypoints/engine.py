@@ -85,6 +85,9 @@ class Engine:
     def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
         if server_args is None:
             server_args = ServerArgs(**kwargs)
+        from sglang_tpu.utils import assert_jax_platform
+
+        assert_jax_platform()
         configure_logger(server_args.log_level)
         self.server_args = server_args
 

@@ -302,5 +302,8 @@ async def _serve(server_args: ServerArgs) -> None:
 
 
 def launch_server(server_args: ServerArgs) -> None:
+    from sglang_tpu.utils import assert_jax_platform
+
+    assert_jax_platform()
     configure_logger(server_args.log_level)
     asyncio.run(_serve(server_args))

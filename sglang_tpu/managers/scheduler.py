@@ -157,6 +157,9 @@ class Scheduler:
 
 def run_scheduler(server_args: ServerArgs, port_args, ready_event=None):
     """Process/thread target."""
+    from sglang_tpu.utils import assert_jax_platform
+
+    assert_jax_platform()
     try:
         sched = Scheduler(server_args, port_args)
     except Exception:

@@ -17,6 +17,20 @@ from typing import Any, Iterable, Sequence
 logger = logging.getLogger("sglang_tpu")
 
 
+def assert_jax_platform() -> None:
+    """Re-assert the JAX_PLATFORMS env var over plugin sitecustomize hooks.
+
+    Some TPU plugin bootstraps call jax.config.update("jax_platforms", ...)
+    at interpreter start, clobbering the user's env selection (e.g. CPU test
+    meshes). Call this before first jax use in every process entrypoint.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "," not in want and want != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def get_bool_env_var(name: str, default: str = "false") -> bool:
     return os.getenv(name, default).lower() in ("1", "true", "yes", "on")
 

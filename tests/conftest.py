@@ -7,13 +7,19 @@ Must set env before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     )
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+# The axon TPU plugin (sitecustomize) force-updates jax_platforms to
+# "axon,cpu" at interpreter start; pin it back to CPU for tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
