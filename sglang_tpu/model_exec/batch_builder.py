@@ -4,6 +4,12 @@ Bridges the scheduler's per-request Python state to the static-bucketed
 device arrays (the TPU analog of ScheduleBatch.prepare_for_extend /
 prepare_for_decode, ref srt/managers/schedule_batch.py:2340,3001).
 Everything here is numpy; transfer happens when the jitted step consumes it.
+
+EXTEND layout: each sequence's new-token segment is aligned to
+EXTEND_ALIGN so every EXTEND_ALIGN-sized q block belongs to exactly one
+sequence — this is what lets the Pallas ragged prefill kernel map grid
+blocks to (seq, offset) via scalar prefetch with zero gather/scatter.
+Pad tokens write their KV to the trash page and are masked in attention.
 """
 
 from __future__ import annotations
@@ -15,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_tpu.model_exec.forward_batch import ForwardBatch, ForwardMode
-from sglang_tpu.utils import bucketize, cdiv
+from sglang_tpu.utils import bucketize, cdiv, round_up
+
+EXTEND_ALIGN = 64
 
 
 @dataclasses.dataclass
@@ -45,17 +53,23 @@ def build_forward_batch(
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
-    total_new = sum(len(s.new_token_ids) for s in seqs)
     if mode.is_decode():
         assert all(len(s.new_token_ids) == 1 for s in seqs)
         B = bucketize(n, bs_buckets or DEFAULT_DECODE_BS_BUCKETS)
         T = B
+        seg_offsets = list(range(n))
     else:
         B = bucketize(n, bs_buckets or DEFAULT_BS_BUCKETS)
-        T = bucketize(total_new, token_buckets or DEFAULT_TOKEN_BUCKETS)
+        seg_offsets = []
+        off = 0
+        for s in seqs:
+            seg_offsets.append(off)
+            off += round_up(len(s.new_token_ids), EXTEND_ALIGN)
+        T = bucketize(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
 
     max_pages_needed = max(len(s.page_ids) for s in seqs)
     P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)
+    NB = max(T // EXTEND_ALIGN, 1)
 
     input_ids = np.zeros(T, np.int32)
     positions = np.zeros(T, np.int32)
@@ -67,28 +81,43 @@ def build_forward_batch(
     out_cache_loc = np.zeros(T, np.int32)  # slot 0..page_size-1 = trash page
     logits_indices = np.zeros(B, np.int32)
     req_slots = np.full(B, trash_slot, np.int32)
+    prefix_lens = np.zeros(B, np.int32)
+    block_seq = np.full(NB, max(n - 1, 0), np.int32)
+    block_q_off = np.zeros(NB, np.int32)
 
-    off = 0
     for i, s in enumerate(seqs):
+        off = seg_offsets[i]
         q = len(s.new_token_ids)
         input_ids[off : off + q] = s.new_token_ids
         positions[off : off + q] = np.arange(s.prefix_len, s.prefix_len + q)
         seq_lens[i] = s.prefix_len + q
         q_lens[i] = q
-        cu_q_lens[i + 1] = cu_q_lens[i] + q
+        cu_q_lens[i] = off
         seq_ids[off : off + q] = i
         page_table[i, : len(s.page_ids)] = s.page_ids
-        # token slot for each new token
+        prefix_lens[i] = s.prefix_len
         for j in range(q):
             pos = s.prefix_len + j
             page = s.page_ids[pos // page_size]
             out_cache_loc[off + j] = page * page_size + pos % page_size
         logits_indices[i] = off + q - 1
         req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
-        off += q
-    cu_q_lens[n + 1 :] = cu_q_lens[n]
-    # Padded rows: make logits_indices point at a real token (0) — they are
-    # filtered host-side by num_seqs.
+        if not mode.is_decode():
+            nb = round_up(q, EXTEND_ALIGN) // EXTEND_ALIGN
+            b0 = off // EXTEND_ALIGN
+            block_seq[b0 : b0 + nb] = i
+            block_q_off[b0 : b0 + nb] = np.arange(nb) * EXTEND_ALIGN
+    end = seg_offsets[-1] + (
+        1 if mode.is_decode() else round_up(len(seqs[-1].new_token_ids),
+                                            EXTEND_ALIGN)
+    )
+    cu_q_lens[n:] = end
+    # Inactive trailing blocks: point past q_len so the kernel skips them.
+    if not mode.is_decode():
+        used_blocks = end // EXTEND_ALIGN
+        block_seq[used_blocks:] = max(n - 1, 0)
+        block_q_off[used_blocks:] = 1 << 28  # >> any q_len -> inactive
+
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids),
         positions=jnp.asarray(positions),
@@ -101,5 +130,8 @@ def build_forward_batch(
         logits_indices=jnp.asarray(logits_indices),
         num_seqs=jnp.asarray(n, jnp.int32),
         req_slots=jnp.asarray(req_slots),
+        block_seq=jnp.asarray(block_seq),
+        block_q_off=jnp.asarray(block_q_off),
+        prefix_lens=jnp.asarray(prefix_lens),
         mode=mode,
     )

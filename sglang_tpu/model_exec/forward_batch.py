@@ -61,6 +61,12 @@ class ForwardBatch:
     # publish state (padding, non-final prefill chunks) point at the trash
     # slot (= buffer's last index).
     req_slots: jax.Array  # [B] int32
+    # Ragged-attention block maps (EXTEND only): the token stream is laid
+    # out with each sequence's segment aligned to EXTEND_ALIGN, so every
+    # q block of that size belongs to exactly one sequence. [T/EXTEND_ALIGN].
+    block_seq: jax.Array  # int32: owning seq per q block
+    block_q_off: jax.Array  # int32: block's first-token offset within the seq
+    prefix_lens: jax.Array  # [B] int32: tokens already in KV before this step
 
     # --- static fields ---
     mode: ForwardMode = dataclasses.field(

@@ -1,17 +1,103 @@
 """Pallas ragged paged attention backend (TPU production path).
 
-Kernels live in sglang_tpu/ops/attention/pallas_kernels.py; this module
-wires them behind the backend registry. Until the kernels land this
-delegates to the XLA-native math (still jit-compiled; XLA fuses reasonably)
-so the rest of the stack is independent of kernel bring-up.
+Wires sglang_tpu/ops/attention/pallas_kernels.py behind the backend
+registry. Under tensor parallelism the kernel runs inside jax.shard_map
+over the "tp" mesh axis — each chip computes its local q/kv heads against
+its local KV shard; no collectives are needed inside attention (heads are
+fully parallel), matching the reference's per-rank attention execution
+(srt/layers/attention/flashinfer_backend.py) the TPU-native way.
 """
 
 from __future__ import annotations
 
-from sglang_tpu.ops.attention.base import register_attention_backend
-from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.model_exec.forward_batch import ForwardBatch
+from sglang_tpu.ops.attention.base import AttentionBackend, register_attention_backend
+from sglang_tpu.ops.attention.pallas_kernels import (
+    paged_decode_attention,
+    paged_extend_attention,
+)
+from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 
 
 @register_attention_backend("pallas")
-class PallasBackend(XlaNativeBackend):
-    pass
+class PallasBackend(AttentionBackend):
+    def _folded_pages(self, kv, layer_id):
+        """kv[layer] -> folded page views [NP, ps, nk*hd] (layout-free)."""
+        S, nk, hd = kv.shape[2], kv.shape[3], kv.shape[4]
+        np_ = S // self.page_size
+        k = kv[layer_id, 0].reshape(np_, self.page_size, nk * hd)
+        v = kv[layer_id, 1].reshape(np_, self.page_size, nk * hd)
+        return k, v
+
+    def _tp_size(self) -> int:
+        try:
+            return get_mesh_context().tp_size
+        except Exception:
+            return 1
+
+    def _kv_spec(self, tp: int):
+        return (
+            P(None, None, AXIS_TP)
+            if self.num_kv_heads % tp == 0
+            else P(None, None, None)
+        )
+
+    def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
+        k_pages, v_pages = self._folded_pages(kv, layer_id)
+        scale, ps, hd = self.scale, self.page_size, self.head_dim
+
+        def local(qs, ks, vs, pt, sl):
+            nk_local = ks.shape[-1] // hd
+            return paged_decode_attention(
+                qs, ks, vs, pt, sl,
+                scale=scale, page_size=ps, num_kv_heads=nk_local,
+            )
+
+        tp = self._tp_size()
+        if tp > 1:
+            local = jax.shard_map(
+                local,
+                mesh=get_mesh_context().mesh,
+                in_specs=(
+                    P(None, AXIS_TP, None), self._kv_spec(tp),
+                    self._kv_spec(tp), P(), P(),
+                ),
+                out_specs=P(None, AXIS_TP, None),
+                check_vma=False,
+            )
+        return local(q, k_pages, v_pages, fb.page_table, fb.seq_lens)
+
+    def forward_extend(self, q, layer_id, kv, fb: ForwardBatch):
+        k_pages, v_pages = self._folded_pages(kv, layer_id)
+        scale, ps, hd = self.scale, self.page_size, self.head_dim
+        T, nq, _ = q.shape
+        q_folded = q.reshape(T, nq * hd)
+
+        def local(qs, ks, vs, pt, sl, pfl, qls, bseq, bqoff):
+            nk_local = ks.shape[-1] // hd
+            return paged_extend_attention(
+                qs, ks, vs, pt, sl, pfl, qls, bseq, bqoff,
+                scale=scale, page_size=ps, num_kv_heads=nk_local,
+            )
+
+        tp = self._tp_size()
+        if tp > 1:
+            local = jax.shard_map(
+                local,
+                mesh=get_mesh_context().mesh,
+                in_specs=(
+                    P(None, AXIS_TP), self._kv_spec(tp),
+                    self._kv_spec(tp), P(), P(), P(), P(), P(), P(),
+                ),
+                out_specs=P(None, AXIS_TP),
+                check_vma=False,
+            )
+        out = local(
+            q_folded, k_pages, v_pages, fb.page_table, fb.seq_lens,
+            fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
+        )
+        return out.reshape(T, nq, hd)
