@@ -1,0 +1,149 @@
+"""Grammar backend: compiled-grammar cache + per-request matcher state.
+
+Ref interface: srt/constrained/xgrammar_backend.py (XGrammarGrammar:72 —
+accept_token:92, fill_vocab_mask:118; BaseGrammarBackend:201 with compile
+cache). Ours compiles regex/JSON-schema to a byte DFA (regex_fsm) and
+computes allowed-token bitmasks with the vectorized trie walk (token_mask).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sglang_tpu.constrained.json_schema import json_schema_to_regex
+from sglang_tpu.constrained.regex_fsm import DFA, compile_regex
+from sglang_tpu.constrained.token_mask import MaskCache, TokenTrie
+
+logger = logging.getLogger(__name__)
+
+
+def extract_token_bytes(tokenizer) -> List[Optional[bytes]]:
+    """Per-token byte sequence, via single-token decode.
+
+    Exact for byte-level BPE (Llama/Qwen/GPT-style); word-level tokenizers
+    (tests) get their separator handled by the caller's text space.
+    """
+    vocab_size = tokenizer.vocab_size if hasattr(tokenizer, "vocab_size") else len(
+        tokenizer
+    )
+    n = max(vocab_size, len(tokenizer))
+    out: List[Optional[bytes]] = [None] * n
+    special = set(getattr(tokenizer, "all_special_ids", []) or [])
+    for tid in range(n):
+        if tid in special:
+            continue
+        try:
+            s = tokenizer.decode([tid], skip_special_tokens=False)
+        except Exception:
+            continue
+        if s:
+            out[tid] = s.encode("utf-8")
+    return out
+
+
+class CompiledGrammar:
+    def __init__(self, dfa: DFA, mask_cache: MaskCache):
+        self.dfa = dfa
+        self.mask_cache = mask_cache
+
+
+class GrammarMatcher:
+    """Per-request matcher (mutable DFA state). Ref: XGrammarGrammar."""
+
+    def __init__(self, compiled: CompiledGrammar, token_bytes, eos_ids):
+        self.compiled = compiled
+        self.token_bytes = token_bytes
+        self.eos_ids = set(eos_ids)
+        self.state = 0
+        self.finished = False
+
+    def accept_token(self, token_id: int) -> bool:
+        if self.finished:
+            return True
+        if token_id in self.eos_ids:
+            self.finished = True
+            return self.compiled.dfa.is_accepting(self.state)
+        bs = (
+            self.token_bytes[token_id]
+            if token_id < len(self.token_bytes)
+            else None
+        )
+        if bs is None:
+            return False
+        nxt = self.compiled.dfa.walk(self.state, bs)
+        if nxt < 0:
+            return False
+        self.state = nxt
+        return True
+
+    def fill_vocab_mask(self) -> np.ndarray:
+        """Packed uint32 allowed-bitmask for the current state."""
+        return self.compiled.mask_cache.get_mask(self.state)
+
+    def is_terminated(self) -> bool:
+        return self.finished
+
+    def jump_forward(self) -> bytes:
+        """Forced bytes: follow states with exactly one outgoing byte.
+
+        Ref: jump-forward decoding (srt/constrained/outlines_jump_forward.py)
+        — deterministic grammar segments can be emitted without model calls.
+        """
+        out = bytearray()
+        state = self.state
+        dfa = self.compiled.dfa
+        for _ in range(4096):
+            trans = dfa.transitions[state]
+            if len(trans) != 1 or dfa.is_accepting(state):
+                break
+            byte, nxt = next(iter(trans.items()))
+            out.append(byte)
+            state = nxt
+        return bytes(out)
+
+
+class GrammarBackend:
+    """Compile cache over (kind, spec) -> CompiledGrammar."""
+
+    def __init__(self, tokenizer, eos_token_ids: Sequence[int],
+                 vocab_size: Optional[int] = None):
+        self.tokenizer = tokenizer
+        self.eos_token_ids = list(eos_token_ids)
+        self.token_bytes = extract_token_bytes(tokenizer)
+        vs = vocab_size or len(self.token_bytes)
+        self.trie = TokenTrie(self.token_bytes, vs)
+        self._cache: Dict[Tuple[str, str], CompiledGrammar] = {}
+        self._lock = threading.Lock()
+
+    def _compile(self, kind: str, spec: str) -> CompiledGrammar:
+        if kind == "regex":
+            pattern = spec
+        elif kind == "json_schema":
+            pattern = json_schema_to_regex(spec)
+        elif kind == "ebnf":
+            raise NotImplementedError(
+                "EBNF grammars not yet supported by the native backend"
+            )
+        else:
+            raise ValueError(f"unknown grammar kind {kind}")
+        dfa = compile_regex(pattern)
+        logger.info(
+            "compiled %s grammar: %d DFA states", kind, dfa.num_states
+        )
+        return CompiledGrammar(
+            dfa, MaskCache(dfa, self.trie, self.eos_token_ids)
+        )
+
+    def get_matcher(self, kind: str, spec: str) -> GrammarMatcher:
+        key = (kind, spec)
+        with self._lock:
+            compiled = self._cache.get(key)
+        if compiled is None:
+            compiled = self._compile(kind, spec)
+            with self._lock:
+                self._cache[key] = compiled
+        return GrammarMatcher(compiled, self.token_bytes, self.eos_token_ids)

@@ -106,11 +106,31 @@ class ScheduleCore:
         elif isinstance(gc, (list, tuple)):
             self.eos_token_ids.update(gc)
 
+        # Constrained decoding (native grammar engine; ref srt/constrained/)
+        self._grammar_backend = None
+        self._early_outputs: List[StepOutput] = []
+
         # metrics
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
         self.num_cached_tokens = 0
         self.last_log = time.time()
+
+    def _get_grammar_backend(self):
+        if self._grammar_backend is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "structured output requires a tokenizer "
+                    "(disable --skip-tokenizer-init)"
+                )
+            from sglang_tpu.constrained.grammar_backend import GrammarBackend
+
+            self._grammar_backend = GrammarBackend(
+                self.tokenizer,
+                self.eos_token_ids,
+                vocab_size=self.runner.model_config.vocab_size,
+            )
+        return self._grammar_backend
 
     # ------------------------------------------------------------------ API
     def add_request(self, req: Req) -> None:
@@ -126,6 +146,14 @@ class ScheduleCore:
             if req.sampling_params.sampling_seed is not None
             else (hash(req.rid) ^ self.args.random_seed) & 0x7FFFFFFF
         )
+        sp = req.sampling_params
+        if sp.json_schema or sp.regex:
+            kind, spec = (
+                ("json_schema", sp.json_schema)
+                if sp.json_schema
+                else ("regex", sp.regex)
+            )
+            req.grammar = self._get_grammar_backend().get_matcher(kind, spec)
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
@@ -152,6 +180,9 @@ class ScheduleCore:
         """Schedule + launch at most one batch; process due results."""
         launched = self._schedule_and_launch()
         outputs: List[StepOutput] = []
+        if self._early_outputs:
+            outputs.extend(self._early_outputs)
+            self._early_outputs = []
         if launched:
             # Keep at most pipeline_depth-1 batches in flight.
             while len(self.pending) >= self.pipeline_depth:
@@ -190,17 +221,44 @@ class ScheduleCore:
         steps = [r.device_step for r in rows]
         st = build_sampling_tensors(sp_list, seeds, steps, fb.padded_bs)
         banned = self._build_banned_tokens(rows, fb.padded_bs)
+        vocab_mask, has_grammar = self._build_vocab_mask(rows, fb.padded_bs)
         needs_penalty = any(r.req.sampling_params.needs_penalties for r in rows)
         if needs_penalty:
             self.runner.ensure_penalty_buf()
         any_top = max(
             (r.req.top_logprobs_num for r in rows if r.kind != "chunk"), default=0
         )
+        if any_top:
+            any_top = 20 if any_top <= 20 else any_top
         out = self.runner.forward(
-            fb, st, banned_tokens=banned, return_top_logprobs=any_top
+            fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
+            return_top_logprobs=any_top,
         )
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
+        if has_grammar:
+            # Grammar FSM must advance on the sampled token before the next
+            # mask can be built — no overlap for constrained batches
+            # (ref: scheduler grammar sync, scheduler.py:1811-1841).
+            while self.pending:
+                self._early_outputs.extend(
+                    self._process_batch_result(self.pending.popleft())
+                )
         return True
+
+    def _build_vocab_mask(self, rows: List[_Row], padded_bs: int):
+        import jax.numpy as jnp
+
+        has = any(
+            r.req.grammar is not None and r.kind != "chunk" for r in rows
+        )
+        if not has:
+            return None, False
+        W = (self.runner.model_config.vocab_size + 31) // 32
+        mask = np.full((padded_bs, W), 0xFFFFFFFF, np.uint32)
+        for i, r in enumerate(rows):
+            if r.req.grammar is not None and r.kind != "chunk":
+                mask[i] = r.req.grammar.fill_vocab_mask()
+        return jnp.asarray(mask), True
 
     def _build_banned_tokens(self, rows: List[_Row], padded_bs: int):
         import jax.numpy as jnp
@@ -468,6 +526,8 @@ class ScheduleCore:
             token = int(tokens[i])
             req.output_ids.append(token)
             self.num_generated_tokens += 1
+            if req.grammar is not None:
+                req.grammar.accept_token(token)
             if req.return_logprob:
                 req.output_logprobs.append(float(logprobs[i]))
                 if req.top_logprobs_num and top_v is not None:

@@ -208,6 +208,16 @@ class ModelRunner:
             bias = jnp.where(banned_tokens >= 0, -1e30, 0.0)
             idx = jnp.maximum(banned_tokens, 0)
             logits = logits.at[jnp.arange(B)[:, None], idx].add(bias)
+        if vocab_mask is not None:
+            # Packed allowed-token bits [B, ceil(V/32)] uint32 (grammar-
+            # constrained decoding; ref srt/sampling/sampling_batch_info.py
+            # apply_grammar_bitmask). Expand on device.
+            V = logits.shape[1]
+            vidx = jnp.arange(V, dtype=jnp.int32)
+            words = vocab_mask[:, vidx >> 5]
+            allowed = (words >> (vidx & 31).astype(jnp.uint32)) & 1
+            logits = jnp.where(allowed == 0, -1e30, logits)
+            vocab_mask = None
         token_counts = None
         if penalty_buf is not None:
             token_counts = penalty_buf[fb.req_slots]
