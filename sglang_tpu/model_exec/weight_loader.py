@@ -82,6 +82,19 @@ def load_model_weights(
             if slot is None:
                 assert arr.shape == spec.shape, (pname, arr.shape, spec.shape)
                 buffers[pname][...] = arr
+            elif isinstance(slot, tuple):
+                # MoE expert slots: ("expert_gate"|"expert_up", e) into
+                # w_gate_up [E, H, 2, I]; ("expert_down", e) into [E, I, H].
+                kind, e = slot
+                target = buffers[pname]
+                if kind == "expert_gate":
+                    target[e, :, 0, :] = arr
+                elif kind == "expert_up":
+                    target[e, :, 1, :] = arr
+                elif kind == "expert_down":
+                    target[e] = arr
+                else:
+                    raise ValueError(f"unknown expert slot {kind}")
             else:
                 # Fusion slot on the second-to-last axis group: [in, n_fused, out]
                 # or bias [n_fused, out].

@@ -102,7 +102,10 @@ def _decode_kernel(
     start_dma, wait_dma = _make_dma_helpers(
         page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf, sems
     )
-    start_dma(b, 0, 0)
+
+    @pl.when(num_pages > 0)  # padded rows have seq_len 0: no DMA to leak
+    def _():
+        start_dma(b, 0, 0)
 
     q = q_ref[0].astype(jnp.float32) * scale  # [nq, hd]
 
