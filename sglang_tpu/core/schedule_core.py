@@ -114,6 +114,8 @@ class ScheduleCore:
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
         self.num_cached_tokens = 0
+        self.gen_throughput = 0.0
+        self._tp_last = (time.time(), 0)
         self.last_log = time.time()
 
     def _get_grammar_backend(self):
@@ -572,6 +574,10 @@ class ScheduleCore:
 
     def _maybe_log(self) -> None:
         now = time.time()
+        t0, n0 = self._tp_last
+        if now - t0 > 2.0:
+            self.gen_throughput = (self.num_generated_tokens - n0) / (now - t0)
+            self._tp_last = (now, self.num_generated_tokens)
         if now - self.last_log > 10:
             self.last_log = now
             logger.info(

@@ -44,7 +44,12 @@ class HttpServer:
     def __init__(self, server_args: ServerArgs, tokenizer_manager):
         self.args = server_args
         self.tm = tokenizer_manager
-        self.openai = OpenAIServing(tokenizer_manager, server_args.served_model_name)
+        self.openai = OpenAIServing(
+            tokenizer_manager,
+            server_args.served_model_name,
+            tool_call_parser=server_args.tool_call_parser,
+            reasoning_parser=server_args.reasoning_parser,
+        )
         self.start_time = time.time()
 
     # ------------------------------------------------------------ native API

@@ -73,9 +73,13 @@ def _finish_reason_str(fr: Optional[dict]) -> Optional[str]:
 
 
 class OpenAIServing:
-    def __init__(self, tokenizer_manager, served_model: str):
+    def __init__(self, tokenizer_manager, served_model: str,
+                 tool_call_parser: Optional[str] = None,
+                 reasoning_parser: Optional[str] = None):
         self.tm = tokenizer_manager
         self.served_model = served_model
+        self.tool_call_parser = tool_call_parser
+        self.reasoning_parser = reasoning_parser
 
     # ------------------------------------------------------------ completions
     def completions_to_gri(self, body: Dict[str, Any]) -> GenerateReqInput:
@@ -164,9 +168,13 @@ class OpenAIServing:
         tokenizer = self.tm.tokenizer
         if tokenizer is None:
             raise ValueError("chat API requires a tokenizer")
+        tools = body.get("tools")
         try:
+            kwargs = {}
+            if tools:
+                kwargs["tools"] = tools
             prompt_ids = tokenizer.apply_chat_template(
-                messages, tokenize=True, add_generation_prompt=True
+                messages, tokenize=True, add_generation_prompt=True, **kwargs
             )
         except Exception:
             # Fallback template (no chat_template in tokenizer config)
@@ -189,6 +197,40 @@ class OpenAIServing:
 
     def chat_response(self, body: Dict, out: Dict, created: int) -> Dict:
         meta = out["meta_info"]
+        text = out["text"]
+        message: Dict[str, Any] = {"role": "assistant", "content": text}
+        finish = _finish_reason_str(meta["finish_reason"])
+
+        if self.reasoning_parser and body.get("separate_reasoning", True):
+            from sglang_tpu.parser.reasoning_parser import ReasoningParser
+
+            r = ReasoningParser(self.reasoning_parser).parse_non_stream(text)
+            if r.reasoning_text:
+                message["reasoning_content"] = r.reasoning_text
+                message["content"] = text = r.normal_text or ""
+
+        tools = body.get("tools")
+        if tools and self.tool_call_parser:
+            from sglang_tpu.function_call.parser import FunctionCallParser
+
+            parser = FunctionCallParser(tools, self.tool_call_parser)
+            if parser.has_tool_call(text):
+                normal, calls = parser.parse_non_stream(text)
+                if calls:
+                    message["content"] = normal or None
+                    message["tool_calls"] = [
+                        {
+                            "id": f"call_{uuid.uuid4().hex[:24]}",
+                            "type": "function",
+                            "index": c.tool_index,
+                            "function": {
+                                "name": c.name,
+                                "arguments": c.parameters,
+                            },
+                        }
+                        for c in calls
+                    ]
+                    finish = "tool_calls"
         return {
             "id": f"chatcmpl-{uuid.uuid4().hex}",
             "object": "chat.completion",
@@ -197,8 +239,8 @@ class OpenAIServing:
             "choices": [
                 {
                     "index": 0,
-                    "message": {"role": "assistant", "content": out["text"]},
-                    "finish_reason": _finish_reason_str(meta["finish_reason"]),
+                    "message": message,
+                    "finish_reason": finish,
                     "logprobs": None,
                 }
             ],

@@ -91,7 +91,12 @@ class Scheduler:
                         free_pages=self.core.allocator.available_pages(),
                         radix_pages=self.core.radix.total_cached_pages(),
                         generated_tokens=self.core.num_generated_tokens,
+                        prefill_tokens=self.core.num_prefill_tokens,
                         cached_tokens=self.core.num_cached_tokens,
+                        token_usage=1.0
+                        - self.core.allocator.available_pages()
+                        / max(self.core.allocator.num_pages - 1, 1),
+                        gen_throughput=self.core.gen_throughput,
                         model_path=self.server_args.model_path,
                     )
                 ),

@@ -52,6 +52,7 @@ class ReqState:
     top_logprobs: List[Any] = dataclasses.field(default_factory=list)
     finished: bool = False
     created: float = dataclasses.field(default_factory=time.time)
+    last_token_time: float = 0.0
 
 
 class TokenizerManager:
@@ -76,6 +77,7 @@ class TokenizerManager:
         self.send_sock.connect(port_args.scheduler_ipc)
 
         self.rid_to_state: Dict[str, ReqState] = {}
+        self.metrics = None  # TokenizerMetrics, set when --enable-metrics
         self._control_waiters: Dict[type, deque] = {}
         self.ready = asyncio.Event()
         self.scheduler_info: Dict[str, Any] = {}
@@ -124,6 +126,16 @@ class TokenizerManager:
             fr = msg.finish_reasons[i]
             if fr is not None:
                 st.finished = True
+            if self.metrics is not None:
+                now = time.time()
+                if st.last_token_time == 0.0:
+                    self.metrics.ttft.observe(now - st.created)
+                else:
+                    self.metrics.itl.observe(now - st.last_token_time)
+                st.last_token_time = now
+                if fr is not None:
+                    self.metrics.e2e.observe(now - st.created)
+                    self.metrics.num_requests_total.inc()
             st.queue.put_nowait(
                 dict(
                     delta=msg.delta_texts[i],

@@ -3,18 +3,19 @@
 Ref: srt/mem_cache/memory_pool.py (KVCache ABC :1609, MHATokenToKVPool
 :1740). TPU-native design:
 
-- ONE stacked jax.Array `kv[num_layers, 2, num_slots, kv_heads, head_dim]`
-  (num_slots = num_pages * page_size) instead of per-layer torch tensors.
-  The whole pool is threaded through the jitted step function with donation,
-  so XLA performs in-place scatter updates — the JAX equivalent of torch
-  in-place writes that is safe under jit.
+- ONE stacked jax.Array `kv[num_layers, num_pages, 2, page_size, kv_heads,
+  head_dim]` instead of per-layer torch tensors. K and V of a page are
+  ADJACENT so the attention kernels fetch both with a single DMA per page
+  (DMA latency, not bandwidth, bounds decode through this device path).
+  The whole pool is threaded through the jitted step function with
+  donation, so XLA performs in-place scatter updates — the JAX equivalent
+  of torch in-place writes that is safe under jit.
 - Sharded over the "tp" mesh axis on the kv_heads dim; with GQA smaller
   than tp the heads are replicated.
-- Page granularity lives in the ALLOCATOR; the array itself is token-slot
-  addressed so kernels can use either token-level scatter or page-level DMA
-  (a page is a contiguous slot range: slot = page * page_size + offset).
+- Page granularity lives in the ALLOCATOR; kernels address pages, scatter
+  writes address token slots (slot = page * page_size + offset).
 
-Slot 0 is reserved as the padding/trash slot (never allocated) so padded
+Page 0 is reserved as the padding/trash page (never allocated) so padded
 tokens can scatter their KV harmlessly.
 """
 
@@ -66,11 +67,12 @@ class KVCachePool:
             and mesh_ctx.tp_size > 1
             and config.num_kv_heads % mesh_ctx.tp_size == 0
         )
-        spec = P(None, None, None, AXIS_TP if shard_heads else None, None)
+        spec = P(None, None, None, None, AXIS_TP if shard_heads else None, None)
         shape = (
             config.num_layers,
+            config.num_pages,
             2,
-            config.num_slots,
+            config.page_size,
             config.num_kv_heads,
             config.head_dim,
         )
@@ -94,11 +96,14 @@ def write_kv(
     k: jax.Array,
     v: jax.Array,
     out_cache_loc: jax.Array,
+    page_size: int,
 ) -> jax.Array:
     """Scatter new K/V ([T, kv_heads, head_dim]) into token slots.
 
     Under donation this lowers to an in-place dynamic-update-scatter.
     """
-    kv = kv.at[layer_id, 0, out_cache_loc].set(k.astype(kv.dtype))
-    kv = kv.at[layer_id, 1, out_cache_loc].set(v.astype(kv.dtype))
+    pages = out_cache_loc // page_size
+    offs = out_cache_loc % page_size
+    kv = kv.at[layer_id, pages, 0, offs].set(k.astype(kv.dtype))
+    kv = kv.at[layer_id, pages, 1, offs].set(v.astype(kv.dtype))
     return kv

@@ -39,6 +39,29 @@ from sglang_tpu.utils import cdiv
 
 logger = logging.getLogger(__name__)
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent jit cache: bucket retraces hit disk instead of a full
+    (remote) XLA compile. Ref analog: CUDA-graph capture amortization."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+
+    try:
+        cache_dir = os.environ.get(
+            "SGLANG_TPU_COMPILE_CACHE", "/root/.cache/sglang_tpu_xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001
+        logger.warning("persistent compilation cache unavailable", exc_info=True)
+
 
 @dataclasses.dataclass
 class ForwardOutput:
@@ -58,6 +81,7 @@ class ModelRunner:
         mesh_ctx: Optional[MeshContext] = None,
     ):
         self.server_args = server_args
+        _enable_compilation_cache()
         if model_config is None:
             model_config = ModelConfig.from_model_path(
                 server_args.model_path,
@@ -110,6 +134,7 @@ class ModelRunner:
         self.trash_slot = self.num_slots
         self.next_tokens_buf = jnp.zeros(self.num_slots + 1, jnp.int32)
         self.penalty_buf: Optional[jax.Array] = None  # [S+1, V] lazily made
+        self._decode_dummy_ids: Dict[int, jax.Array] = {}
 
         self._step = jax.jit(
             self._step_impl,
@@ -271,6 +296,17 @@ class ModelRunner:
         banned_tokens: Optional[jax.Array] = None,
         return_top_logprobs: int = 0,
     ) -> ForwardOutput:
+        if fb.mode.is_decode():
+            # Decode reads its input tokens from the device future-map, so
+            # input_ids is an unused jit arg — passing a FRESH host array
+            # for it stalls dispatch (~300ms/step observed through the
+            # remote-TPU tunnel). Substitute a cached device-resident dummy.
+            B = fb.input_ids.shape[0]
+            dummy = self._decode_dummy_ids.get(B)
+            if dummy is None:
+                dummy = jnp.zeros((B,), jnp.int32)
+                self._decode_dummy_ids[B] = dummy
+            fb = dataclasses.replace(fb, input_ids=dummy)
         new_kv, new_buf, new_pen, tokens, chosen_lp, tv, ti = self._step(
             self.params,
             self.kv_pool.kv,

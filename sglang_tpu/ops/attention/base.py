@@ -39,7 +39,7 @@ class AttentionBackend:
         kv: jax.Array,  # full pool [L, 2, S, nk, hd]
         fb: ForwardBatch,
     ) -> Tuple[jax.Array, jax.Array]:
-        kv = write_kv(kv, layer_id, k, v, fb.out_cache_loc)
+        kv = write_kv(kv, layer_id, k, v, fb.out_cache_loc, self.page_size)
         if fb.mode.is_decode():
             out = self.forward_decode(q, layer_id, kv, fb)
         else:

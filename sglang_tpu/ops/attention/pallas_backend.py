@@ -26,12 +26,9 @@ from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 @register_attention_backend("pallas")
 class PallasBackend(AttentionBackend):
     def _folded_pages(self, kv, layer_id):
-        """kv[layer] -> folded page views [NP, ps, nk*hd] (layout-free)."""
-        S, nk, hd = kv.shape[2], kv.shape[3], kv.shape[4]
-        np_ = S // self.page_size
-        k = kv[layer_id, 0].reshape(np_, self.page_size, nk * hd)
-        v = kv[layer_id, 1].reshape(np_, self.page_size, nk * hd)
-        return k, v
+        """kv[layer] -> folded fused page view [NP, 2, ps, nk*hd] (free)."""
+        np_, _, ps, nk, hd = kv.shape[1:]
+        return kv[layer_id].reshape(np_, 2, ps, nk * hd)
 
     def _tp_size(self) -> int:
         try:
@@ -41,19 +38,19 @@ class PallasBackend(AttentionBackend):
 
     def _kv_spec(self, tp: int):
         return (
-            P(None, None, AXIS_TP)
+            P(None, None, None, AXIS_TP)
             if self.num_kv_heads % tp == 0
-            else P(None, None, None)
+            else P(None, None, None, None)
         )
 
     def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
-        k_pages, v_pages = self._folded_pages(kv, layer_id)
+        kv_pages = self._folded_pages(kv, layer_id)
         scale, ps, hd = self.scale, self.page_size, self.head_dim
 
-        def local(qs, ks, vs, pt, sl):
-            nk_local = ks.shape[-1] // hd
+        def local(qs, kvs, pt, sl):
+            nk_local = kvs.shape[-1] // hd
             return paged_decode_attention(
-                qs, ks, vs, pt, sl,
+                qs, kvs, pt, sl,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
             )
 
@@ -63,24 +60,23 @@ class PallasBackend(AttentionBackend):
                 local,
                 mesh=get_mesh_context().mesh,
                 in_specs=(
-                    P(None, AXIS_TP, None), self._kv_spec(tp),
-                    self._kv_spec(tp), P(), P(),
+                    P(None, AXIS_TP, None), self._kv_spec(tp), P(), P(),
                 ),
                 out_specs=P(None, AXIS_TP, None),
                 check_vma=False,
             )
-        return local(q, k_pages, v_pages, fb.page_table, fb.seq_lens)
+        return local(q, kv_pages, fb.page_table, fb.seq_lens)
 
     def forward_extend(self, q, layer_id, kv, fb: ForwardBatch):
-        k_pages, v_pages = self._folded_pages(kv, layer_id)
+        kv_pages = self._folded_pages(kv, layer_id)
         scale, ps, hd = self.scale, self.page_size, self.head_dim
         T, nq, _ = q.shape
         q_folded = q.reshape(T, nq * hd)
 
-        def local(qs, ks, vs, pt, sl, pfl, qls, bseq, bqoff):
-            nk_local = ks.shape[-1] // hd
+        def local(qs, kvs, pt, sl, pfl, qls, bseq, bqoff):
+            nk_local = kvs.shape[-1] // hd
             return paged_extend_attention(
-                qs, ks, vs, pt, sl, pfl, qls, bseq, bqoff,
+                qs, kvs, pt, sl, pfl, qls, bseq, bqoff,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
             )
 
@@ -91,13 +87,13 @@ class PallasBackend(AttentionBackend):
                 mesh=get_mesh_context().mesh,
                 in_specs=(
                     P(None, AXIS_TP), self._kv_spec(tp),
-                    self._kv_spec(tp), P(), P(), P(), P(), P(), P(),
+                    P(), P(), P(), P(), P(), P(),
                 ),
                 out_specs=P(None, AXIS_TP),
                 check_vma=False,
             )
         out = local(
-            q_folded, k_pages, v_pages, fb.page_table, fb.seq_lens,
+            q_folded, kv_pages, fb.page_table, fb.seq_lens,
             fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
         )
         return out.reshape(T, nq, hd)

@@ -4,19 +4,20 @@ These replace the reference's FlashInfer/FlashAttention CUDA backends
 (srt/layers/attention/{flashinfer_backend.py,flashattention_backend.py})
 with a TPU-native design:
 
-- KV lives in an HBM page pool folded as [num_pages, page_size, nk*hd];
-  each grid step DMAs exactly the pages a sequence needs (dynamic trip
-  count — no padded-page bandwidth waste), double-buffered so the DMA
-  engine stays ahead of the VPU/MXU. Decode is HBM-bandwidth-bound; this
-  is the speed-of-light shape for it.
+- KV lives in an HBM page pool folded as [num_pages, 2, page_size, nk*hd]:
+  K and V of a page are adjacent, so ONE DMA fetches both. Each grid step
+  DMAs exactly the pages a sequence needs (dynamic trip count — no
+  padded-page bandwidth waste) through a 4-slot ring so several page
+  fetches are in flight at once: decode through this device path is DMA-
+  LATENCY bound, not bandwidth bound, and ring depth is what hides it.
 - Online (flash) softmax in float32 accumulators; bf16 page traffic.
-- GQA: q heads grouped per kv head. Heads are addressed with LANE slices
-  of the folded page (k[:, kh*hd:(kh+1)*hd]) — no reshapes/transposes of
-  DMA'd data (this Mosaic build rejects value reshapes and sub-128 slices
+- GQA: q heads grouped per kv head, addressed with LANE slices of the
+  folded page (k[:, kh*hd:(kh+1)*hd]) — no reshapes/transposes of DMA'd
+  data (this Mosaic build rejects value reshapes and sub-128-lane slices
   of tiled memrefs; lane slices and integer middle-index reads are fine).
 
-Layout notes: a page DMA moves page_size*nk*hd*2B contiguous bytes
-(64KB at ps=64, nk=8, hd=64).
+Layout notes: a fused page DMA moves 2*page_size*nk*hd*2B contiguous bytes
+(128KB at ps=64, nk=8, hd=64).
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+NBUF = 4  # DMA ring depth
 
 
 def _interpret() -> bool:
@@ -50,26 +52,74 @@ def _online_update(m, l, acc, scores, v_slice):
     return m_new, l_new, acc_new
 
 
-def _make_dma_helpers(page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf,
-                      sems):
+def _make_dma_helpers(page_table_ref, kv_pages_hbm, kv_buf, sems):
+    """Fused K+V page DMA into a NBUF-slot ring."""
+
     def start_dma(b, p, slot):
         page = page_table_ref[b, p]
         pltpu.make_async_copy(
-            k_pages_hbm.at[page], k_buf.at[slot], sems.at[0, slot]
-        ).start()
-        pltpu.make_async_copy(
-            v_pages_hbm.at[page], v_buf.at[slot], sems.at[1, slot]
+            kv_pages_hbm.at[page], kv_buf.at[slot], sems.at[slot]
         ).start()
 
     def wait_dma(slot):
         pltpu.make_async_copy(
-            k_pages_hbm.at[0], k_buf.at[slot], sems.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            v_pages_hbm.at[0], v_buf.at[slot], sems.at[1, slot]
+            kv_pages_hbm.at[0], kv_buf.at[slot], sems.at[slot]
         ).wait()
 
     return start_dma, wait_dma
+
+
+def _run_paged_flash(
+    b,
+    num_pages,
+    start_dma,
+    wait_dma,
+    kv_buf,
+    make_scores,  # fn(k_page_f32 [ps, F], p) -> list of per-head masked scores
+    num_heads_out: int,
+    rows: int,
+    head_dim: int,
+    hd_slice,  # fn(v [ps, F], h) -> [ps, hd]
+):
+    """Shared DMA-ring flash-attention loop. Returns (ms, ls, accs) tuples."""
+
+    for i in range(NBUF):
+        @pl.when(i < num_pages)
+        def _(i=i):
+            start_dma(b, i, i)
+
+    def body(p, carry):
+        ms, ls, accs = carry
+        slot = jax.lax.rem(p, NBUF)
+        wait_dma(slot)
+        kvp = kv_buf[slot]  # [2, ps, F]
+        k = kvp[0].astype(jnp.float32)
+        v = kvp[1]
+
+        scores_per_head = make_scores(k, p)
+
+        @pl.when(p + NBUF < num_pages)
+        def _():
+            start_dma(b, p + NBUF, slot)
+
+        new_ms, new_ls, new_accs = [], [], []
+        for h in range(num_heads_out):
+            m2, l2, a2 = _online_update(
+                ms[h], ls[h], accs[h], scores_per_head[h], hd_slice(v, h)
+            )
+            new_ms.append(m2)
+            new_ls.append(l2)
+            new_accs.append(a2)
+        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+    ms0 = tuple(
+        jnp.full((rows, 1), NEG_INF, jnp.float32) for _ in range(num_heads_out)
+    )
+    ls0 = tuple(jnp.zeros((rows, 1), jnp.float32) for _ in range(num_heads_out))
+    accs0 = tuple(
+        jnp.zeros((rows, head_dim), jnp.float32) for _ in range(num_heads_out)
+    )
+    return jax.lax.fori_loop(0, num_pages, body, (ms0, ls0, accs0))
 
 
 def _decode_kernel(
@@ -78,14 +128,12 @@ def _decode_kernel(
     seq_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, nq, hd] VMEM block
-    k_pages_hbm,  # [NP, ps, nk*hd] ANY (HBM)
-    v_pages_hbm,
+    kv_pages_hbm,  # [NP, 2, ps, nk*hd] ANY (HBM)
     # outputs
     o_ref,  # [1, nq, hd] VMEM block
     # scratch
-    k_buf,  # [2, ps, nk*hd] VMEM
-    v_buf,
-    sems,  # DMA sems [2, 2]
+    kv_buf,  # [NBUF, 2, ps, nk*hd] VMEM
+    sems,  # DMA sems [NBUF]
     *,
     scale: float,
     page_size: int,
@@ -100,60 +148,34 @@ def _decode_kernel(
     hd = head_dim
 
     start_dma, wait_dma = _make_dma_helpers(
-        page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf, sems
+        page_table_ref, kv_pages_hbm, kv_buf, sems
     )
-
-    @pl.when(num_pages > 0)  # padded rows have seq_len 0: no DMA to leak
-    def _():
-        start_dma(b, 0, 0)
-
     q = q_ref[0].astype(jnp.float32) * scale  # [nq, hd]
 
-    def body(p, carry):
-        ms, ls, accs = carry  # tuples of per-kv-head arrays
-        slot = jax.lax.rem(p, 2)
-
-        @pl.when(p + 1 < num_pages)
-        def _():
-            start_dma(b, p + 1, 1 - slot)
-
-        wait_dma(slot)
-        k = k_buf[slot].astype(jnp.float32)  # [ps, nk*hd]
-        v = v_buf[slot]  # [ps, nk*hd] bf16
-
+    def make_scores(k, p):
         pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )
         valid = pos < seq_len  # [1, ps]
-
-        new_ms, new_ls, new_accs = [], [], []
+        out = []
         for kh in range(num_kv_heads):
             q_kh = q[kh * group : (kh + 1) * group, :]  # [group, hd]
             k_kh = k[:, kh * hd : (kh + 1) * hd]  # [ps, hd]
             scores = jax.lax.dot_general(
-                q_kh,
-                k_kh,
+                q_kh, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [group, ps]
-            scores = jnp.where(valid, scores, NEG_INF)
-            m2, l2, a2 = _online_update(
-                ms[kh], ls[kh], accs[kh], scores,
-                v[:, kh * hd : (kh + 1) * hd],
             )
-            new_ms.append(m2)
-            new_ls.append(l2)
-            new_accs.append(a2)
-        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+            out.append(jnp.where(valid, scores, NEG_INF))
+        return out
 
-    ms0 = tuple(
-        jnp.full((group, 1), NEG_INF, jnp.float32) for _ in range(num_kv_heads)
+    def hd_slice(v, kh):
+        return v[:, kh * hd : (kh + 1) * hd]
+
+    ms, ls, accs = _run_paged_flash(
+        b, num_pages, start_dma, wait_dma, kv_buf, make_scores,
+        num_kv_heads, group, hd, hd_slice,
     )
-    ls0 = tuple(jnp.zeros((group, 1), jnp.float32) for _ in range(num_kv_heads))
-    accs0 = tuple(
-        jnp.zeros((group, hd), jnp.float32) for _ in range(num_kv_heads)
-    )
-    ms, ls, accs = jax.lax.fori_loop(0, num_pages, body, (ms0, ls0, accs0))
     for kh in range(num_kv_heads):
         out = accs[kh] / jnp.maximum(ls[kh], 1e-20)
         o_ref[0, kh * group : (kh + 1) * group, :] = out.astype(o_ref.dtype)
@@ -164,8 +186,7 @@ def _decode_kernel(
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    k_pages: jax.Array,  # [NP, ps, nk*hd]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [NP, 2, ps, nk*hd]
     page_table: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32
     *,
@@ -174,7 +195,7 @@ def paged_decode_attention(
     num_kv_heads: int,
 ) -> jax.Array:
     B, nq, hd = q.shape
-    _, ps, F = k_pages.shape
+    _, _, ps, F = kv_pages.shape
     assert F == num_kv_heads * hd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -184,15 +205,13 @@ def paged_decode_attention(
                 (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, F), k_pages.dtype),
-            pltpu.VMEM((2, ps, F), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, 2, ps, F), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     kernel = functools.partial(
@@ -210,7 +229,7 @@ def paged_decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(page_table, seq_lens, q, k_pages, v_pages)
+    )(page_table, seq_lens, q, kv_pages)
 
 
 # --------------------------------------------------------------------------
@@ -232,13 +251,11 @@ def _extend_kernel(
     block_q_off_ref,  # [NB] block's first-token offset within its seq
     # inputs
     q_ref,  # [BQ, nq*hd] VMEM block (heads folded into lanes)
-    k_pages_hbm,  # [NP, ps, nk*hd]
-    v_pages_hbm,
+    kv_pages_hbm,  # [NP, 2, ps, nk*hd]
     # outputs
     o_ref,  # [BQ, nq*hd]
     # scratch
-    k_buf,
-    v_buf,
+    kv_buf,
     sems,
     *,
     scale: float,
@@ -265,68 +282,42 @@ def _extend_kernel(
     )
 
     start_dma, wait_dma = _make_dma_helpers(
-        page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf, sems
+        page_table_ref, kv_pages_hbm, kv_buf, sems
     )
-
-    @pl.when(block_active)
-    def _():
-        start_dma(b, 0, 0)
-
     q = q_ref[...].astype(jnp.float32) * scale  # [BQ, nq*hd]
     row_pos = (
         prefix
         + q_start
         + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     )  # [BQ, 1]
-
     nheads = num_kv_heads * group  # == nq
 
-    def body(p, carry):
-        ms, ls, accs = carry  # per-q-head tuples: [BQ,1],[BQ,1],[BQ,hd]
-        slot = jax.lax.rem(p, 2)
-
-        @pl.when(p + 1 < num_pages)
-        def _():
-            start_dma(b, p + 1, 1 - slot)
-
-        wait_dma(slot)
-        k = k_buf[slot].astype(jnp.float32)  # [ps, nk*hd]
-        v = v_buf[slot]
-
+    def make_scores(k, p):
         ctx_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )
         causal = ctx_pos <= row_pos  # [BQ, ps]
-
-        new_ms, new_ls, new_accs = [], [], []
+        out = []
         for h in range(nheads):
             kh = h // group
             q_h = q[:, h * hd : (h + 1) * hd]  # [BQ, hd]
             k_kh = k[:, kh * hd : (kh + 1) * hd]  # [ps, hd]
             scores = jax.lax.dot_general(
-                q_h,
-                k_kh,
+                q_h, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [BQ, ps]
-            scores = jnp.where(causal, scores, NEG_INF)
-            m2, l2, a2 = _online_update(
-                ms[h], ls[h], accs[h], scores,
-                v[:, kh * hd : (kh + 1) * hd],
             )
-            new_ms.append(m2)
-            new_ls.append(l2)
-            new_accs.append(a2)
-        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+            out.append(jnp.where(causal, scores, NEG_INF))
+        return out
 
-    ms0 = tuple(
-        jnp.full((block_q, 1), NEG_INF, jnp.float32) for _ in range(nheads)
+    def hd_slice(v, h):
+        kh = h // group
+        return v[:, kh * hd : (kh + 1) * hd]
+
+    ms, ls, accs = _run_paged_flash(
+        b, num_pages, start_dma, wait_dma, kv_buf, make_scores,
+        nheads, block_q, hd, hd_slice,
     )
-    ls0 = tuple(jnp.zeros((block_q, 1), jnp.float32) for _ in range(nheads))
-    accs0 = tuple(
-        jnp.zeros((block_q, hd), jnp.float32) for _ in range(nheads)
-    )
-    ms, ls, accs = jax.lax.fori_loop(0, num_pages, body, (ms0, ls0, accs0))
     for h in range(nheads):
         out = accs[h] / jnp.maximum(ls[h], 1e-20)
         o_ref[:, h * hd : (h + 1) * hd] = out.astype(o_ref.dtype)
@@ -337,9 +328,8 @@ def _extend_kernel(
     static_argnames=("scale", "page_size", "block_q", "num_kv_heads"),
 )
 def paged_extend_attention(
-    q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segments)
-    k_pages: jax.Array,  # [NP, ps, nk*hd]
-    v_pages: jax.Array,
+    q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segs)
+    kv_pages: jax.Array,  # [NP, 2, ps, nk*hd]
     page_table: jax.Array,  # [B, P]
     seq_lens: jax.Array,  # [B]
     prefix_lens: jax.Array,  # [B]
@@ -353,7 +343,7 @@ def paged_extend_attention(
     block_q: int = 64,
 ) -> jax.Array:
     T, Fq = q.shape
-    _, ps, F = k_pages.shape
+    _, _, ps, F = kv_pages.shape
     hd = F // num_kv_heads
     assert T % block_q == 0 and Fq % hd == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -366,7 +356,6 @@ def paged_extend_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block_q, Fq),
@@ -374,9 +363,8 @@ def paged_extend_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, F), k_pages.dtype),
-            pltpu.VMEM((2, ps, F), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, 2, ps, F), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     kernel = functools.partial(
@@ -403,6 +391,5 @@ def paged_extend_attention(
         block_seq,
         block_q_off,
         q,
-        k_pages,
-        v_pages,
+        kv_pages,
     )

@@ -27,13 +27,19 @@ def _flat_slot_indices(page_table: jax.Array, page_size: int) -> jax.Array:
 
 @register_attention_backend("xla_native")
 class XlaNativeBackend(AttentionBackend):
+    def _gather_ctx(self, kv, layer_id, slots):
+        pages = slots // self.page_size
+        offs = slots % self.page_size
+        k = kv[layer_id][pages, 0, offs]  # [..., nk, hd]
+        v = kv[layer_id][pages, 1, offs]
+        return k, v
+
     def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
-        k = kv[layer_id, 0][slots]  # [B, C, nk, hd]
-        v = kv[layer_id, 1][slots]
+        k, v = self._gather_ctx(kv, layer_id, slots)  # [B, C, nk, hd]
         qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
         kf = k.astype(jnp.float32)
         scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * self.scale
@@ -50,8 +56,7 @@ class XlaNativeBackend(AttentionBackend):
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
         tok_slots = slots[fb.seq_ids]  # [T, C]
-        k = kv[layer_id, 0][tok_slots]  # [T, C, nk, hd]
-        v = kv[layer_id, 1][tok_slots]
+        k, v = self._gather_ctx(kv, layer_id, tok_slots)  # [T, C, nk, hd]
         qf = q.reshape(T, nk, group, hd).astype(jnp.float32)
         scores = jnp.einsum("tkgd,tckd->tkgc", qf, k.astype(jnp.float32)) * self.scale
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)

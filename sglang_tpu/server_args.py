@@ -78,6 +78,8 @@ class ServerArgs:
 
     # Decode-time features
     grammar_backend: str = "native"  # our own FSM engine (ref: xgrammar)
+    tool_call_parser: Optional[str] = None  # llama3|qwen25|mistral|json|...
+    reasoning_parser: Optional[str] = None  # deepseek-r1|qwen3|kimi|...
     constrained_json_whitespace_pattern: Optional[str] = None
     speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM | STANDALONE
     speculative_num_steps: int = 3

@@ -54,8 +54,9 @@ def test_decode_kernel_matches_reference():
     out = np.asarray(
         paged_decode_attention(
             jnp.asarray(q),
-            jnp.asarray(k_pages.reshape(NP, ps, nk * hd)),
-            jnp.asarray(v_pages.reshape(NP, ps, nk * hd)),
+            jnp.asarray(
+                np.stack([k_pages, v_pages], axis=1).reshape(NP, 2, ps, nk * hd)
+            ),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
             scale=scale,
@@ -112,8 +113,9 @@ def test_extend_kernel_matches_reference():
     out = np.asarray(
         paged_extend_attention(
             jnp.asarray(q.reshape(T, nq * hd)),
-            jnp.asarray(k_pages.reshape(NP, ps, nk * hd)),
-            jnp.asarray(v_pages.reshape(NP, ps, nk * hd)),
+            jnp.asarray(
+                np.stack([k_pages, v_pages], axis=1).reshape(NP, 2, ps, nk * hd)
+            ),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
             jnp.asarray(prefix_lens),
