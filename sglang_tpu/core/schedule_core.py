@@ -110,6 +110,18 @@ class ScheduleCore:
         self._grammar_backend = None
         self._early_outputs: List[StepOutput] = []
 
+        # Speculative decoding (ref srt/speculative/; NGRAM drafting v1)
+        self.drafter = None
+        if (server_args.speculative_algorithm or "").upper() == "NGRAM":
+            from sglang_tpu.speculative.ngram import NgramDrafter
+
+            self.drafter = NgramDrafter(
+                num_draft_tokens=server_args.speculative_num_draft_tokens
+            )
+            self.pipeline_depth = 1  # verify is host-synced
+        self.num_spec_accepted = 0
+        self.num_spec_steps = 0
+
         # metrics
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
@@ -206,6 +218,8 @@ class ScheduleCore:
     def _schedule_and_launch(self) -> bool:
         batch = self._get_prefill_batch()
         mode = ForwardMode.EXTEND
+        if batch is None and self.drafter is not None:
+            return self._run_spec_verify_step()
         if batch is None:
             batch = self._get_decode_batch()
             mode = ForwardMode.DECODE
@@ -397,6 +411,105 @@ class ScheduleCore:
             # roll back anything? (nothing admitted)
             return None
         return rows, seq_inputs
+
+    # ---- speculative verify (NGRAM) ----
+    def _run_spec_verify_step(self) -> bool:
+        """One target-verify step over drafted tokens for every running req.
+
+        Ref: EAGLE/NGRAM verify (srt/speculative/eagle_worker_v2.py:1492,
+        ngram_worker.py) recast as one ragged extend with greedy
+        acceptance. Host-synced (pipeline depth 1).
+        """
+        from sglang_tpu.speculative.ngram import accept_drafts
+
+        rows = []
+        seq_inputs = []
+        for req in list(self.running):
+            if req.status != ReqStatus.RUNNING:
+                continue
+            if req._device_step >= req.sampling_params.max_new_tokens:
+                continue
+            # Spec only for greedy, unconstrained reqs; others decode 1 tok.
+            can_spec = (
+                req.sampling_params.is_greedy
+                and req.grammar is None
+                and not req.sampling_params.needs_penalties
+            )
+            drafts = self.drafter.propose(req.all_ids) if can_spec else []
+            budget = req.sampling_params.max_new_tokens - req._device_step
+            drafts = drafts[: max(budget - 1, 0)]
+            inputs = [req.all_ids[-1]] + drafts
+            prefix = req._device_seq_len
+            if not self._extend_pages(req, prefix + len(inputs)):
+                self._evict_for(cdiv(prefix + len(inputs), self.page_size)
+                                - len(req.pages))
+                if not self._extend_pages(req, prefix + len(inputs)):
+                    self._retract_one()
+                    if req.status != ReqStatus.RUNNING:
+                        continue
+                    if not self._extend_pages(req, prefix + len(inputs)):
+                        continue
+            rows.append((req, drafts))
+            seq_inputs.append(
+                SeqInput(inputs, prefix, req.pages, req_slot=req.req_slot)
+            )
+        if not rows:
+            return False
+        fb = build_forward_batch(
+            seq_inputs, self.page_size, ForwardMode.EXTEND,
+            trash_slot=self.runner.trash_slot, align=16,
+        )
+        tokens_dev, logprobs_dev = self.runner.forward_verify(fb)
+        tokens = np.asarray(tokens_dev)
+        logprobs = np.asarray(logprobs_dev)
+        seg = np.asarray(fb.cu_q_lens)
+
+        slots, next_tokens = [], []
+        for i, (req, drafts) in enumerate(rows):
+            start = int(seg[i])
+            qlen = 1 + len(drafts)
+            verified = tokens[start : start + qlen].tolist()
+            emit, n_accept = accept_drafts(drafts, verified)
+            self.num_spec_steps += 1
+            self.num_spec_accepted += n_accept
+            req._device_seq_len = req._device_seq_len + 1 + n_accept
+            finished = False
+            n_emitted = 0
+            for j, tok in enumerate(emit):
+                req.output_ids.append(tok)
+                n_emitted += 1
+                self.num_generated_tokens += 1
+                if req.return_logprob:
+                    req.output_logprobs.append(float(logprobs[start + j]))
+                fr = req.check_finished(tok)
+                if fr is None and req.sampling_params.stop:
+                    fr = self._check_stop_strings(req)
+                self._early_outputs.append(
+                    StepOutput(
+                        rid=req.rid,
+                        new_token=tok,
+                        finish_reason=fr.to_json() if fr else None,
+                        logprob=(
+                            float(logprobs[start + j])
+                            if req.return_logprob else None
+                        ),
+                        completion_tokens=len(req.output_ids),
+                        cached_tokens=req.cached_len,
+                        prompt_tokens=len(req.input_ids),
+                    )
+                )
+                if fr is not None:
+                    self._finish_req(req, fr)
+                    finished = True
+                    break
+            req._device_step = len(req.output_ids)
+            req.spec_accepted_tokens += n_accept
+            if not finished and emit:
+                slots.append(req.req_slot)
+                next_tokens.append(emit[-1])
+        if slots:
+            self.runner.override_next_tokens(slots, next_tokens)
+        return True
 
     # ---- decode ----
     def _get_decode_batch(self):

@@ -50,6 +50,7 @@ def build_forward_batch(
     token_buckets: Optional[Sequence[int]] = None,
     bs_buckets: Optional[Sequence[int]] = None,
     trash_slot: int = 0,
+    align: int = EXTEND_ALIGN,
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
@@ -64,12 +65,12 @@ def build_forward_batch(
         off = 0
         for s in seqs:
             seg_offsets.append(off)
-            off += round_up(len(s.new_token_ids), EXTEND_ALIGN)
+            off += round_up(len(s.new_token_ids), align)
         T = bucketize(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
 
     max_pages_needed = max(len(s.page_ids) for s in seqs)
     P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)
-    NB = max(T // EXTEND_ALIGN, 1)
+    NB = max(T // align, 1)
 
     input_ids = np.zeros(T, np.int32)
     positions = np.zeros(T, np.int32)
@@ -103,18 +104,17 @@ def build_forward_batch(
         logits_indices[i] = off + q - 1
         req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
         if not mode.is_decode():
-            nb = round_up(q, EXTEND_ALIGN) // EXTEND_ALIGN
-            b0 = off // EXTEND_ALIGN
+            nb = round_up(q, align) // align
+            b0 = off // align
             block_seq[b0 : b0 + nb] = i
-            block_q_off[b0 : b0 + nb] = np.arange(nb) * EXTEND_ALIGN
+            block_q_off[b0 : b0 + nb] = np.arange(nb) * align
     end = seg_offsets[-1] + (
-        1 if mode.is_decode() else round_up(len(seqs[-1].new_token_ids),
-                                            EXTEND_ALIGN)
+        1 if mode.is_decode() else round_up(len(seqs[-1].new_token_ids), align)
     )
     cu_q_lens[n:] = end
     # Inactive trailing blocks: point past q_len so the kernel skips them.
     if not mode.is_decode():
-        used_blocks = end // EXTEND_ALIGN
+        used_blocks = end // align
         block_seq[used_blocks:] = max(n - 1, 0)
         block_q_off[used_blocks:] = 1 << 28  # >> any q_len -> inactive
 
@@ -134,4 +134,5 @@ def build_forward_batch(
         block_q_off=jnp.asarray(block_q_off),
         prefix_lens=jnp.asarray(prefix_lens),
         mode=mode,
+        extend_align=align,
     )

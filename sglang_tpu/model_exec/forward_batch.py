@@ -72,6 +72,11 @@ class ForwardBatch:
     mode: ForwardMode = dataclasses.field(
         metadata=dict(static=True), default=ForwardMode.EXTEND
     )
+    # q-block size of the ragged extend layout (spec verify uses a smaller
+    # block to bound padding of many short segments)
+    extend_align: int = dataclasses.field(
+        metadata=dict(static=True), default=64
+    )
 
     @property
     def padded_num_tokens(self) -> int:

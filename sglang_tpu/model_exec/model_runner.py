@@ -144,6 +144,7 @@ class ModelRunner:
         self._override_tokens = jax.jit(
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
         )
+        self._verify = jax.jit(self._verify_impl, donate_argnums=(1,))
         self._seed_penalty_row = jax.jit(
             self._seed_penalty_row_impl, donate_argnums=(0,)
         )
@@ -255,6 +256,24 @@ class ModelRunner:
         else:
             tv, ti = None, None
         return kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti
+
+    def _verify_impl(self, params, kv, fb: ForwardBatch):
+        """Speculative verify: greedy tokens at EVERY extend position.
+
+        Ref: ForwardMode.TARGET_VERIFY (srt/model_executor/
+        forward_batch_info.py:98) + EAGLE verify (eagle_worker_v2.py:1492).
+        """
+        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        logits = self.model.compute_logits(params, hidden).astype(jnp.float32)
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [T]
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(lp, tokens[:, None], axis=1)[:, 0]
+        return kv, tokens, chosen
+
+    def forward_verify(self, fb: ForwardBatch):
+        new_kv, tokens, chosen = self._verify(self.params, self.kv_pool.kv, fb)
+        self.kv_pool.swap(new_kv)
+        return tokens, chosen
 
     def _seed_penalty_row_impl(self, penalty_buf, slot, tokens, valid):
         """Rebuild one slot's output-token counts (after retraction)."""

@@ -73,11 +73,14 @@ class PallasBackend(AttentionBackend):
         T, nq, _ = q.shape
         q_folded = q.reshape(T, nq * hd)
 
+        block_q = fb.extend_align
+
         def local(qs, kvs, pt, sl, pfl, qls, bseq, bqoff):
             nk_local = kvs.shape[-1] // hd
             return paged_extend_attention(
                 qs, kvs, pt, sl, pfl, qls, bseq, bqoff,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
+                block_q=block_q,
             )
 
         tp = self._tp_size()
