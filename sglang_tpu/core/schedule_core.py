@@ -246,9 +246,16 @@ class ScheduleCore:
         )
         if any_top:
             any_top = 20 if any_top <= 20 else any_top
+        lora_row_ids = None
+        if self.runner.lora_manager is not None and any(
+            r.req.lora_id for r in rows
+        ):
+            lora_row_ids = np.zeros(fb.padded_bs, np.int32)
+            for i, r in enumerate(rows):
+                lora_row_ids[i] = self.runner.lora_manager.slot_of(r.req.lora_id)
         out = self.runner.forward(
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
-            return_top_logprobs=any_top,
+            lora_row_ids=lora_row_ids, return_top_logprobs=any_top,
         )
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
         if has_grammar:

@@ -3,17 +3,18 @@
 Ref: srt/mem_cache/memory_pool.py (KVCache ABC :1609, MHATokenToKVPool
 :1740). TPU-native design:
 
-- ONE stacked jax.Array `kv[num_layers, num_pages, 2, page_size, kv_heads,
-  head_dim]` instead of per-layer torch tensors. K and V of a page are
-  ADJACENT so the attention kernels fetch both with a single DMA per page
-  (DMA latency, not bandwidth, bounds decode through this device path).
-  The whole pool is threaded through the jitted step function with
-  donation, so XLA performs in-place scatter updates — the JAX equivalent
-  of torch in-place writes that is safe under jit.
-- Sharded over the "tp" mesh axis on the kv_heads dim; with GQA smaller
-  than tp the heads are replicated.
-- Page granularity lives in the ALLOCATOR; kernels address pages, scatter
-  writes address token slots (slot = page * page_size + offset).
+- A TUPLE of per-layer jax.Arrays `[num_pages, page_size, 2, nk*hd]`
+  ("pair layout": a token's K and V are adjacent sublanes, so the
+  Pallas write kernel scatters one [2, F] DMA per token in place, and the
+  attention kernels fetch K+V of a page with one [ps, 2, F] DMA).
+  Per-layer arrays (not one stacked array) let each layer's write alias
+  the pool in/out through pallas without slicing a donated superbuffer.
+- The whole tuple is threaded through the jitted step with donation, so
+  updates are in-place — the JAX equivalent of torch in-place writes that
+  is safe under jit.
+- Sharded over the "tp" mesh axis on the folded head dim (F = nk*hd).
+- Page granularity lives in the ALLOCATOR; kernels address pages, writes
+  address token slots (slot = page * page_size + offset).
 
 Page 0 is reserved as the padding/trash page (never allocated) so padded
 tokens can scatter their KV harmlessly.
@@ -44,6 +45,10 @@ class KVPoolConfig:
     def num_slots(self) -> int:
         return self.num_pages * self.page_size
 
+    @property
+    def folded_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
     def bytes_total(self) -> int:
         import numpy as np
 
@@ -51,14 +56,13 @@ class KVPoolConfig:
             self.num_layers
             * 2
             * self.num_slots
-            * self.num_kv_heads
-            * self.head_dim
+            * self.folded_dim
             * np.dtype(self.dtype).itemsize
         )
 
 
 class KVCachePool:
-    """Owns the device array + host-side page free list."""
+    """Owns the per-layer device arrays + host-side page bookkeeping."""
 
     def __init__(self, config: KVPoolConfig, mesh_ctx: Optional[MeshContext] = None):
         self.config = config
@@ -67,43 +71,47 @@ class KVCachePool:
             and mesh_ctx.tp_size > 1
             and config.num_kv_heads % mesh_ctx.tp_size == 0
         )
-        spec = P(None, None, None, None, AXIS_TP if shard_heads else None, None)
+        spec = P(None, None, None, AXIS_TP if shard_heads else None)
+        self.layer_spec = spec
         shape = (
-            config.num_layers,
             config.num_pages,
-            2,
             config.page_size,
-            config.num_kv_heads,
-            config.head_dim,
+            2,
+            config.folded_dim,
         )
+
+        def alloc():
+            return tuple(
+                jnp.zeros(shape, config.dtype)
+                for _ in range(config.num_layers)
+            )
+
         if mesh_ctx is not None:
             sharding = NamedSharding(mesh_ctx.mesh, spec)
             self.kv = jax.jit(
-                lambda: jnp.zeros(shape, config.dtype), out_shardings=sharding
+                alloc,
+                out_shardings=tuple(
+                    sharding for _ in range(config.num_layers)
+                ),
             )()
         else:
-            self.kv = jnp.zeros(shape, config.dtype)
-        self.sharding = self.kv.sharding
+            self.kv = alloc()
 
-    def swap(self, new_kv: jax.Array) -> None:
+    def swap(self, new_kv) -> None:
         """Install the pool returned by a donated jit step."""
         self.kv = new_kv
 
 
-def write_kv(
-    kv: jax.Array,
-    layer_id: int,
-    k: jax.Array,
+def write_kv_xla(
+    kv_layer: jax.Array,  # [NP, ps, 2, F]
+    k: jax.Array,  # [T, nk, hd]
     v: jax.Array,
     out_cache_loc: jax.Array,
     page_size: int,
 ) -> jax.Array:
-    """Scatter new K/V ([T, kv_heads, head_dim]) into token slots.
-
-    Under donation this lowers to an in-place dynamic-update-scatter.
-    """
+    """XLA-scatter fallback (CPU tests; TPU uses the Pallas write kernel)."""
+    T = k.shape[0]
+    rows = jnp.stack([k.reshape(T, -1), v.reshape(T, -1)], axis=1)
     pages = out_cache_loc // page_size
     offs = out_cache_loc % page_size
-    kv = kv.at[layer_id, pages, 0, offs].set(k.astype(kv.dtype))
-    kv = kv.at[layer_id, pages, 1, offs].set(v.astype(kv.dtype))
-    return kv
+    return kv_layer.at[pages, offs].set(rows.astype(kv_layer.dtype))

@@ -126,6 +126,24 @@ class ModelRunner:
         )
         logger.info("attention backend: %s", backend_name)
 
+        self.lora_manager = None
+        if server_args.enable_lora or server_args.lora_paths:
+            from sglang_tpu.lora.manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model,
+                model_config,
+                max_loras=server_args.max_loras_per_batch,
+                max_rank=server_args.max_lora_rank or 64,
+                dtype=model_config.dtype,
+            )
+            for spec in server_args.lora_paths or []:
+                if "=" in spec:
+                    name, path = spec.split("=", 1)
+                else:
+                    name = path = spec
+                self.lora_manager.load(name, path)
+
         # Device-resident per-request state (indexed by req_slot; last index
         # is the trash slot). next_tokens_buf is the overlap-schedule
         # future-map analog: decode steps read their input token from it so
@@ -221,12 +239,24 @@ class ModelRunner:
         st: SamplingTensors,
         vocab_mask: Optional[jax.Array],
         banned_tokens: Optional[jax.Array],  # [B, K] int32, -1 = none
+        lora_pack=None,  # (pools dict, scalings [G], row_ids [B]) or None
         return_top_logprobs: int = 0,
     ):
         if fb.mode.is_decode():
             # Input token comes from the device future-map, not the host.
             fb = dataclasses.replace(fb, input_ids=next_buf[fb.req_slots])
-        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        lora_state = None
+        if lora_pack is not None:
+            from sglang_tpu.lora.manager import build_lora_state
+
+            pools, scalings, row_ids = lora_pack
+            token_ids_ = (
+                row_ids if fb.mode.is_decode() else row_ids[fb.seq_ids]
+            )
+            lora_state = build_lora_state(pools, token_ids_, scalings)
+        hidden, kv = self.model(
+            params, fb, kv, self.attn_backend, lora=lora_state
+        )
         sel = hidden[fb.logits_indices]  # [B, H]
         logits = self.model.compute_logits(params, sel).astype(jnp.float32)
         B = logits.shape[0]
@@ -313,8 +343,16 @@ class ModelRunner:
         st: SamplingTensors,
         vocab_mask: Optional[jax.Array] = None,
         banned_tokens: Optional[jax.Array] = None,
+        lora_row_ids=None,
         return_top_logprobs: int = 0,
     ) -> ForwardOutput:
+        lora_pack = None
+        if lora_row_ids is not None and self.lora_manager is not None:
+            lora_pack = (
+                self.lora_manager.pools,
+                jnp.asarray(self.lora_manager.scalings),
+                jnp.asarray(np.asarray(lora_row_ids, np.int32)),
+            )
         if fb.mode.is_decode():
             # Decode reads its input tokens from the device future-map, so
             # input_ids is an unused jit arg — passing a FRESH host array
@@ -335,6 +373,7 @@ class ModelRunner:
             st,
             vocab_mask,
             banned_tokens,
+            lora_pack,
             return_top_logprobs=return_top_logprobs,
         )
         self.kv_pool.swap(new_kv)

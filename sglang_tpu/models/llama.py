@@ -26,6 +26,7 @@ from sglang_tpu.layers.linear import (
 )
 from sglang_tpu.layers.norms import RMSNorm
 from sglang_tpu.layers.rotary import RotaryEmbedding
+from sglang_tpu.lora.manager import apply_lora
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 
 
@@ -64,24 +65,36 @@ class LlamaAttention:
             s.update(self.qk_norm.specs(join(p, "k_norm")))
         return s
 
-    def __call__(self, params, p, x, fb: ForwardBatch, kv, attn_backend):
+    def __call__(self, params, p, x, fb: ForwardBatch, kv, attn_backend,
+                 lora=None):
         T = x.shape[0]
-        q = self.q_proj(params, join(p, "q_proj"), x).reshape(T, self.nq, self.hd)
+        q_flat = self.q_proj(params, join(p, "q_proj"), x)
         kv_new = self.kv_proj(params, join(p, "kv_proj"), x)
-        k = kv_new[:, 0, :].reshape(T, self.nk, self.hd)
-        v = kv_new[:, 1, :].reshape(T, self.nk, self.hd)
+        k_flat = kv_new[:, 0, :]
+        v_flat = kv_new[:, 1, :]
+        if lora is not None:
+            q_flat = q_flat + apply_lora(lora, "q_proj", self.layer_id, x)
+            k_flat = k_flat + apply_lora(lora, "kv_proj_k", self.layer_id, x)
+            v_flat = v_flat + apply_lora(lora, "kv_proj_v", self.layer_id, x)
+        q = q_flat.reshape(T, self.nq, self.hd)
+        k = k_flat.reshape(T, self.nk, self.hd)
+        v = v_flat.reshape(T, self.nk, self.hd)
         if self.qk_norm:
             q = self.qk_norm(params, join(p, "q_norm"), q)
             k = self.qk_norm(params, join(p, "k_norm"), k)
         q, k = self.rotary(fb.positions, q, k)
         out, kv = attn_backend(q, k, v, self.layer_id, kv, fb)
-        out = self.o_proj(params, join(p, "o_proj"), out.reshape(T, -1))
+        out_flat = out.reshape(T, -1)
+        out = self.o_proj(params, join(p, "o_proj"), out_flat)
+        if lora is not None:
+            out = out + apply_lora(lora, "o_proj", self.layer_id, out_flat)
         return out, kv
 
 
 class LlamaMLP:
-    def __init__(self, config: ModelConfig):
+    def __init__(self, config: ModelConfig, layer_id: int = 0):
         c = config
+        self.layer_id = layer_id
         self.gate_up = FusedColumnLinear(c.hidden_size, 2, c.intermediate_size, c.dtype)
         self.down = RowParallelLinear(c.intermediate_size, c.hidden_size, c.dtype)
         self.act = ACT2FN[c.hidden_act]
@@ -92,16 +105,25 @@ class LlamaMLP:
         s.update(self.down.specs(join(p, "down")))
         return s
 
-    def __call__(self, params, p, x):
-        h = self.act(self.gate_up(params, join(p, "gate_up"), x))
-        return self.down(params, join(p, "down"), h)
+    def __call__(self, params, p, x, lora=None):
+        gu = self.gate_up(params, join(p, "gate_up"), x)
+        if lora is not None:
+            g = gu[:, 0, :] + apply_lora(lora, "gate_up_gate", self.layer_id, x)
+            u = gu[:, 1, :] + apply_lora(lora, "gate_up_up", self.layer_id, x)
+            h = jax.nn.silu(g) * u
+        else:
+            h = self.act(gu)
+        out = self.down(params, join(p, "down"), h)
+        if lora is not None:
+            out = out + apply_lora(lora, "down", self.layer_id, h)
+        return out
 
 
 class LlamaDecoderLayer:
     def __init__(self, config: ModelConfig, layer_id: int):
         c = config
         self.attn = LlamaAttention(c, layer_id)
-        self.mlp = LlamaMLP(c)
+        self.mlp = LlamaMLP(c, layer_id)
         self.input_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
         self.post_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
 
@@ -113,15 +135,20 @@ class LlamaDecoderLayer:
         s.update(self.post_norm.specs(join(p, "post_norm")))
         return s
 
-    def __call__(self, params, p, x, residual, fb, kv, attn_backend):
+    def __call__(self, params, p, x, residual, fb, kv, attn_backend,
+                 lora=None):
         if residual is None:
             residual = x
             x = self.input_norm(params, join(p, "input_norm"), x)
         else:
             x, residual = self.input_norm(params, join(p, "input_norm"), x, residual)
-        x, kv = self.attn(params, join(p, "attn"), x, fb, kv, attn_backend)
+        x, kv = self.attn(params, join(p, "attn"), x, fb, kv, attn_backend,
+                          lora=lora)
         x, residual = self.post_norm(params, join(p, "post_norm"), x, residual)
-        x = self.mlp(params, join(p, "mlp"), x)
+        if isinstance(self.mlp, LlamaMLP):
+            x = self.mlp(params, join(p, "mlp"), x, lora=lora)
+        else:
+            x = self.mlp(params, join(p, "mlp"), x)
         return x, residual, kv
 
 
@@ -152,13 +179,15 @@ class LlamaForCausalLM:
 
     # ---- forward ----
     def __call__(
-        self, params: Params, fb: ForwardBatch, kv: jax.Array, attn_backend
+        self, params: Params, fb: ForwardBatch, kv: jax.Array, attn_backend,
+        lora=None,
     ) -> Tuple[jax.Array, jax.Array]:
         x = self.embed(params, "embed", fb.input_ids)
         residual = None
         for i, layer in enumerate(self.decoder_layers):
             x, residual, kv = layer(
-                params, f"layers/{i}", x, residual, fb, kv, attn_backend
+                params, f"layers/{i}", x, residual, fb, kv, attn_backend,
+                lora=lora,
             )
         x, _ = self.final_norm(params, "final_norm", x, residual)
         return x, kv

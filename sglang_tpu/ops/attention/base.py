@@ -2,9 +2,10 @@
 
 Ref: srt/layers/attention/base_attn_backend.py:33 (AttentionBackend ABC:
 forward_extend/forward_decode) and attention_registry.py:31. Our backends
-are pure functions over (q, k, v, kv_pool, ForwardBatch) called INSIDE the
+are pure functions over (q, k, v, kv_layer, ForwardBatch) called INSIDE the
 jitted model program, so there is no init_forward_metadata host step and no
-CUDA-graph state — bucketed jit handles that.
+CUDA-graph state — bucketed jit handles that. The KV pool is a tuple of
+per-layer pair-layout arrays [NP, ps, 2, nk*hd] (see mem/kv_pool.py).
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from typing import Callable, Dict, Tuple, Type
 
 import jax
 
-from sglang_tpu.mem.kv_pool import write_kv
+from sglang_tpu.mem.kv_pool import write_kv_xla
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 
 
@@ -36,20 +37,24 @@ class AttentionBackend:
         k: jax.Array,  # [T, nk, hd] new keys
         v: jax.Array,  # [T, nk, hd] new values
         layer_id: int,
-        kv: jax.Array,  # full pool [L, 2, S, nk, hd]
+        kv,  # tuple of per-layer pools [NP, ps, 2, F]
         fb: ForwardBatch,
-    ) -> Tuple[jax.Array, jax.Array]:
-        kv = write_kv(kv, layer_id, k, v, fb.out_cache_loc, self.page_size)
+    ) -> Tuple[jax.Array, tuple]:
+        kv_layer = self.write_kv(kv[layer_id], k, v, fb)
         if fb.mode.is_decode():
-            out = self.forward_decode(q, layer_id, kv, fb)
+            out = self.forward_decode(q, kv_layer, fb)
         else:
-            out = self.forward_extend(q, layer_id, kv, fb)
+            out = self.forward_extend(q, kv_layer, fb)
+        kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
 
-    def forward_decode(self, q, layer_id, kv, fb):
+    def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
+        return write_kv_xla(kv_layer, k, v, fb.out_cache_loc, self.page_size)
+
+    def forward_decode(self, q, kv_layer, fb):
         raise NotImplementedError
 
-    def forward_extend(self, q, layer_id, kv, fb):
+    def forward_extend(self, q, kv_layer, fb):
         raise NotImplementedError
 
 

@@ -1,10 +1,11 @@
 """Pallas ragged paged attention backend (TPU production path).
 
-Wires sglang_tpu/ops/attention/pallas_kernels.py behind the backend
-registry. Under tensor parallelism the kernel runs inside jax.shard_map
-over the "tp" mesh axis — each chip computes its local q/kv heads against
-its local KV shard; no collectives are needed inside attention (heads are
-fully parallel), matching the reference's per-rank attention execution
+Wires sglang_tpu/ops/attention/pallas_kernels.py (attention) and
+kv_write.py (in-place KV scatter) behind the backend registry. Under
+tensor parallelism the kernels run inside jax.shard_map over the "tp"
+mesh axis — each chip computes its local q/kv heads against its local KV
+shard; no collectives are needed inside attention (heads are fully
+parallel), matching the reference's per-rank attention execution
 (srt/layers/attention/flashinfer_backend.py) the TPU-native way.
 """
 
@@ -16,6 +17,7 @@ from jax.sharding import PartitionSpec as P
 
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 from sglang_tpu.ops.attention.base import AttentionBackend, register_attention_backend
+from sglang_tpu.ops.attention.kv_write import write_kv_pages
 from sglang_tpu.ops.attention.pallas_kernels import (
     paged_decode_attention,
     paged_extend_attention,
@@ -25,11 +27,6 @@ from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 
 @register_attention_backend("pallas")
 class PallasBackend(AttentionBackend):
-    def _folded_pages(self, kv, layer_id):
-        """kv[layer] -> folded fused page view [NP, 2, ps, nk*hd] (free)."""
-        np_, _, ps, nk, hd = kv.shape[1:]
-        return kv[layer_id].reshape(np_, 2, ps, nk * hd)
-
     def _tp_size(self) -> int:
         try:
             return get_mesh_context().tp_size
@@ -43,8 +40,28 @@ class PallasBackend(AttentionBackend):
             else P(None, None, None, None)
         )
 
-    def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
-        kv_pages = self._folded_pages(kv, layer_id)
+    def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
+        T = k.shape[0]
+        rows = jnp.stack(
+            [k.reshape(T, -1), v.reshape(T, -1)], axis=1
+        ).astype(kv_layer.dtype)
+        ps = self.page_size
+
+        def local(kvl, rws, locs):
+            return write_kv_pages(kvl, rws, locs, page_size=ps)
+
+        tp = self._tp_size()
+        if tp > 1:
+            local = jax.shard_map(
+                local,
+                mesh=get_mesh_context().mesh,
+                in_specs=(self._kv_spec(tp), P(None, None, AXIS_TP), P()),
+                out_specs=self._kv_spec(tp),
+                check_vma=False,
+            )
+        return local(kv_layer, rows, fb.out_cache_loc)
+
+    def forward_decode(self, q, kv_layer, fb: ForwardBatch):
         scale, ps, hd = self.scale, self.page_size, self.head_dim
 
         def local(qs, kvs, pt, sl):
@@ -65,14 +82,12 @@ class PallasBackend(AttentionBackend):
                 out_specs=P(None, AXIS_TP, None),
                 check_vma=False,
             )
-        return local(q, kv_pages, fb.page_table, fb.seq_lens)
+        return local(q, kv_layer, fb.page_table, fb.seq_lens)
 
-    def forward_extend(self, q, layer_id, kv, fb: ForwardBatch):
-        kv_pages = self._folded_pages(kv, layer_id)
+    def forward_extend(self, q, kv_layer, fb: ForwardBatch):
         scale, ps, hd = self.scale, self.page_size, self.head_dim
         T, nq, _ = q.shape
         q_folded = q.reshape(T, nq * hd)
-
         block_q = fb.extend_align
 
         def local(qs, kvs, pt, sl, pfl, qls, bseq, bqoff):
@@ -96,7 +111,7 @@ class PallasBackend(AttentionBackend):
                 check_vma=False,
             )
         out = local(
-            q_folded, kv_pages, fb.page_table, fb.seq_lens,
+            q_folded, kv_layer, fb.page_table, fb.seq_lens,
             fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
         )
         return out.reshape(T, nq, hd)

@@ -4,8 +4,9 @@ These replace the reference's FlashInfer/FlashAttention CUDA backends
 (srt/layers/attention/{flashinfer_backend.py,flashattention_backend.py})
 with a TPU-native design:
 
-- KV lives in an HBM page pool folded as [num_pages, 2, page_size, nk*hd]:
-  K and V of a page are adjacent, so ONE DMA fetches both. Each grid step
+- KV lives in an HBM page pool in pair layout [num_pages, page_size, 2,
+  nk*hd]: a token's K and V are adjacent sublanes, so the write kernel can
+  scatter per-token [2, F] rows and ONE page DMA fetches both. Each grid step
   DMAs exactly the pages a sequence needs (dynamic trip count — no
   padded-page bandwidth waste) through a 4-slot ring so several page
   fetches are in flight at once: decode through this device path is DMA-
@@ -92,9 +93,9 @@ def _run_paged_flash(
         ms, ls, accs = carry
         slot = jax.lax.rem(p, NBUF)
         wait_dma(slot)
-        kvp = kv_buf[slot]  # [2, ps, F]
-        k = kvp[0].astype(jnp.float32)
-        v = kvp[1]
+        kvp = kv_buf[slot]  # [ps, 2, F]
+        k = kvp[:, 0, :].astype(jnp.float32)
+        v = kvp[:, 1, :]
 
         scores_per_head = make_scores(k, p)
 
@@ -128,7 +129,7 @@ def _decode_kernel(
     seq_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, nq, hd] VMEM block
-    kv_pages_hbm,  # [NP, 2, ps, nk*hd] ANY (HBM)
+    kv_pages_hbm,  # [NP, ps, 2, nk*hd] ANY (HBM)
     # outputs
     o_ref,  # [1, nq, hd] VMEM block
     # scratch
@@ -186,7 +187,7 @@ def _decode_kernel(
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    kv_pages: jax.Array,  # [NP, 2, ps, nk*hd]
+    kv_pages: jax.Array,  # [NP, ps, 2, nk*hd]
     page_table: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32
     *,
@@ -195,7 +196,7 @@ def paged_decode_attention(
     num_kv_heads: int,
 ) -> jax.Array:
     B, nq, hd = q.shape
-    _, _, ps, F = kv_pages.shape
+    _, ps, _, F = kv_pages.shape
     assert F == num_kv_heads * hd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -210,7 +211,7 @@ def paged_decode_attention(
             (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 2, ps, F), kv_pages.dtype),
+            pltpu.VMEM((NBUF, ps, 2, F), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -251,7 +252,7 @@ def _extend_kernel(
     block_q_off_ref,  # [NB] block's first-token offset within its seq
     # inputs
     q_ref,  # [BQ, nq*hd] VMEM block (heads folded into lanes)
-    kv_pages_hbm,  # [NP, 2, ps, nk*hd]
+    kv_pages_hbm,  # [NP, ps, 2, nk*hd]
     # outputs
     o_ref,  # [BQ, nq*hd]
     # scratch
@@ -329,7 +330,7 @@ def _extend_kernel(
 )
 def paged_extend_attention(
     q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segs)
-    kv_pages: jax.Array,  # [NP, 2, ps, nk*hd]
+    kv_pages: jax.Array,  # [NP, ps, 2, nk*hd]
     page_table: jax.Array,  # [B, P]
     seq_lens: jax.Array,  # [B]
     prefix_lens: jax.Array,  # [B]
@@ -343,7 +344,7 @@ def paged_extend_attention(
     block_q: int = 64,
 ) -> jax.Array:
     T, Fq = q.shape
-    _, _, ps, F = kv_pages.shape
+    _, ps, _, F = kv_pages.shape
     hd = F // num_kv_heads
     assert T % block_q == 0 and Fq % hd == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,7 +364,7 @@ def paged_extend_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 2, ps, F), kv_pages.dtype),
+            pltpu.VMEM((NBUF, ps, 2, F), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )

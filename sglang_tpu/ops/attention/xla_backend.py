@@ -27,19 +27,22 @@ def _flat_slot_indices(page_table: jax.Array, page_size: int) -> jax.Array:
 
 @register_attention_backend("xla_native")
 class XlaNativeBackend(AttentionBackend):
-    def _gather_ctx(self, kv, layer_id, slots):
+    def _gather_ctx(self, kv_layer, slots):
+        """kv_layer [NP, ps, 2, F]; slots [..., C] -> k, v [..., C, nk, hd]."""
+        nk, hd = self.num_kv_heads, self.head_dim
         pages = slots // self.page_size
         offs = slots % self.page_size
-        k = kv[layer_id][pages, 0, offs]  # [..., nk, hd]
-        v = kv[layer_id][pages, 1, offs]
+        rows = kv_layer[pages, offs]  # [..., C, 2, F]
+        k = rows[..., 0, :].reshape(rows.shape[:-2] + (nk, hd))
+        v = rows[..., 1, :].reshape(rows.shape[:-2] + (nk, hd))
         return k, v
 
-    def forward_decode(self, q, layer_id, kv, fb: ForwardBatch):
+    def forward_decode(self, q, kv_layer, fb: ForwardBatch):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
-        k, v = self._gather_ctx(kv, layer_id, slots)  # [B, C, nk, hd]
+        k, v = self._gather_ctx(kv_layer, slots)  # [B, C, nk, hd]
         qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
         kf = k.astype(jnp.float32)
         scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * self.scale
@@ -50,13 +53,13 @@ class XlaNativeBackend(AttentionBackend):
         out = jnp.einsum("bkgc,bckd->bkgd", probs, v.astype(jnp.float32))
         return out.reshape(B, nq, hd).astype(q.dtype)
 
-    def forward_extend(self, q, layer_id, kv, fb: ForwardBatch):
+    def forward_extend(self, q, kv_layer, fb: ForwardBatch):
         T, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
         tok_slots = slots[fb.seq_ids]  # [T, C]
-        k, v = self._gather_ctx(kv, layer_id, tok_slots)  # [T, C, nk, hd]
+        k, v = self._gather_ctx(kv_layer, tok_slots)  # [T, C, nk, hd]
         qf = q.reshape(T, nk, group, hd).astype(jnp.float32)
         scores = jnp.einsum("tkgd,tckd->tkgc", qf, k.astype(jnp.float32)) * self.scale
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)

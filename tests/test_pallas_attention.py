@@ -55,7 +55,7 @@ def test_decode_kernel_matches_reference():
         paged_decode_attention(
             jnp.asarray(q),
             jnp.asarray(
-                np.stack([k_pages, v_pages], axis=1).reshape(NP, 2, ps, nk * hd)
+                np.stack([k_pages, v_pages], axis=2).reshape(NP, ps, 2, nk * hd)
             ),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
@@ -114,7 +114,7 @@ def test_extend_kernel_matches_reference():
         paged_extend_attention(
             jnp.asarray(q.reshape(T, nq * hd)),
             jnp.asarray(
-                np.stack([k_pages, v_pages], axis=1).reshape(NP, 2, ps, nk * hd)
+                np.stack([k_pages, v_pages], axis=2).reshape(NP, ps, 2, nk * hd)
             ),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
