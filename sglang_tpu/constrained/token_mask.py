@@ -116,7 +116,10 @@ class MaskCache:
             return m
         end_states = self.trie.alive_end_states(self.table, state)
         allowed = end_states >= 0
-        if self.dfa.is_accepting(state):
+        if self.dfa.is_accepting(state) or not allowed.any():
+            # Accepting, or a dead end (grammar continuations exist but no
+            # vocab token can walk them): allow EOS so the request ends
+            # instead of sampling from an all-banned distribution.
             for eos in self.eos_token_ids:
                 if 0 <= eos < self.trie.vocab_size:
                     allowed[eos] = True

@@ -253,9 +253,15 @@ class ScheduleCore:
             lora_row_ids = np.zeros(fb.padded_bs, np.int32)
             for i, r in enumerate(rows):
                 lora_row_ids[i] = self.runner.lora_manager.slot_of(r.req.lora_id)
+        all_greedy = all(
+            r.req.sampling_params.is_greedy
+            and not r.req.sampling_params.needs_penalties
+            for r in rows
+        )
         out = self.runner.forward(
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
             lora_row_ids=lora_row_ids, return_top_logprobs=any_top,
+            all_greedy=all_greedy,
         )
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
         if has_grammar:

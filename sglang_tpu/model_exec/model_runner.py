@@ -157,7 +157,7 @@ class ModelRunner:
         self._step = jax.jit(
             self._step_impl,
             donate_argnums=(1, 2, 3),
-            static_argnames=("return_top_logprobs",),
+            static_argnames=("return_top_logprobs", "all_greedy"),
         )
         self._override_tokens = jax.jit(
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
@@ -241,6 +241,7 @@ class ModelRunner:
         banned_tokens: Optional[jax.Array],  # [B, K] int32, -1 = none
         lora_pack=None,  # (pools dict, scalings [G], row_ids [B]) or None
         return_top_logprobs: int = 0,
+        all_greedy: bool = False,
     ):
         if fb.mode.is_decode():
             # Input token comes from the device future-map, not the host.
@@ -277,7 +278,8 @@ class ModelRunner:
         token_counts = None
         if penalty_buf is not None:
             token_counts = penalty_buf[fb.req_slots]
-        tokens, chosen_lp = sample(logits, st, token_counts, vocab_mask)
+        tokens, chosen_lp = sample(logits, st, token_counts, vocab_mask,
+                                   all_greedy=all_greedy)
         next_buf = next_buf.at[fb.req_slots].set(tokens)
         if penalty_buf is not None:
             penalty_buf = penalty_buf.at[fb.req_slots, tokens].add(1)
@@ -345,6 +347,7 @@ class ModelRunner:
         banned_tokens: Optional[jax.Array] = None,
         lora_row_ids=None,
         return_top_logprobs: int = 0,
+        all_greedy: bool = False,
     ) -> ForwardOutput:
         lora_pack = None
         if lora_row_ids is not None and self.lora_manager is not None:
@@ -375,6 +378,7 @@ class ModelRunner:
             banned_tokens,
             lora_pack,
             return_top_logprobs=return_top_logprobs,
+            all_greedy=all_greedy,
         )
         self.kv_pool.swap(new_kv)
         self.next_tokens_buf = new_buf

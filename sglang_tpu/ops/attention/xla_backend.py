@@ -37,12 +37,26 @@ class XlaNativeBackend(AttentionBackend):
         v = rows[..., 1, :].reshape(rows.shape[:-2] + (nk, hd))
         return k, v
 
+    def _gather_pages(self, kv_layer, page_table):
+        """Page-level gather: [B, P] -> k, v [B, P*ps, nk, hd].
+
+        Whole-page slices gather far better than per-token rows (bigger
+        contiguous reads)."""
+        nk, hd = self.num_kv_heads, self.head_dim
+        B, P = page_table.shape
+        rows = kv_layer[page_table]  # [B, P, ps, 2, F]
+        C = P * self.page_size
+        rows = rows.reshape(B, C, 2, nk * hd)
+        k = rows[:, :, 0, :].reshape(B, C, nk, hd)
+        v = rows[:, :, 1, :].reshape(B, C, nk, hd)
+        return k, v
+
     def forward_decode(self, q, kv_layer, fb: ForwardBatch):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
-        k, v = self._gather_ctx(kv_layer, slots)  # [B, C, nk, hd]
+        k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
         qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
         kf = k.astype(jnp.float32)
         scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * self.scale

@@ -59,11 +59,19 @@ def apply_penalties(
     return logits
 
 
+def _chosen_logprob(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+    """log p(token) via logsumexp — avoids materializing log_softmax [B,V]."""
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    chosen = jnp.take_along_axis(logits, tokens[:, None], axis=1)[:, 0]
+    return chosen - lse
+
+
 def sample(
     logits: jax.Array,  # [B, V] float32
     st: SamplingTensors,
     token_counts: Optional[jax.Array] = None,
     vocab_mask: Optional[jax.Array] = None,  # bool [B, V], True = banned
+    all_greedy: bool = False,  # static: skip the sampling machinery
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (next_tokens [B] int32, logprobs_of_chosen [B] f32)."""
     B, V = logits.shape
@@ -72,6 +80,8 @@ def sample(
         logits = jnp.where(vocab_mask, NEG_INF, logits)
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        return greedy_tokens, _chosen_logprob(logits, greedy_tokens)
 
     temps = jnp.maximum(st.temperatures, 1e-6)[:, None]
     scaled = logits / temps
@@ -114,10 +124,7 @@ def sample(
     needs_top = (st.top_ks < V) | (st.top_ps < 1.0) | (st.min_ps > 0.0)
     sampled = jnp.where(needs_top, restricted_tokens, free_tokens)
     tokens = jnp.where(is_greedy, greedy_tokens, sampled)
-
-    logprobs_all = jax.nn.log_softmax(logits, axis=-1)
-    chosen_logprob = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=1)[:, 0]
-    return tokens, chosen_logprob
+    return tokens, _chosen_logprob(logits, tokens)
 
 
 def compute_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
