@@ -70,16 +70,23 @@ def main():
         sp.normalize()
         reqs.append(Req(f"bench-{i}", prompt, sp))
 
-    # Warmup: compile all bucket shapes with a few tiny requests.
-    warm_sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
-    warm_sp.normalize()
-    for i in range(2):
-        core.add_request(
-            Req(f"warm-{i}", rng.integers(2, 60000, size=prompt_len).tolist(),
-                warm_sp)
-        )
+    # Warmup: run the EXACT workload once (untimed) so every bucket shape
+    # (prefill token buckets, decode batch buckets, page-table buckets as
+    # sequences grow) is compiled — the TPU analog of CUDA-graph capture.
+    warm_reqs = []
+    for i in range(n_reqs):
+        prompt = shared_prefix + rng.integers(
+            2, 60000, size=prompt_len - 128
+        ).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=out_len,
+                            ignore_eos=True)
+        sp.normalize()
+        warm_reqs.append(Req(f"warm-{i}", prompt, sp))
+    for r in warm_reqs:
+        core.add_request(r)
     while core.has_work():
         core.step()
+    core.flush_cache()
 
     t0 = time.perf_counter()
     for r in reqs:

@@ -52,6 +52,7 @@ class Req:
         eos_token_ids: Optional[set] = None,
         arrival_time: Optional[float] = None,
         lora_id: Optional[str] = None,
+        is_embedding: bool = False,
     ):
         self.rid = rid
         self.input_ids = list(input_ids)
@@ -62,6 +63,8 @@ class Req:
         self.eos_token_ids = eos_token_ids or set()
         self.arrival_time = arrival_time or time.time()
         self.lora_id = lora_id
+        self.is_embedding = is_embedding
+        self.embedding = None
 
         self.status = ReqStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None

@@ -53,6 +53,7 @@ class StepOutput:
     completion_tokens: int = 0
     cached_tokens: int = 0
     prompt_tokens: int = 0
+    embedding: Optional[List[float]] = None
 
 
 @dataclasses.dataclass
@@ -216,6 +217,8 @@ class ScheduleCore:
 
     # ------------------------------------------------------ batch scheduling
     def _schedule_and_launch(self) -> bool:
+        if self._run_encode_batch():
+            return True
         batch = self._get_prefill_batch()
         mode = ForwardMode.EXTEND
         if batch is None and self.drafter is not None:
@@ -424,6 +427,53 @@ class ScheduleCore:
             # roll back anything? (nothing admitted)
             return None
         return rows, seq_inputs
+
+    # ---- embedding (encode) batches ----
+    def _run_encode_batch(self) -> bool:
+        """Pooled-embedding forward for embedding requests (ref:
+        srt/layers/pooler.py, engine.encode). Runs whole prompts (no
+        chunking) in dedicated batches, synchronously."""
+        embed_reqs = [r for r in self.waiting if r.is_embedding]
+        if not embed_reqs:
+            return False
+        batch = embed_reqs[: min(8, len(embed_reqs))]
+        seq_inputs = []
+        admitted = []
+        for req in batch:
+            need_pages = cdiv(len(req.input_ids), self.page_size)
+            pages = self.allocator.alloc(need_pages)
+            if pages is None:
+                self._evict_for(need_pages)
+                pages = self.allocator.alloc(need_pages)
+                if pages is None:
+                    break
+            req.pages = pages
+            seq_inputs.append(SeqInput(req.input_ids, 0, pages, req_slot=-1))
+            admitted.append(req)
+        if not admitted:
+            return False
+        fb = build_forward_batch(
+            seq_inputs, self.page_size, ForwardMode.EXTEND,
+            trash_slot=self.runner.trash_slot,
+        )
+        pooled = np.asarray(self.runner.forward_encode(fb))
+        for i, req in enumerate(admitted):
+            self.waiting.remove(req)
+            req.embedding = pooled[i].tolist()
+            req.status = ReqStatus.FINISHED
+            req.finish_reason = FinishReason("stop")
+            self.allocator.free(req.pages)
+            req.pages = []
+            self._early_outputs.append(
+                StepOutput(
+                    rid=req.rid,
+                    new_token=None,
+                    finish_reason={"type": "stop"},
+                    prompt_tokens=len(req.input_ids),
+                    embedding=req.embedding,
+                )
+            )
+        return True
 
     # ---- speculative verify (NGRAM) ----
     def _run_spec_verify_step(self) -> bool:

@@ -228,6 +228,14 @@ class Engine:
             outs.append(out)
         return outs[0] if not gri.is_batch() else outs
 
+    def encode(self, prompt=None, input_ids=None):
+        """Embedding API (ref: engine.encode, entrypoints/engine.py:549)."""
+        gri = GenerateReqInput(
+            text=prompt, input_ids=input_ids, is_embedding=True,
+        )
+        outs = self._run_coro(self._collect(gri))
+        return outs[0] if not gri.is_batch() else outs
+
     def flush_cache(self) -> bool:
         return self._run_coro(self.tokenizer_manager.flush_cache())
 

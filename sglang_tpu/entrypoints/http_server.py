@@ -134,6 +134,49 @@ class HttpServer:
         except ValueError as e:
             return _json_error(str(e))
 
+    async def encode(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        gri = GenerateReqInput(
+            text=body.get("text"),
+            input_ids=body.get("input_ids"),
+            is_embedding=True,
+        )
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        return web.json_response(outs if gri.is_batch() else outs[-1])
+
+    async def v1_embeddings(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        inp = body.get("input")
+        if isinstance(inp, str) or (inp and isinstance(inp[0], int)):
+            texts = [inp] if isinstance(inp, str) else None
+            ids = None if isinstance(inp, str) else [inp]
+        else:
+            texts = inp if inp and isinstance(inp[0], str) else None
+            ids = inp if inp and isinstance(inp[0], list) else None
+        gri = GenerateReqInput(
+            text=(texts if texts and len(texts) > 1 else (texts[0] if texts else None)),
+            input_ids=(ids if ids and len(ids) > 1 else (ids[0] if ids else None)),
+            is_embedding=True,
+        )
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        data = [
+            {"object": "embedding", "index": i, "embedding": o["embedding"]}
+            for i, o in enumerate(outs)
+        ]
+        total = sum(o["meta_info"].get("prompt_tokens", 0) for o in outs)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": body.get("model", self.args.served_model_name),
+                "usage": {"prompt_tokens": total, "total_tokens": total},
+            }
+        )
+
     async def flush_cache(self, request: web.Request) -> web.Response:
         ok = await self.tm.flush_cache()
         return web.json_response({"success": ok}, status=200 if ok else 400)
@@ -247,6 +290,8 @@ class HttpServer:
         r.add_get("/get_model_info", self.get_model_info)
         r.add_get("/get_server_info", self.get_server_info)
         r.add_post("/generate", self.generate)
+        r.add_post("/encode", self.encode)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)

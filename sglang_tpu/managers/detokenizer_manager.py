@@ -69,9 +69,21 @@ class DetokenizerCore:
         out = BatchStrOut(
             rids=[], delta_texts=[], output_ids=[], finish_reasons=[],
             logprobs=[], top_logprobs=[], completion_tokens=[],
-            cached_tokens=[], prompt_tokens=[],
+            cached_tokens=[], prompt_tokens=[], embeddings=[],
         )
         for i, rid in enumerate(batch.rids):
+            if batch.embeddings[i] is not None:
+                out.rids.append(rid)
+                out.delta_texts.append("")
+                out.output_ids.append([])
+                out.finish_reasons.append(batch.finish_reasons[i])
+                out.logprobs.append(None)
+                out.top_logprobs.append(None)
+                out.completion_tokens.append(0)
+                out.cached_tokens.append(batch.cached_tokens[i])
+                out.prompt_tokens.append(batch.prompt_tokens[i])
+                out.embeddings.append(batch.embeddings[i])
+                continue
             st = self.states.get(rid)
             if st is None:
                 stop_strs = batch.stop_strs[i] or []
@@ -125,6 +137,7 @@ class DetokenizerCore:
             out.completion_tokens.append(batch.completion_tokens[i])
             out.cached_tokens.append(batch.cached_tokens[i])
             out.prompt_tokens.append(batch.prompt_tokens[i])
+            out.embeddings.append(None)
         return out
 
 

@@ -31,6 +31,7 @@ class GenerateReqInput:
     lora_path: Optional[Union[str, List[str]]] = None
     session_params: Optional[Dict] = None
     return_text_in_logprobs: bool = False
+    is_embedding: bool = False
     # Multimodal (round-2 surface)
     image_data: Optional[Any] = None
 
@@ -81,6 +82,7 @@ class GenerateReqInput:
                     top_logprobs_num=pick(self.top_logprobs_num, i, 0),
                     stream=self.stream,
                     lora_path=pick(self.lora_path, i),
+                    is_embedding=self.is_embedding,
                 )
             )
         return out
@@ -95,6 +97,7 @@ class TokenizedGenerateReqInput:
     top_logprobs_num: int = 0
     stream: bool = False
     lora_path: Optional[str] = None
+    is_embedding: bool = False
 
 
 @dataclasses.dataclass
@@ -109,6 +112,7 @@ class BatchTokenOut:
     completion_tokens: List[int]
     cached_tokens: List[int]
     prompt_tokens: List[int]
+    embeddings: List[Optional[List[float]]]
     skip_special_tokens: List[bool]
     spaces_between_special_tokens: List[bool]
     stop_strs: List[Optional[List[str]]]
@@ -128,6 +132,7 @@ class BatchStrOut:
     completion_tokens: List[int]
     cached_tokens: List[int]
     prompt_tokens: List[int]
+    embeddings: List[Optional[List[float]]]
 
 
 @dataclasses.dataclass

@@ -65,6 +65,7 @@ class Scheduler:
                 return_logprob=msg.return_logprob,
                 top_logprobs_num=msg.top_logprobs_num,
                 lora_id=msg.lora_path,
+                is_embedding=getattr(msg, "is_embedding", False),
             )
             self._req_meta[msg.rid] = (
                 sp.skip_special_tokens,
@@ -123,8 +124,8 @@ class Scheduler:
         msg = BatchTokenOut(
             rids=[], tokens=[], finish_reasons=[], logprobs=[], top_logprobs=[],
             completion_tokens=[], cached_tokens=[], prompt_tokens=[],
-            skip_special_tokens=[], spaces_between_special_tokens=[],
-            stop_strs=[], no_stop_trim=[],
+            embeddings=[], skip_special_tokens=[],
+            spaces_between_special_tokens=[], stop_strs=[], no_stop_trim=[],
         )
         for o in outs:
             meta = self._req_meta.get(o.rid, (True, True, [], False))
@@ -136,6 +137,7 @@ class Scheduler:
             msg.completion_tokens.append(o.completion_tokens)
             msg.cached_tokens.append(o.cached_tokens)
             msg.prompt_tokens.append(o.prompt_tokens)
+            msg.embeddings.append(o.embedding)
             msg.skip_special_tokens.append(meta[0])
             msg.spaces_between_special_tokens.append(meta[1])
             msg.stop_strs.append(meta[2])

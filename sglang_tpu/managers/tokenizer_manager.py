@@ -143,6 +143,7 @@ class TokenizerManager:
                     completion_tokens=msg.completion_tokens[i],
                     cached_tokens=msg.cached_tokens[i],
                     prompt_tokens=msg.prompt_tokens[i],
+                    embedding=msg.embeddings[i],
                 )
             )
 
@@ -156,6 +157,8 @@ class TokenizerManager:
 
     def _to_tokenized(self, gri: GenerateReqInput) -> TokenizedGenerateReqInput:
         sp_dict = dict(gri.sampling_params or {})
+        if getattr(gri, "is_embedding", False):
+            sp_dict = {"max_new_tokens": 0, "temperature": 0.0}
         sp = SamplingParams(**sp_dict)
         sp.normalize()
         input_ids = self._tokenize(gri)
@@ -173,6 +176,7 @@ class TokenizerManager:
             top_logprobs_num=int(gri.top_logprobs_num or 0),
             stream=gri.stream,
             lora_path=gri.lora_path,
+            is_embedding=bool(getattr(gri, "is_embedding", False)),
         )
 
     async def generate_request(
@@ -224,6 +228,11 @@ class TokenizerManager:
             "cached_tokens": item["cached_tokens"],
             "e2e_latency": time.time() - state.created,
         }
+        if item.get("embedding") is not None:
+            return {
+                "embedding": item["embedding"],
+                "meta_info": meta,
+            }
         if treq.return_logprob:
             meta["output_token_logprobs"] = [
                 (lp, tid, None)

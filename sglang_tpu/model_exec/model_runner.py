@@ -289,6 +289,26 @@ class ModelRunner:
             tv, ti = None, None
         return kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti
 
+    def _encode_impl(self, params, kv, fb: ForwardBatch):
+        """Embedding forward: pooled (last-token) hidden states, L2-normed.
+
+        Ref: srt/layers/pooler.py (LAST pooling) + engine.encode
+        (entrypoints/engine.py:549)."""
+        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        pooled = hidden[fb.logits_indices]  # [B, H]
+        pooled = pooled.astype(jnp.float32)
+        pooled = pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+        )
+        return kv, pooled
+
+    def forward_encode(self, fb: ForwardBatch):
+        if not hasattr(self, "_encode"):
+            self._encode = jax.jit(self._encode_impl, donate_argnums=(1,))
+        new_kv, pooled = self._encode(self.params, self.kv_pool.kv, fb)
+        self.kv_pool.swap(new_kv)
+        return pooled
+
     def _verify_impl(self, params, kv, fb: ForwardBatch):
         """Speculative verify: greedy tokens at EVERY extend position.
 

@@ -49,6 +49,11 @@ class PallasBackend(AttentionBackend):
 
         return XlaNativeBackend._gather_ctx(self, kv_layer, slots)
 
+    def _gather_pages(self, kv_layer, page_table):
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend._gather_pages(self, kv_layer, page_table)
+
     def _tp_size(self) -> int:
         try:
             return get_mesh_context().tp_size
