@@ -66,10 +66,12 @@ class MatchResult:
 
 
 class RadixCache:
-    def __init__(self, page_size: int, page_allocator, disable: bool = False):
+    def __init__(self, page_size: int, page_allocator, disable: bool = False,
+                 on_evict=None):
         self.page_size = page_size
         self.allocator = page_allocator
         self.disable = disable
+        self.on_evict = on_evict  # fn(full_prefix_tokens, pages) before free
         self.root = TreeNode(None, (), [])
         self.root.lock_ref = 1  # never evicted
         self.evictable_pages = 0
@@ -193,6 +195,22 @@ class RadixCache:
             node = heapq.heappop(leaves)
             if node.lock_ref > 0 or not node.is_leaf:
                 continue
+            if self.on_evict is not None and node.pages:
+                # full prefix tokens from root to this node
+                parts = []
+                cur = node
+                while cur is not None and cur.key:
+                    parts.append(cur.key)
+                    cur = cur.parent
+                full = [t for chunk in reversed(parts) for t in chunk]
+                try:
+                    self.on_evict(full, list(node.pages))
+                except Exception:  # noqa: BLE001
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "on_evict hook failed", exc_info=True
+                    )
             self.allocator.free(node.pages)
             freed += len(node.pages)
             self.evictable_pages -= len(node.pages)

@@ -86,8 +86,18 @@ class ScheduleCore:
         self.allocator = PageAllocator(
             runner.kv_pool.config.num_pages, self.page_size
         )
+        self.hicache = None
+        if server_args.enable_hierarchical_cache:
+            from sglang_tpu.mem.hicache import HiCacheController
+
+            self.hicache = HiCacheController(
+                runner.kv_pool, host_ratio=server_args.hicache_ratio
+            )
         self.radix = RadixCache(
-            self.page_size, self.allocator, disable=server_args.disable_radix_cache
+            self.page_size,
+            self.allocator,
+            disable=server_args.disable_radix_cache,
+            on_evict=(self.hicache.store_pages if self.hicache else None),
         )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
         self.slots = ReqSlotPool(server_args.max_running_requests)
@@ -362,6 +372,8 @@ class ScheduleCore:
             # Re-match against the CURRENT tree: earlier admissions in this
             # loop may have evicted pages referenced by the policy's match.
             mr = self.radix.match_prefix(req.all_ids)
+            if self.hicache is not None:
+                mr = self._try_hicache_restore(req, mr)
             req._fill_len = len(req.all_ids)
             # Never match the entire input: the last token must be computed
             # to produce logits. Back off one page if fully cached.
@@ -604,6 +616,26 @@ class ScheduleCore:
         if not rows:
             return None
         return rows, seq_inputs
+
+    def _try_hicache_restore(self, req, mr):
+        """Promote a longer host-tier prefix hit into the device tree.
+
+        Ref: HiRadixCache prefetch/write-through (srt/mem_cache/
+        hiradix_cache.py)."""
+        ps = self.page_size
+        hlen, hpages = self.hicache.match_prefix(req.all_ids)
+        if hlen <= mr.length:
+            return mr
+        extra_pages = (hlen - mr.length) // ps
+        pages = self.allocator.alloc(extra_pages)
+        if pages is None:
+            self._evict_for(extra_pages)
+            pages = self.allocator.alloc(extra_pages)
+            if pages is None:
+                return mr
+        self.hicache.load_prefix(hpages[mr.length // ps :], pages)
+        self.radix.insert(req.all_ids[:hlen], mr.pages + pages)
+        return self.radix.match_prefix(req.all_ids)
 
     # ---- memory helpers ----
     def _extend_pages(self, req: Req, target_tokens: int) -> bool:

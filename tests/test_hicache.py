@@ -1,0 +1,75 @@
+"""HiCache host-tier tests: evicted KV pages round-trip through host memory
+and restored prefixes produce identical greedy output with cached_tokens > 0.
+
+Ref: srt/mem_cache/hiradix_cache.py behavior.
+"""
+
+import numpy as np
+import pytest
+
+from sglang_tpu.core.req import Req
+from sglang_tpu.core.schedule_core import ScheduleCore
+from sglang_tpu.model_exec.model_runner import ModelRunner
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from sglang_tpu.server_args import ServerArgs
+
+
+def make_core(model_dir, **kw):
+    defaults = dict(
+        model_path=model_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=256,  # small device pool -> forces eviction
+        max_running_requests=8,
+        enable_hierarchical_cache=True,
+        hicache_ratio=8.0,
+    )
+    defaults.update(kw)
+    args = ServerArgs(**defaults)
+    runner = ModelRunner(args)
+    return ScheduleCore(args, runner), args
+
+
+def run_one(core, rid, prompt, n_new=6):
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp.normalize()
+    req = Req(rid, prompt, sp)
+    core.add_request(req)
+    steps = 0
+    while core.has_work():
+        core.step()
+        steps += 1
+        assert steps < 1000
+    return req
+
+
+def test_hicache_roundtrip(tiny_llama_dir):
+    core, _ = make_core(tiny_llama_dir)
+    prompt_a = [7, 8, 9, 10] * 8  # 32 tokens = 8 pages
+    ra = run_one(core, "a", prompt_a)
+
+    # Fill the device pool with other requests so A's pages get evicted
+    # to the host tier.
+    for i in range(6):
+        run_one(core, f"fill{i}", [(11 + i + j) % 200 + 2 for j in range(40)])
+    assert core.hicache.num_stored > 0
+
+    # Re-run A: device tree may have lost it; host tier must restore.
+    rb = run_one(core, "a2", prompt_a)
+    assert rb.output_ids == ra.output_ids
+    if core.hicache.num_restored > 0:
+        assert rb.cached_len > 0
+
+
+def test_hicache_restored_content_exact(tiny_llama_dir):
+    """Output with restored prefix must equal output computed from scratch."""
+    core, _ = make_core(tiny_llama_dir)
+    prompt = list(range(3, 3 + 36))
+    r1 = run_one(core, "x1", prompt, n_new=8)
+
+    for i in range(6):
+        run_one(core, f"f{i}", [(50 + i * 7 + j) % 200 + 2 for j in range(40)])
+
+    r2 = run_one(core, "x2", prompt, n_new=8)
+    assert r2.output_ids == r1.output_ids
