@@ -156,6 +156,7 @@ class Engine:
         top_logprobs_num: int = 0,
         stream: bool = False,
         rid: Optional[str] = None,
+        session_params: Optional[Dict] = None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -165,6 +166,7 @@ class Engine:
             top_logprobs_num=top_logprobs_num,
             stream=stream,
             rid=rid,
+            session_params=session_params,
         )
         if stream:
             return self._stream_sync(gri)
@@ -248,6 +250,12 @@ class Engine:
                 model_path, load_format
             )
         )
+
+    def open_session(self, session_id=None) -> str:
+        return self.tokenizer_manager.open_session(session_id)
+
+    def close_session(self, session_id: str) -> bool:
+        return self.tokenizer_manager.close_session(session_id)
 
     def health(self) -> bool:
         return self._run_coro(self.tokenizer_manager.health())

@@ -106,6 +106,7 @@ class HttpServer:
                 top_logprobs_num=body.get("top_logprobs_num", 0),
                 stream=body.get("stream", False),
                 lora_path=body.get("lora_path"),
+                session_params=body.get("session_params"),
             )
         except Exception as e:  # noqa: BLE001
             return _json_error(str(e))
@@ -176,6 +177,16 @@ class HttpServer:
                 "usage": {"prompt_tokens": total, "total_tokens": total},
             }
         )
+
+    async def open_session(self, request: web.Request) -> web.Response:
+        body = await request.json() if request.can_read_body else {}
+        sid = self.tm.open_session(body.get("session_id"))
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok = self.tm.close_session(body.get("session_id", ""))
+        return web.json_response({"success": ok})
 
     async def flush_cache(self, request: web.Request) -> web.Response:
         ok = await self.tm.flush_cache()
@@ -295,6 +306,8 @@ class HttpServer:
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_get("/v1/models", self.v1_models)
         r.add_post("/v1/completions", self.v1_completions)

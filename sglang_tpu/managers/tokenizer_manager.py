@@ -78,6 +78,10 @@ class TokenizerManager:
 
         self.rid_to_state: Dict[str, ReqState] = {}
         self.metrics = None  # TokenizerMetrics, set when --enable-metrics
+        # Sessions: multi-turn context reuse (ref srt/session/
+        # session_controller.py). Context tokens accumulate per session;
+        # KV reuse across turns comes from the radix cache automatically.
+        self.sessions: Dict[str, List[int]] = {}
         self._control_waiters: Dict[type, deque] = {}
         self.ready = asyncio.Event()
         self.scheduler_info: Dict[str, Any] = {}
@@ -202,6 +206,12 @@ class TokenizerManager:
 
     async def _generate_one(self, gri: GenerateReqInput):
         treq = self._to_tokenized(gri)
+        session_id = (gri.session_params or {}).get("id")
+        if session_id is not None:
+            ctx = self.sessions.get(session_id)
+            if ctx is None:
+                raise ValueError(f"unknown session {session_id!r}")
+            treq.input_ids = ctx + treq.input_ids
         state = ReqState(rid=treq.rid, queue=asyncio.Queue())
         self.rid_to_state[treq.rid] = state
         await self.send_sock.send(pickle.dumps(treq, protocol=5))
@@ -215,6 +225,10 @@ class TokenizerManager:
                 if gri.stream or item["finish_reason"] is not None:
                     yield out
                 if item["finish_reason"] is not None:
+                    if session_id is not None:
+                        self.sessions[session_id] = (
+                            list(treq.input_ids) + list(state.output_ids)
+                        )
                     return
         finally:
             self.rid_to_state.pop(treq.rid, None)
@@ -245,6 +259,16 @@ class TokenizerManager:
             "output_ids": list(state.output_ids),
             "meta_info": meta,
         }
+
+    def open_session(self, session_id: Optional[str] = None) -> str:
+        import uuid as _uuid
+
+        sid = session_id or _uuid.uuid4().hex
+        self.sessions.setdefault(sid, [])
+        return sid
+
+    def close_session(self, session_id: str) -> bool:
+        return self.sessions.pop(session_id, None) is not None
 
     async def abort_request(self, rid: str) -> None:
         await self.send_sock.send(

@@ -133,3 +133,24 @@ def test_stop_string(engine, tiny_llama_dir):
     )
     assert stop_word not in out["text"]
     assert out["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_sessions_multi_turn(engine):
+    sid = engine.open_session()
+    o1 = engine.generate(
+        prompt="w80 w81",
+        sampling_params={"temperature": 0, "max_new_tokens": 3,
+                         "ignore_eos": True},
+        session_params={"id": sid},
+    )
+    o2 = engine.generate(
+        prompt="w82",
+        sampling_params={"temperature": 0, "max_new_tokens": 3,
+                         "ignore_eos": True},
+        session_params={"id": sid},
+    )
+    # turn 2 context includes turn 1 (prompt grows)
+    assert o2["meta_info"]["prompt_tokens"] > o1["meta_info"]["prompt_tokens"]
+    # the shared context should hit the radix cache
+    assert o2["meta_info"]["cached_tokens"] > 0
+    assert engine.close_session(sid)
