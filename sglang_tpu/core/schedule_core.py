@@ -133,6 +133,26 @@ class ScheduleCore:
         self.num_spec_accepted = 0
         self.num_spec_steps = 0
 
+        # PD disaggregation (ref srt/disaggregation/): prefill engines ship
+        # page-granular KV to decode engines via a KVSender; decode engines
+        # admit PREBUILT requests whose KV is restored with the HiCache
+        # page-copy kernel.
+        self.pd_mode = server_args.disaggregation_mode  # null|prefill|decode
+        self.kv_sender = None
+        self._pd_gather = None
+        if self.pd_mode == "prefill":
+            from sglang_tpu.disaggregation.fake import FakeKVSender
+
+            self.kv_sender = FakeKVSender()
+            import jax
+            import jax.numpy as jnp
+
+            self._pd_gather = jax.jit(
+                lambda kv, pages: jnp.stack(
+                    [layer[pages] for layer in kv], axis=1
+                )
+            )
+
         # metrics
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
@@ -745,6 +765,20 @@ class ScheduleCore:
                     req.output_top_logprobs.append(
                         (top_v[i, :k].tolist(), top_i[i, :k].tolist())
                     )
+            if self.pd_mode == "prefill" and row.kind == "final":
+                self._pd_handoff(req, token, float(logprobs[i]))
+                fr = FinishReason("stop")
+                self._finish_req(req, fr)
+                outputs.append(
+                    StepOutput(
+                        rid=req.rid, new_token=token,
+                        finish_reason=fr.to_json(),
+                        completion_tokens=1,
+                        cached_tokens=req.cached_len,
+                        prompt_tokens=len(req.input_ids),
+                    )
+                )
+                continue
             fr = req.check_finished(token)
             if fr is None and req.sampling_params.stop:
                 fr = self._check_stop_strings(req)
@@ -767,6 +801,73 @@ class ScheduleCore:
                 )
             )
         return outputs
+
+    def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
+        """Ship the finished prefill's KV pages to the decode fleet."""
+        from sglang_tpu.disaggregation.base import KVHandoff
+
+        ps = self.page_size
+        fill = len(req.input_ids)
+        npages = cdiv(fill, ps)
+        kv_bytes = np.asarray(
+            self._pd_gather(
+                self.runner.kv_pool.kv,
+                np.asarray(req.pages[:npages], np.int32),
+            )
+        )
+        self.kv_sender.send(
+            KVHandoff(
+                room=getattr(req, "bootstrap_room", req.rid),
+                token_ids=list(req.input_ids),
+                kv_pages=kv_bytes,
+                first_token=first_token,
+                first_logprob=logprob,
+            )
+        )
+
+    def add_prebuilt_request(self, handoff, sampling_params, rid=None) -> Req:
+        """Decode-side admission of a PD handoff (ForwardMode.PREBUILT
+        analog, ref scheduler.py:3594): KV restored, decoding resumes."""
+        from sglang_tpu.mem.hicache import copy_pages
+        import jax.numpy as jnp
+
+        ps = self.page_size
+        fill = len(handoff.token_ids)
+        npages = cdiv(fill + 1, ps)
+        kv_npages = handoff.kv_pages.shape[0]
+        pages = self.allocator.alloc(npages)
+        if pages is None:
+            self._evict_for(npages)
+            pages = self.allocator.alloc(npages)
+            if pages is None:
+                raise RuntimeError("decode engine out of KV pages")
+        kv = list(self.runner.kv_pool.kv)
+        K = kv_npages
+        pairs = np.empty(2 * K, np.int32)
+        pairs[0::2] = np.arange(K)
+        pairs[1::2] = pages[:K]
+        for l in range(len(kv)):
+            kv[l] = copy_pages(
+                kv[l], jnp.asarray(handoff.kv_pages[:, l]),
+                jnp.asarray(pairs), n=K,
+            )
+        self.runner.kv_pool.swap(tuple(kv))
+
+        req = Req(rid or handoff.room, handoff.token_ids, sampling_params)
+        self.add_request(req)
+        self.waiting.remove(req)
+        req.output_ids = [handoff.first_token]
+        req.status = ReqStatus.RUNNING
+        req.pages = pages
+        req.cached_len = (fill // ps) * ps
+        req.prefill_progress = fill
+        req._fill_len = fill
+        req._device_seq_len = fill
+        req._device_step = 1
+        req.req_slot = self.slots.alloc()
+        self.runner.override_next_tokens([req.req_slot], [handoff.first_token])
+        self.running.append(req)
+        return req
 
     def _check_stop_strings(self, req: Req) -> Optional[FinishReason]:
         if self.tokenizer is None:

@@ -39,44 +39,58 @@ def _inproc_port_args() -> PortArgs:
 
 
 def launch_managers(server_args: ServerArgs):
-    """Start scheduler + detokenizer; return (port_args, procs/threads)."""
+    """Start detokenizer + scheduler(s) (+ DP controller for dp_size > 1).
+
+    Returns (port_args, workers, deferred_threads). In single-process mode
+    the threads are returned UNSTARTED (deferred_threads) so the caller can
+    bind the TokenizerManager's inproc socket first; in multi-process mode
+    everything is started and deferred_threads is None.
+    """
+    import dataclasses as _dc
+
     from sglang_tpu.managers.detokenizer_manager import run_detokenizer
     from sglang_tpu.managers.scheduler import run_scheduler
 
-    workers = []
+    dp = max(server_args.dp_size, 1)
+
+    def make_targets(port_args):
+        targets = [("detokenizer", run_detokenizer, (server_args, port_args))]
+        if dp > 1:
+            from sglang_tpu.managers.data_parallel_controller import (
+                run_dp_controller,
+            )
+
+            worker_addrs = [
+                f"{port_args.scheduler_ipc}_w{i}" for i in range(dp)
+            ]
+            targets.append(
+                ("dp-controller", run_dp_controller,
+                 (server_args, port_args, worker_addrs))
+            )
+            for i, addr in enumerate(worker_addrs):
+                wp = _dc.replace(port_args, scheduler_ipc=addr)
+                targets.append(
+                    (f"scheduler-{i}", run_scheduler, (server_args, wp))
+                )
+        else:
+            targets.append(("scheduler", run_scheduler, (server_args, port_args)))
+        return targets
+
     if server_args.enable_single_process:
         port_args = _inproc_port_args()
-        # Bind order matters for inproc: binders must start first. The
-        # detokenizer binds detokenizer_ipc; TokenizerManager binds
-        # tokenizer_ipc (created by caller before scheduler connects).
-        ready = threading.Event()
-        t_detok = threading.Thread(
-            target=run_detokenizer,
-            args=(server_args, port_args),
-            daemon=True,
-            name="detokenizer",
-        )
-        t_sched = threading.Thread(
-            target=run_scheduler,
-            args=(server_args, port_args, ready),
-            daemon=True,
-            name="scheduler",
-        )
-        workers += [t_detok, t_sched]
-        return port_args, workers, (t_detok, t_sched, ready)
-    else:
-        port_args = PortArgs.init_new(server_args)
-        ctx = mp.get_context("spawn")
-        p_detok = ctx.Process(
-            target=run_detokenizer, args=(server_args, port_args), daemon=True
-        )
-        p_detok.start()
-        p_sched = ctx.Process(
-            target=run_scheduler, args=(server_args, port_args), daemon=True
-        )
-        p_sched.start()
-        workers += [p_detok, p_sched]
-        return port_args, workers, None
+        threads = [
+            threading.Thread(target=fn, args=args, daemon=True, name=name)
+            for name, fn, args in make_targets(port_args)
+        ]
+        return port_args, threads, threads
+    port_args = PortArgs.init_new(server_args)
+    ctx = mp.get_context("spawn")
+    procs = []
+    for name, fn, args in make_targets(port_args):
+        p = ctx.Process(target=fn, args=args, daemon=True, name=name)
+        p.start()
+        procs.append(p)
+    return port_args, procs, None
 
 
 class Engine:
@@ -98,24 +112,17 @@ class Engine:
         )
         self._loop_thread.start()
 
-        if server_args.enable_single_process:
-            port_args, self._workers, extra = launch_managers(server_args)
-            self.port_args = port_args
-            # TokenizerManager must bind tokenizer_ipc before others connect.
-            self.tokenizer_manager = self._run_coro(
-                self._make_tm(server_args, port_args)
-            )
-            t_detok, t_sched, ready = extra
-            t_detok.start()
-            time.sleep(0.05)  # let detok bind before scheduler connects
-            t_sched.start()
-        else:
-            port_args = PortArgs.init_new(server_args)
-            self.port_args = port_args
-            self.tokenizer_manager = self._run_coro(
-                self._make_tm(server_args, port_args)
-            )
-            _, self._workers, _ = self._launch_procs(server_args, port_args)
+        port_args, self._workers, deferred = launch_managers(server_args)
+        self.port_args = port_args
+        # TokenizerManager must bind tokenizer_ipc before others connect.
+        self.tokenizer_manager = self._run_coro(
+            self._make_tm(server_args, port_args)
+        )
+        if deferred:
+            for i, t in enumerate(deferred):
+                t.start()
+                if i == 0:
+                    time.sleep(0.05)  # binder (detok) first
         self._run_coro(self.tokenizer_manager.wait_ready())
         atexit.register(self.shutdown)
 
@@ -126,21 +133,6 @@ class Engine:
         tm = TokenizerManager(server_args, port_args)
         tm.start()
         return tm
-
-    def _launch_procs(self, server_args, port_args):
-        from sglang_tpu.managers.detokenizer_manager import run_detokenizer
-        from sglang_tpu.managers.scheduler import run_scheduler
-
-        ctx = mp.get_context("spawn")
-        p_detok = ctx.Process(
-            target=run_detokenizer, args=(server_args, port_args), daemon=True
-        )
-        p_detok.start()
-        p_sched = ctx.Process(
-            target=run_scheduler, args=(server_args, port_args), daemon=True
-        )
-        p_sched.start()
-        return port_args, [p_detok, p_sched], None
 
     # ---------------------------------------------------------------- utils
     def _run_coro(self, coro):

@@ -319,36 +319,16 @@ async def _serve(server_args: ServerArgs) -> None:
     from sglang_tpu.entrypoints.engine import launch_managers
     from sglang_tpu.managers.tokenizer_manager import TokenizerManager
 
-    if server_args.enable_single_process:
-        import threading
-        import time as _time
+    import time as _time
 
-        port_args, workers, extra = launch_managers(server_args)
-        tm = TokenizerManager(server_args, port_args)
-        tm.start()
-        t_detok, t_sched, ready = extra
-        t_detok.start()
-        _time.sleep(0.05)
-        t_sched.start()
-    else:
-        from sglang_tpu.server_args import PortArgs
-        import multiprocessing as mp
-
-        from sglang_tpu.managers.detokenizer_manager import run_detokenizer
-        from sglang_tpu.managers.scheduler import run_scheduler
-
-        port_args = PortArgs.init_new(server_args)
-        tm = TokenizerManager(server_args, port_args)
-        tm.start()
-        ctx = mp.get_context("spawn")
-        p_detok = ctx.Process(
-            target=run_detokenizer, args=(server_args, port_args), daemon=True
-        )
-        p_detok.start()
-        p_sched = ctx.Process(
-            target=run_scheduler, args=(server_args, port_args), daemon=True
-        )
-        p_sched.start()
+    port_args, workers, deferred = launch_managers(server_args)
+    tm = TokenizerManager(server_args, port_args)
+    tm.start()
+    if deferred:
+        for i, t in enumerate(deferred):
+            t.start()
+            if i == 0:
+                _time.sleep(0.05)
 
     await tm.wait_ready()
     server = HttpServer(server_args, tm)
