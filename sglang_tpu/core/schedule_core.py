@@ -93,7 +93,18 @@ class ScheduleCore:
             self.hicache = HiCacheController(
                 runner.kv_pool, host_ratio=server_args.hicache_ratio
             )
-        self.radix = RadixCache(
+        radix_cls = RadixCache
+        if server_args.radix_cache_impl == "cpp":
+            try:
+                from sglang_tpu.core.radix_cache_cpp import CppRadixCache
+
+                radix_cls = CppRadixCache
+            except Exception:  # noqa: BLE001
+                logger.warning(
+                    "native radix tree unavailable; using python impl",
+                    exc_info=True,
+                )
+        self.radix = radix_cls(
             self.page_size,
             self.allocator,
             disable=server_args.disable_radix_cache,

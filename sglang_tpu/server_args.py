@@ -56,6 +56,7 @@ class ServerArgs:
     # Scheduling
     schedule_policy: str = "lpm"  # lpm | fcfs | dfs-weight | lof | random
     enable_hierarchical_cache: bool = False  # host KV tier (HiCache)
+    radix_cache_impl: str = "cpp"  # cpp (native) | python
     hicache_ratio: float = 2.0  # host tier size vs device pool
     schedule_conservativeness: float = 1.0
     disable_radix_cache: bool = False
