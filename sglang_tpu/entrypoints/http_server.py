@@ -44,6 +44,12 @@ class HttpServer:
     def __init__(self, server_args: ServerArgs, tokenizer_manager):
         self.args = server_args
         self.tm = tokenizer_manager
+        self.metrics = None
+        if server_args.enable_metrics:
+            from sglang_tpu.observability.metrics import TokenizerMetrics
+
+            self.metrics = TokenizerMetrics(server_args.served_model_name)
+            tokenizer_manager.metrics = self.metrics
         self.openai = OpenAIServing(
             tokenizer_manager,
             server_args.served_model_name,
@@ -205,6 +211,20 @@ class HttpServer:
         return web.json_response({"success": ok, "message": msg})
 
     # ------------------------------------------------------------ OpenAI API
+    async def metrics_endpoint(self, request: web.Request) -> web.Response:
+        if self.metrics is None:
+            return web.Response(text="metrics disabled (--enable-metrics)",
+                                status=404)
+        try:
+            info = await self.tm.get_server_info()
+            self.metrics.update_scheduler_stats(info)
+        except Exception:  # noqa: BLE001
+            pass
+        return web.Response(
+            body=self.metrics.render(),
+            content_type="text/plain",
+        )
+
     async def v1_models(self, request: web.Request) -> web.Response:
         return web.json_response(self.openai.models_response())
 
@@ -292,6 +312,76 @@ class HttpServer:
         except ValueError as e:
             return _json_error(str(e))
 
+    async def v1_messages(self, request: web.Request) -> web.StreamResponse:
+        """Anthropic Messages API adapter (ref http_server.py:1982)."""
+        try:
+            body = await request.json()
+            msgs = list(body.get("messages", []))
+            if body.get("system"):
+                msgs = [{"role": "system", "content": body["system"]}] + msgs
+            chat_body = {
+                "messages": msgs,
+                "max_tokens": body.get("max_tokens", 128),
+                "temperature": body.get("temperature"),
+                "top_p": body.get("top_p"),
+                "top_k": body.get("top_k"),
+                "stop": body.get("stop_sequences"),
+            }
+            gri = self.openai.chat_to_gri(chat_body)
+        except ValueError as e:
+            return _json_error(str(e))
+        out = None
+        async for o in self.tm.generate_request(gri):
+            out = o
+        meta = out["meta_info"]
+        fr = meta["finish_reason"] or {}
+        stop_reason = {
+            "stop": "end_turn", "length": "max_tokens",
+        }.get(fr.get("type"), "end_turn")
+        return web.json_response(
+            {
+                "id": f"msg_{uuid.uuid4().hex}",
+                "type": "message",
+                "role": "assistant",
+                "content": [{"type": "text", "text": out["text"]}],
+                "model": body.get("model", self.args.served_model_name),
+                "stop_reason": stop_reason,
+                "usage": {
+                    "input_tokens": meta.get("prompt_tokens", 0),
+                    "output_tokens": meta.get("completion_tokens", 0),
+                },
+            }
+        )
+
+    async def ollama_chat(self, request: web.Request) -> web.Response:
+        """Ollama /api/chat adapter (ref http_server.py:1953)."""
+        try:
+            body = await request.json()
+            opts = body.get("options", {}) or {}
+            chat_body = {
+                "messages": body.get("messages", []),
+                "max_tokens": opts.get("num_predict", 128),
+                "temperature": opts.get("temperature"),
+                "top_p": opts.get("top_p"),
+                "top_k": opts.get("top_k"),
+            }
+            gri = self.openai.chat_to_gri(chat_body)
+        except ValueError as e:
+            return _json_error(str(e))
+        out = None
+        async for o in self.tm.generate_request(gri):
+            out = o
+        return web.json_response(
+            {
+                "model": body.get("model", self.args.served_model_name),
+                "message": {"role": "assistant", "content": out["text"]},
+                "done": True,
+                "done_reason": "stop",
+                "prompt_eval_count": out["meta_info"].get("prompt_tokens", 0),
+                "eval_count": out["meta_info"].get("completion_tokens", 0),
+            }
+        )
+
     # --------------------------------------------------------------- wiring
     def build_app(self) -> web.Application:
         app = web.Application(client_max_size=64 * 1024 * 1024)
@@ -309,9 +399,12 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_get("/metrics", self.metrics_endpoint)
         r.add_get("/v1/models", self.v1_models)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_post("/v1/messages", self.v1_messages)
+        r.add_post("/api/chat", self.ollama_chat)
         return app
 
 
@@ -331,6 +424,10 @@ async def _serve(server_args: ServerArgs) -> None:
                 _time.sleep(0.05)
 
     await tm.wait_ready()
+    if deferred is None and workers:
+        from sglang_tpu.utils.watchdog import SubprocessWatchdog
+
+        SubprocessWatchdog(workers).start()
     server = HttpServer(server_args, tm)
     app = server.build_app()
     runner = web.AppRunner(app)

@@ -147,9 +147,14 @@ class Scheduler:
         return msg
 
     def event_loop(self) -> None:
+        from sglang_tpu.utils.watchdog import SoftWatchdog
+
+        watchdog = SoftWatchdog(timeout=300.0)
+        watchdog.start()
         poller = zmq.Poller()
         poller.register(self.recv_sock, zmq.POLLIN)
         while True:
+            watchdog.pet()
             for msg in drain_pyobj(self.recv_sock):
                 if msg is None:
                     return

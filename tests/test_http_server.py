@@ -177,3 +177,34 @@ def test_flush_cache(server):
     time.sleep(1)
     r = requests.post(server + "/flush_cache")
     assert r.status_code in (200, 400)
+
+
+def test_anthropic_messages(server):
+    r = requests.post(
+        server + "/v1/messages",
+        json={
+            "model": "test",
+            "max_tokens": 4,
+            "messages": [{"role": "user", "content": "w60 w61"}],
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["type"] == "message"
+    assert out["content"][0]["type"] == "text"
+    assert out["usage"]["output_tokens"] >= 1
+
+
+def test_ollama_chat(server):
+    r = requests.post(
+        server + "/api/chat",
+        json={
+            "model": "test",
+            "messages": [{"role": "user", "content": "w62"}],
+            "options": {"num_predict": 4, "temperature": 0},
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["done"] is True
+    assert out["message"]["role"] == "assistant"
