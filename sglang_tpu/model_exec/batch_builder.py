@@ -40,7 +40,13 @@ class SeqInput:
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
 DEFAULT_TOKEN_BUCKETS = [64, 256, 512, 1024, 2048, 4096, 8192, 16384]
 DEFAULT_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
-PAGE_BUCKETS = [8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+# Fine-grained low end: decode attention reads the FULL padded page table
+# (gather traffic scales with the bucket), so 4-page steps up to 64 pages
+# matter more than the extra compile variants (persistent cache amortizes).
+PAGE_BUCKETS = (
+    [4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64]
+    + [96, 128, 192, 256, 384, 512, 1024, 2048, 4096]
+)
 
 
 def build_forward_batch(

@@ -1,0 +1,95 @@
+"""gRPC service e2e (generic handlers over protoc-generated messages)."""
+
+import asyncio
+import os
+import sys
+import threading
+
+import grpc
+import pytest
+
+_GEN = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    "sglang_tpu", "entrypoints", "grpc_gen",
+)
+sys.path.insert(0, _GEN)
+import sglang_tpu_pb2 as pb  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def grpc_addr(tiny_llama_dir):
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.entrypoints.grpc_server import build_service
+    from sglang_tpu.utils import find_free_port
+
+    eng = Engine(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=2048,
+        enable_single_process=True,
+        log_level="warning",
+    )
+    port = find_free_port()
+    started = threading.Event()
+
+    async def run():
+        server = grpc.aio.server()
+        server.add_generic_rpc_handlers(
+            (build_service(eng.tokenizer_manager),)
+        )
+        server.add_insecure_port(f"127.0.0.1:{port}")
+        await server.start()
+        started.set()
+        await server.wait_for_termination()
+
+    # run the grpc server on the ENGINE's loop (same asyncio context as TM)
+    asyncio.run_coroutine_threadsafe(run(), eng._loop)
+    started.wait(30)
+    yield f"127.0.0.1:{port}"
+    eng.shutdown()
+
+
+def _call(addr, method, req, resp_cls, stream=False):
+    ch = grpc.insecure_channel(addr)
+    path = f"/sglang_tpu.v1.SglangTpu/{method}"
+    if stream:
+        fn = ch.unary_stream(
+            path, request_serializer=req.__class__.SerializeToString,
+            response_deserializer=resp_cls.FromString,
+        )
+        return list(fn(req, timeout=120))
+    fn = ch.unary_unary(
+        path, request_serializer=req.__class__.SerializeToString,
+        response_deserializer=resp_cls.FromString,
+    )
+    return fn(req, timeout=120)
+
+
+def test_grpc_health(grpc_addr):
+    resp = _call(grpc_addr, "HealthCheck", pb.HealthCheckRequest(),
+                 pb.HealthCheckResponse)
+    assert resp.ok
+
+
+def test_grpc_generate_stream(grpc_addr):
+    req = pb.GenerateRequest(
+        text="w10 w11 w12",
+        sampling_params=pb.SamplingParams(
+            max_new_tokens=5, temperature=0.0, ignore_eos=True
+        ),
+    )
+    chunks = _call(grpc_addr, "Generate", req, pb.GenerateResponse, stream=True)
+    assert chunks
+    assert chunks[-1].finish_reason == "length"
+    assert chunks[-1].completion_tokens == 5
+
+
+def test_grpc_embed_and_info(grpc_addr):
+    resp = _call(grpc_addr, "Embed", pb.EmbedRequest(text="w20 w21"),
+                 pb.EmbedResponse)
+    assert len(resp.embedding) == 64  # tiny model hidden size
+    info = _call(grpc_addr, "GetServerInfo", pb.ServerInfoRequest(),
+                 pb.ServerInfoResponse)
+    assert "max_total_tokens" in info.json
