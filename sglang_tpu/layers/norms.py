@@ -17,8 +17,10 @@ from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 
 
 class RMSNorm:
-    def __init__(self, size: int, eps: float, dtype):
+    def __init__(self, size: int, eps: float, dtype, gemma_style: bool = False):
+        # gemma_style: out = x_norm * (1 + w) (HF Gemma/Gemma2 convention)
         self.size, self.eps, self.dtype = size, eps, dtype
+        self.gemma_style = gemma_style
 
     def specs(self, prefix: str) -> SpecTree:
         return {
@@ -41,8 +43,10 @@ class RMSNorm:
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + self.eps)
-        w = params[join(prefix, "weight")]
-        out = (xf * w.astype(jnp.float32)).astype(orig_dtype)
+        w = params[join(prefix, "weight")].astype(jnp.float32)
+        if self.gemma_style:
+            w = 1.0 + w
+        out = (xf * w).astype(orig_dtype)
         if residual is not None:
             return out, residual
         return out

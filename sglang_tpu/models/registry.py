@@ -18,6 +18,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Qwen2MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("sglang_tpu.models.mixtral", "MixtralForCausalLM"),
+    "Gemma2ForCausalLM": ("sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
 }
 
 

@@ -39,22 +39,27 @@ class AttentionBackend:
         layer_id: int,
         kv,  # tuple of per-layer pools [NP, ps, 2, F]
         fb: ForwardBatch,
+        window: int = 0,  # sliding-window size (0 = full attention)
+        logit_cap: float = 0.0,  # tanh soft-capping (0 = off)
+        scale: float | None = None,  # per-layer scale override
     ) -> Tuple[jax.Array, tuple]:
         kv_layer = self.write_kv(kv[layer_id], k, v, fb)
         if fb.mode.is_decode():
-            out = self.forward_decode(q, kv_layer, fb)
+            out = self.forward_decode(q, kv_layer, fb, window=window,
+                                      logit_cap=logit_cap, scale=scale)
         else:
-            out = self.forward_extend(q, kv_layer, fb)
+            out = self.forward_extend(q, kv_layer, fb, window=window,
+                                      logit_cap=logit_cap, scale=scale)
         kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
 
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
         return write_kv_xla(kv_layer, k, v, fb.out_cache_loc, self.page_size)
 
-    def forward_decode(self, q, kv_layer, fb):
+    def forward_decode(self, q, kv_layer, fb, **kw):
         raise NotImplementedError
 
-    def forward_extend(self, q, kv_layer, fb):
+    def forward_extend(self, q, kv_layer, fb, **kw):
         raise NotImplementedError
 
 

@@ -39,10 +39,10 @@ class PallasBackend(AttentionBackend):
       Pallas decode kernel ("pallas_dma" backend) is the right choice.
     """
 
-    def forward_decode(self, q, kv_layer, fb: ForwardBatch):
+    def forward_decode(self, q, kv_layer, fb: ForwardBatch, **kw):
         from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 
-        return XlaNativeBackend.forward_decode(self, q, kv_layer, fb)
+        return XlaNativeBackend.forward_decode(self, q, kv_layer, fb, **kw)
 
     def _gather_ctx(self, kv_layer, slots):
         from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
@@ -88,14 +88,17 @@ class PallasBackend(AttentionBackend):
             )
         return local(kv_layer, rows, fb.out_cache_loc)
 
-    def _kernel_decode(self, q, kv_layer, fb: ForwardBatch):
-        scale, ps, hd = self.scale, self.page_size, self.head_dim
+    def _kernel_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
+                       logit_cap=0.0, scale=None):
+        scale = scale or self.scale
+        ps, hd = self.page_size, self.head_dim
 
         def local(qs, kvs, pt, sl):
             nk_local = kvs.shape[-1] // hd
             return paged_decode_attention(
                 qs, kvs, pt, sl,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
+                window=int(window or 0), logit_cap=float(logit_cap or 0.0),
             )
 
         tp = self._tp_size()
@@ -111,8 +114,10 @@ class PallasBackend(AttentionBackend):
             )
         return local(q, kv_layer, fb.page_table, fb.seq_lens)
 
-    def forward_extend(self, q, kv_layer, fb: ForwardBatch):
-        scale, ps, hd = self.scale, self.page_size, self.head_dim
+    def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
+                       logit_cap=0.0, scale=None):
+        scale = scale or self.scale
+        ps, hd = self.page_size, self.head_dim
         T, nq, _ = q.shape
         q_folded = q.reshape(T, nq * hd)
         block_q = fb.extend_align
@@ -122,7 +127,8 @@ class PallasBackend(AttentionBackend):
             return paged_extend_attention(
                 qs, kvs, pt, sl, pfl, qls, bseq, bqoff,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
-                block_q=block_q,
+                block_q=block_q, window=int(window or 0),
+                logit_cap=float(logit_cap or 0.0),
             )
 
         tp = self._tp_size()
@@ -149,5 +155,5 @@ class PallasDmaBackend(PallasBackend):
     """Pure-Pallas decode (manual page DMA) — for bare-metal TPUs where
     kernel DMA issue is cheap."""
 
-    def forward_decode(self, q, kv_layer, fb: ForwardBatch):
-        return self._kernel_decode(q, kv_layer, fb)
+    def forward_decode(self, q, kv_layer, fb: ForwardBatch, **kw):
+        return self._kernel_decode(q, kv_layer, fb, **kw)

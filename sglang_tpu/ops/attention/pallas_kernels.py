@@ -140,6 +140,8 @@ def _decode_kernel(
     page_size: int,
     num_kv_heads: int,
     head_dim: int,
+    window: int = 0,
+    logit_cap: float = 0.0,
 ):
     b = pl.program_id(0)
     seq_len = seq_lens_ref[b]
@@ -158,6 +160,8 @@ def _decode_kernel(
             jnp.int32, (1, page_size), 1
         )
         valid = pos < seq_len  # [1, ps]
+        if window > 0:
+            valid &= pos >= seq_len - window
         out = []
         for kh in range(num_kv_heads):
             q_kh = q[kh * group : (kh + 1) * group, :]  # [group, hd]
@@ -167,6 +171,8 @@ def _decode_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if logit_cap > 0:
+                scores = jnp.tanh(scores / logit_cap) * logit_cap
             out.append(jnp.where(valid, scores, NEG_INF))
         return out
 
@@ -183,7 +189,9 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "page_size", "num_kv_heads")
+    jax.jit,
+    static_argnames=("scale", "page_size", "num_kv_heads", "window",
+                     "logit_cap"),
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
@@ -194,6 +202,8 @@ def paged_decode_attention(
     scale: float,
     page_size: int,
     num_kv_heads: int,
+    window: int = 0,
+    logit_cap: float = 0.0,
 ) -> jax.Array:
     B, nq, hd = q.shape
     _, ps, _, F = kv_pages.shape
@@ -221,6 +231,8 @@ def paged_decode_attention(
         page_size=page_size,
         num_kv_heads=num_kv_heads,
         head_dim=hd,
+        window=window,
+        logit_cap=logit_cap,
     )
     return pl.pallas_call(
         kernel,
@@ -264,6 +276,8 @@ def _extend_kernel(
     num_kv_heads: int,
     head_dim: int,
     block_q: int,
+    window: int = 0,
+    logit_cap: float = 0.0,
 ):
     i = pl.program_id(0)
     b = block_seq_ref[i]
@@ -298,6 +312,8 @@ def _extend_kernel(
             jnp.int32, (1, page_size), 1
         )
         causal = ctx_pos <= row_pos  # [BQ, ps]
+        if window > 0:
+            causal &= ctx_pos > row_pos - window
         out = []
         for h in range(nheads):
             kh = h // group
@@ -308,6 +324,8 @@ def _extend_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if logit_cap > 0:
+                scores = jnp.tanh(scores / logit_cap) * logit_cap
             out.append(jnp.where(causal, scores, NEG_INF))
         return out
 
@@ -326,7 +344,8 @@ def _extend_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "page_size", "block_q", "num_kv_heads"),
+    static_argnames=("scale", "page_size", "block_q", "num_kv_heads",
+                     "window", "logit_cap"),
 )
 def paged_extend_attention(
     q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segs)
@@ -342,6 +361,8 @@ def paged_extend_attention(
     page_size: int,
     num_kv_heads: int,
     block_q: int = 64,
+    window: int = 0,
+    logit_cap: float = 0.0,
 ) -> jax.Array:
     T, Fq = q.shape
     _, ps, _, F = kv_pages.shape
@@ -375,6 +396,8 @@ def paged_extend_attention(
         num_kv_heads=num_kv_heads,
         head_dim=hd,
         block_q=block_q,
+        window=window,
+        logit_cap=logit_cap,
     )
     return pl.pallas_call(
         kernel,

@@ -51,7 +51,14 @@ class XlaNativeBackend(AttentionBackend):
         v = rows[:, :, 1, :].reshape(B, C, nk, hd)
         return k, v
 
-    def forward_decode(self, q, kv_layer, fb: ForwardBatch):
+    @staticmethod
+    def _softcap(scores, logit_cap):
+        if logit_cap and logit_cap > 0:
+            return jnp.tanh(scores / logit_cap) * logit_cap
+        return scores
+
+    def forward_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
+                       logit_cap=0.0, scale=None):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -59,15 +66,19 @@ class XlaNativeBackend(AttentionBackend):
         k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
         qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
         kf = k.astype(jnp.float32)
-        scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * self.scale
+        scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * (scale or self.scale)
+        scores = self._softcap(scores, logit_cap)
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
         mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
+        if window and window > 0:
+            mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bkgc,bckd->bkgd", probs, v.astype(jnp.float32))
         return out.reshape(B, nq, hd).astype(q.dtype)
 
-    def forward_extend(self, q, kv_layer, fb: ForwardBatch):
+    def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
+                       logit_cap=0.0, scale=None):
         T, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -75,10 +86,15 @@ class XlaNativeBackend(AttentionBackend):
         tok_slots = slots[fb.seq_ids]  # [T, C]
         k, v = self._gather_ctx(kv_layer, tok_slots)  # [T, C, nk, hd]
         qf = q.reshape(T, nk, group, hd).astype(jnp.float32)
-        scores = jnp.einsum("tkgd,tckd->tkgc", qf, k.astype(jnp.float32)) * self.scale
+        scores = jnp.einsum(
+            "tkgd,tckd->tkgc", qf, k.astype(jnp.float32)
+        ) * (scale or self.scale)
+        scores = self._softcap(scores, logit_cap)
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
         # Causal over absolute positions: token with position p sees ctx [0, p].
         mask = ctx[None, :] <= fb.positions[:, None]  # [T, C]
+        if window and window > 0:
+            mask &= ctx[None, :] > fb.positions[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("tkgc,tckd->tkgd", probs, v.astype(jnp.float32))
