@@ -54,6 +54,12 @@ class PallasBackend(AttentionBackend):
 
         return XlaNativeBackend._gather_pages(self, kv_layer, page_table)
 
+    @staticmethod
+    def _softcap(scores, logit_cap):
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend._softcap(scores, logit_cap)
+
     def _tp_size(self) -> int:
         try:
             return get_mesh_context().tp_size
