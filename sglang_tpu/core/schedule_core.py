@@ -132,15 +132,26 @@ class ScheduleCore:
         self._grammar_backend = None
         self._early_outputs: List[StepOutput] = []
 
-        # Speculative decoding (ref srt/speculative/; NGRAM drafting v1)
+        # Speculative decoding (ref srt/speculative/): NGRAM (self-history
+        # drafting) or STANDALONE (separate draft model).
         self.drafter = None
-        if (server_args.speculative_algorithm or "").upper() == "NGRAM":
+        self.draft_worker = None
+        algo = (server_args.speculative_algorithm or "").upper()
+        if algo == "NGRAM":
             from sglang_tpu.speculative.ngram import NgramDrafter
 
             self.drafter = NgramDrafter(
                 num_draft_tokens=server_args.speculative_num_draft_tokens
             )
             self.pipeline_depth = 1  # verify is host-synced
+        elif algo == "STANDALONE":
+            from sglang_tpu.speculative.standalone import StandaloneDraftWorker
+
+            self.draft_worker = StandaloneDraftWorker(
+                server_args,
+                num_draft_tokens=server_args.speculative_num_draft_tokens,
+            )
+            self.pipeline_depth = 1
         self.num_spec_accepted = 0
         self.num_spec_steps = 0
 
@@ -262,7 +273,8 @@ class ScheduleCore:
             return True
         batch = self._get_prefill_batch()
         mode = ForwardMode.EXTEND
-        if batch is None and self.drafter is not None:
+        if batch is None and (self.drafter is not None
+                              or self.draft_worker is not None):
             return self._run_spec_verify_step()
         if batch is None:
             batch = self._get_decode_batch()
@@ -528,20 +540,42 @@ class ScheduleCore:
         """
         from sglang_tpu.speculative.ngram import accept_drafts
 
-        rows = []
-        seq_inputs = []
+        eligible = []
         for req in list(self.running):
             if req.status != ReqStatus.RUNNING:
                 continue
             if req._device_step >= req.sampling_params.max_new_tokens:
                 continue
-            # Spec only for greedy, unconstrained reqs; others decode 1 tok.
-            can_spec = (
-                req.sampling_params.is_greedy
-                and req.grammar is None
-                and not req.sampling_params.needs_penalties
+            eligible.append(req)
+        if not eligible:
+            return False
+        can_spec = {
+            r.rid: (
+                r.sampling_params.is_greedy
+                and r.grammar is None
+                and not r.sampling_params.needs_penalties
             )
-            drafts = self.drafter.propose(req.all_ids) if can_spec else []
+            for r in eligible
+        }
+        if self.draft_worker is not None:
+            spec_reqs = [r for r in eligible if can_spec[r.rid]]
+            draft_lists = (
+                self.draft_worker.propose_all(spec_reqs) if spec_reqs else []
+            )
+            draft_map = {
+                r.rid: d for r, d in zip(spec_reqs, draft_lists)
+            }
+        else:
+            draft_map = {
+                r.rid: self.drafter.propose(r.all_ids)
+                for r in eligible
+                if can_spec[r.rid]
+            }
+
+        rows = []
+        seq_inputs = []
+        for req in eligible:
+            drafts = draft_map.get(req.rid, [])
             budget = req.sampling_params.max_new_tokens - req._device_step
             drafts = drafts[: max(budget - 1, 0)]
             inputs = [req.all_ids[-1]] + drafts
@@ -703,6 +737,8 @@ class ScheduleCore:
         return victim
 
     def _release_req_memory(self, req: Req, cache: bool) -> None:
+        if self.draft_worker is not None:
+            self.draft_worker.release(req.rid)
         ps = self.page_size
         if req.last_node is not None:
             self.radix.dec_lock(req.last_node)

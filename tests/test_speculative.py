@@ -72,3 +72,46 @@ def test_spec_matches_plain_greedy(tiny_llama_dir):
     spec, core = run_core(tiny_llama_dir, True, prompts, 16)
     assert spec == plain
     assert core.num_spec_steps > 0
+
+
+def test_standalone_draft_matches_plain(tiny_llama_dir):
+    """Draft model == target model (tiny): near-total acceptance, and the
+    outputs must still be exactly plain greedy."""
+    prompts = [
+        [7, 8, 9, 7, 8, 9, 7, 8, 9],
+        list(range(3, 20)),
+    ]
+    plain, _ = run_core(tiny_llama_dir, False, prompts, 12)
+
+    kw = dict(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=4096,
+        max_running_requests=16,
+        speculative_algorithm="STANDALONE",
+        speculative_draft_model_path=tiny_llama_dir,
+        speculative_num_draft_tokens=4,
+    )
+    args = ServerArgs(**kw)
+    runner = ModelRunner(args)
+    core = ScheduleCore(args, runner)
+    reqs = []
+    for i, p in enumerate(prompts):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=12,
+                            ignore_eos=True)
+        sp.normalize()
+        r = Req(f"sa{i}", p, sp)
+        reqs.append(r)
+        core.add_request(r)
+    steps = 0
+    while core.has_work():
+        core.step()
+        steps += 1
+        assert steps < 2000
+    assert [r.output_ids for r in reqs] == plain
+    # draft == target => most drafts accepted
+    assert core.num_spec_accepted > 0
+    total_emitted = sum(len(r.output_ids) for r in reqs)
+    assert core.num_spec_steps < total_emitted  # fewer verify rounds than tokens
