@@ -49,8 +49,8 @@ def main():
         model_path="__bench_dummy__",
         load_format="dummy",
         page_size=64,
-        max_running_requests=128,
-        max_total_tokens=131072,
+        max_running_requests=256,
+        max_total_tokens=262144,
         chunked_prefill_size=8192,
         random_seed=0,
     )
@@ -58,7 +58,7 @@ def main():
     core = ScheduleCore(args, runner)
 
     rng = np.random.default_rng(0)
-    n_reqs = 128
+    n_reqs = 256
     prompt_len = 512
     out_len = 128
     shared_prefix = rng.integers(2, 60000, size=128).tolist()
