@@ -125,9 +125,9 @@ class GrammarBackend:
         elif kind == "json_schema":
             pattern = json_schema_to_regex(spec)
         elif kind == "ebnf":
-            raise NotImplementedError(
-                "EBNF grammars not yet supported by the native backend"
-            )
+            from sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+            pattern = ebnf_to_regex(spec)
         else:
             raise ValueError(f"unknown grammar kind {kind}")
         dfa = compile_regex(pattern)

@@ -214,12 +214,13 @@ class ScheduleCore:
             else (hash(req.rid) ^ self.args.random_seed) & 0x7FFFFFFF
         )
         sp = req.sampling_params
-        if sp.json_schema or sp.regex:
-            kind, spec = (
-                ("json_schema", sp.json_schema)
-                if sp.json_schema
-                else ("regex", sp.regex)
-            )
+        if sp.json_schema or sp.regex or sp.ebnf:
+            if sp.json_schema:
+                kind, spec = "json_schema", sp.json_schema
+            elif sp.regex:
+                kind, spec = "regex", sp.regex
+            else:
+                kind, spec = "ebnf", sp.ebnf
             req.grammar = self._get_grammar_backend().get_matcher(kind, spec)
         self.waiting.append(req)
 

@@ -184,6 +184,38 @@ class HttpServer:
             }
         )
 
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """jax.profiler trace (Perfetto-compatible); ref /start_profile:1137."""
+        import jax
+
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:  # noqa: BLE001
+                body = {}
+        out_dir = body.get("output_dir", "/tmp/sglang_tpu_profile")
+        try:
+            jax.profiler.start_trace(out_dir)
+            self._profile_dir = out_dir
+            return web.json_response({"success": True, "output_dir": out_dir})
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"success": False, "message": str(e)},
+                                     status=500)
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+            return web.json_response(
+                {"success": True,
+                 "output_dir": getattr(self, "_profile_dir", None)}
+            )
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"success": False, "message": str(e)},
+                                     status=500)
+
     async def open_session(self, request: web.Request) -> web.Response:
         body = await request.json() if request.can_read_body else {}
         sid = self.tm.open_session(body.get("session_id"))
@@ -396,6 +428,8 @@ class HttpServer:
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)

@@ -154,3 +154,42 @@ def test_e2e_regex_constrained(tiny_llama_dir):
     assert texts[3] == "w3"
     # after w3 the grammar accepts -> EOS allowed; greedy may stop or hit
     # max_new_tokens; either way the constrained segment must be exact.
+
+
+def test_ebnf_to_regex():
+    from sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+    grammar = r'''
+# choose an action
+root   ::= action " " target
+action ::= "move" | "take" | "look"
+target ::= [a-z]{1,8}
+'''
+    dfa = compile_regex(ebnf_to_regex(grammar))
+    assert accepts(dfa, "move north")
+    assert accepts(dfa, "take lamp")
+    assert not accepts(dfa, "run fast")
+    assert not accepts(dfa, "move NORTH")
+
+
+def test_ebnf_quantifiers_and_groups():
+    from sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+    grammar = r'''
+root ::= "id-" digit+ ("," digit+)*
+digit ::= [0-9]
+'''
+    dfa = compile_regex(ebnf_to_regex(grammar))
+    assert accepts(dfa, "id-42")
+    assert accepts(dfa, "id-1,22,333")
+    assert not accepts(dfa, "id-")
+
+
+def test_ebnf_recursion_rejected():
+    from sglang_tpu.constrained.ebnf import EbnfError, ebnf_to_regex
+
+    grammar = 'root ::= "(" root ")" | "x"'
+    import pytest as _pytest
+
+    with _pytest.raises(EbnfError):
+        ebnf_to_regex(grammar)
