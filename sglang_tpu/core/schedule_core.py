@@ -43,6 +43,14 @@ logger = logging.getLogger(__name__)
 MAX_BANNED_TOKENS = 8
 
 
+def oracle_next_token(token_ids, vocab_size: int) -> int:
+    """Scripted next-token source (ref: token_oracle sampling backend)."""
+    h = 0
+    for t in token_ids[-8:]:
+        h = (h * 1103515245 + int(t) + 12345) & 0x7FFFFFFF
+    return 2 + h % max(vocab_size - 2, 1)
+
+
 @dataclasses.dataclass
 class StepOutput:
     rid: str
@@ -174,6 +182,14 @@ class ScheduleCore:
                     [layer[pages] for layer in kv], axis=1
                 )
             )
+
+        # Mock-model oracle mode (ref test/mock_model/utils.py:17-33 —
+        # --sampling-backend token_oracle): the next token is a scripted
+        # function of the sequence so the WHOLE scheduler/cache/transport
+        # stack can be verified end-to-end with dummy weights.
+        self.token_oracle = server_args.sampling_backend == "token_oracle"
+        if self.token_oracle:
+            self.pipeline_depth = 1  # host must rewrite the future map
 
         # metrics
         self.num_generated_tokens = 0
@@ -802,6 +818,11 @@ class ScheduleCore:
             if row.device_step != len(req.output_ids):
                 continue  # phantom overlap step beyond a finish; drop
             token = int(tokens[i])
+            if self.token_oracle:
+                token = oracle_next_token(
+                    req.all_ids, self.runner.model_config.vocab_size
+                )
+                self.runner.override_next_tokens([req.req_slot], [token])
             req.output_ids.append(token)
             self.num_generated_tokens += 1
             if req.grammar is not None:

@@ -243,6 +243,16 @@ class Engine:
             )
         )
 
+    def release_memory_occupation(self, tags=None):
+        return self._run_coro(
+            self.tokenizer_manager.release_memory_occupation(tags)
+        )
+
+    def resume_memory_occupation(self, tags=None):
+        return self._run_coro(
+            self.tokenizer_manager.resume_memory_occupation(tags)
+        )
+
     def open_session(self, session_id=None) -> str:
         return self.tokenizer_manager.open_session(session_id)
 

@@ -235,6 +235,16 @@ class HttpServer:
         await self.tm.abort_request(body.get("rid", ""))
         return web.json_response({"success": True})
 
+    async def release_memory_occupation(self, request: web.Request):
+        body = await request.json() if request.can_read_body else {}
+        ok, msg = await self.tm.release_memory_occupation(body.get("tags"))
+        return web.json_response({"success": ok, "message": msg})
+
+    async def resume_memory_occupation(self, request: web.Request):
+        body = await request.json() if request.can_read_body else {}
+        ok, msg = await self.tm.resume_memory_occupation(body.get("tags"))
+        return web.json_response({"success": ok, "message": msg})
+
     async def update_weights_from_disk(self, request: web.Request) -> web.Response:
         body = await request.json()
         ok, msg = await self.tm.update_weights_from_disk(
@@ -433,6 +443,8 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/release_memory_occupation", self.release_memory_occupation)
+        r.add_post("/resume_memory_occupation", self.resume_memory_occupation)
         r.add_get("/metrics", self.metrics_endpoint)
         r.add_get("/v1/models", self.v1_models)
         r.add_post("/v1/completions", self.v1_completions)

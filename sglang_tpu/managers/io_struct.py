@@ -183,6 +183,28 @@ class UpdateWeightsResp:
 
 
 @dataclasses.dataclass
+class ReleaseMemoryReq:
+    tags: List[str] = dataclasses.field(default_factory=lambda: ["kv_cache"])
+
+
+@dataclasses.dataclass
+class ReleaseMemoryResp:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
+class ResumeMemoryReq:
+    tags: List[str] = dataclasses.field(default_factory=lambda: ["kv_cache"])
+
+
+@dataclasses.dataclass
+class ResumeMemoryResp:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
 class SchedulerReady:
     ok: bool
     info: Dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -18,6 +18,10 @@ from sglang_tpu.core.req import Req
 from sglang_tpu.core.schedule_core import ScheduleCore, StepOutput
 from sglang_tpu.managers.io_struct import (
     AbortReq,
+    ReleaseMemoryReq,
+    ReleaseMemoryResp,
+    ResumeMemoryReq,
+    ResumeMemoryResp,
     BatchTokenOut,
     FlushCacheReq,
     FlushCacheResp,
@@ -102,6 +106,18 @@ class Scheduler:
                     )
                 ),
             )
+        elif isinstance(msg, ReleaseMemoryReq):
+            if self.core.has_work():
+                send_pyobj(self.to_detok,
+                           ReleaseMemoryResp(False, "requests in flight"))
+            else:
+                self.runner.release_memory(msg.tags)
+                send_pyobj(self.to_detok, ReleaseMemoryResp(True))
+        elif isinstance(msg, ResumeMemoryReq):
+            self.runner.resume_memory(msg.tags)
+            self.core.allocator.clear()
+            self.core.radix.reset()
+            send_pyobj(self.to_detok, ResumeMemoryResp(True))
         elif isinstance(msg, UpdateWeightsReq):
             try:
                 from sglang_tpu.model_exec.weight_loader import load_model_weights

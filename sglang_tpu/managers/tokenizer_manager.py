@@ -23,6 +23,10 @@ import zmq.asyncio
 from sglang_tpu.managers import zmq_utils
 from sglang_tpu.managers.io_struct import (
     AbortReq,
+    ReleaseMemoryReq,
+    ReleaseMemoryResp,
+    ResumeMemoryReq,
+    ResumeMemoryResp,
     BatchStrOut,
     FlushCacheReq,
     FlushCacheResp,
@@ -296,6 +300,19 @@ class TokenizerManager:
     async def get_server_info(self) -> Dict[str, Any]:
         resp = await self._control_rpc(GetServerInfoReq(), GetServerInfoResp)
         return resp.info
+
+    async def release_memory_occupation(self, tags=None):
+        resp = await self._control_rpc(
+            ReleaseMemoryReq(tags=tags or ["kv_cache"]), ReleaseMemoryResp
+        )
+        return resp.success, resp.message
+
+    async def resume_memory_occupation(self, tags=None):
+        resp = await self._control_rpc(
+            ResumeMemoryReq(tags=tags or ["kv_cache"]), ResumeMemoryResp,
+            timeout=600,
+        )
+        return resp.success, resp.message
 
     async def update_weights_from_disk(self, model_path: str,
                                        load_format: str = "auto"):

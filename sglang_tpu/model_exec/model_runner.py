@@ -223,6 +223,27 @@ class ModelRunner:
         n = max(budget * shard // per_token, 4096)
         return int(n)
 
+    def release_memory(self, tags) -> None:
+        """Free device memory for colocated RL training (ref
+        /release_memory_occupation, torch_memory_saver analog): deleting the
+        jax arrays releases HBM; resume reallocates zeros (weights come back
+        via update_weights_from_disk/tensor)."""
+        if "kv_cache" in tags:
+            self.kv_pool.kv = None
+        if "weights" in tags:
+            self.params = None
+
+    def resume_memory(self, tags) -> None:
+        if "kv_cache" in tags and self.kv_pool.kv is None:
+            self._init_kv_pool()
+        if "weights" in tags and self.params is None:
+            from sglang_tpu.layers.base import init_dummy_params
+
+            # Placeholder weights until update_weights_* provides real ones.
+            self.params = init_dummy_params(
+                self.specs, self.server_args.random_seed, self.mesh_ctx
+            )
+
     def kv_dtype_np(self):
         c = self.model_config
         sa = self.server_args

@@ -154,3 +154,19 @@ def test_sessions_multi_turn(engine):
     # the shared context should hit the radix cache
     assert o2["meta_info"]["cached_tokens"] > 0
     assert engine.close_session(sid)
+
+
+def test_release_resume_memory(engine, tiny_llama_dir):
+    import time as _t
+
+    _t.sleep(0.5)  # let prior work settle
+    ok, msg = engine.release_memory_occupation(["kv_cache"])
+    assert ok, msg
+    ok, msg = engine.resume_memory_occupation(["kv_cache"])
+    assert ok, msg
+    out = engine.generate(
+        prompt="w90 w91",
+        sampling_params={"temperature": 0, "max_new_tokens": 3,
+                         "ignore_eos": True},
+    )
+    assert len(out["output_ids"]) == 3
