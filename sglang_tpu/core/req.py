@@ -66,6 +66,17 @@ class Req:
         self.is_embedding = is_embedding
         self.embedding = None
 
+        # Multimodal: precomputed embeddings spliced at placeholder
+        # positions (ref srt/managers/mm_utils + multimodal processors).
+        # mm_embeds: np [K, H]; mm_positions: K token indices in input_ids;
+        # mm_hashes: per-position content hash so the radix cache keys
+        # distinguish different images behind identical placeholder ids
+        # (ref GenerateReqInput.mm_hashes).
+        self.mm_embeds = None
+        self.mm_positions = None
+        self.mm_hashes = None
+        self._input_cache_ids: Optional[List[int]] = None
+
         self.status = ReqStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
 
@@ -97,6 +108,23 @@ class Req:
     @property
     def all_ids(self) -> List[int]:
         return self.input_ids + self.output_ids
+
+    @property
+    def cache_ids(self) -> List[int]:
+        """Token ids used as radix-cache keys (mm-aware)."""
+        if self.mm_positions is None:
+            return self.all_ids
+        if self._input_cache_ids is None:
+            ids = list(self.input_ids)
+            for j, pos in enumerate(self.mm_positions):
+                h = (
+                    self.mm_hashes[j]
+                    if self.mm_hashes is not None
+                    else hash(self.mm_embeds[j].tobytes())
+                )
+                ids[pos] = -(abs(int(h)) % (1 << 30)) - 2  # negative = mm key
+            self._input_cache_ids = ids
+        return self._input_cache_ids + self.output_ids
 
     @property
     def is_prefill_done(self) -> bool:

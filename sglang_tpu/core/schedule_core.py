@@ -319,6 +319,11 @@ class ScheduleCore:
         )
         if any_top:
             any_top = 20 if any_top <= 20 else any_top
+        mm_pack = None
+        if mode == ForwardMode.EXTEND and any(
+            r.req.mm_positions is not None for r in rows
+        ):
+            mm_pack = self._build_mm_pack(rows, seq_inputs, fb)
         lora_row_ids = None
         if self.runner.lora_manager is not None and any(
             r.req.lora_id for r in rows
@@ -333,8 +338,8 @@ class ScheduleCore:
         )
         out = self.runner.forward(
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
-            lora_row_ids=lora_row_ids, return_top_logprobs=any_top,
-            all_greedy=all_greedy,
+            lora_row_ids=lora_row_ids, mm_pack=mm_pack,
+            return_top_logprobs=any_top, all_greedy=all_greedy,
         )
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
         if has_grammar:
@@ -361,6 +366,29 @@ class ScheduleCore:
             if r.req.grammar is not None and r.kind != "chunk":
                 mask[i] = r.req.grammar.fill_vocab_mask()
         return jnp.asarray(mask), True
+
+    def _build_mm_pack(self, rows, seq_inputs, fb):
+        """[T, H] embedding buffer + mask for mm placeholder positions that
+        fall inside this chunk."""
+        import jax.numpy as jnp
+
+        H = self.runner.model_config.hidden_size
+        T = fb.padded_num_tokens
+        embeds = np.zeros((T, H), np.float32)
+        mask = np.zeros(T, np.bool_)
+        seg = np.asarray(fb.cu_q_lens)
+        for i, (row, si) in enumerate(zip(rows, seq_inputs)):
+            req = row.req
+            if req.mm_positions is None:
+                continue
+            chunk_start = si.prefix_len
+            chunk_end = chunk_start + len(si.new_token_ids)
+            for j, pos in enumerate(req.mm_positions):
+                if chunk_start <= pos < chunk_end:
+                    t = int(seg[i]) + (pos - chunk_start)
+                    embeds[t] = req.mm_embeds[j]
+                    mask[t] = True
+        return (jnp.asarray(embeds), jnp.asarray(mask))
 
     def _build_banned_tokens(self, rows: List[_Row], padded_bs: int):
         import jax.numpy as jnp
@@ -431,7 +459,7 @@ class ScheduleCore:
                 break
             # Re-match against the CURRENT tree: earlier admissions in this
             # loop may have evicted pages referenced by the policy's match.
-            mr = self.radix.match_prefix(req.all_ids)
+            mr = self.radix.match_prefix(req.cache_ids)
             if self.hicache is not None:
                 mr = self._try_hicache_restore(req, mr)
             req._fill_len = len(req.all_ids)
@@ -705,7 +733,7 @@ class ScheduleCore:
         Ref: HiRadixCache prefetch/write-through (srt/mem_cache/
         hiradix_cache.py)."""
         ps = self.page_size
-        hlen, hpages = self.hicache.match_prefix(req.all_ids)
+        hlen, hpages = self.hicache.match_prefix(req.cache_ids)
         if hlen <= mr.length:
             return mr
         extra_pages = (hlen - mr.length) // ps
@@ -716,8 +744,8 @@ class ScheduleCore:
             if pages is None:
                 return mr
         self.hicache.load_prefix(hpages[mr.length // ps :], pages)
-        self.radix.insert(req.all_ids[:hlen], mr.pages + pages)
-        return self.radix.match_prefix(req.all_ids)
+        self.radix.insert(req.cache_ids[:hlen], mr.pages + pages)
+        return self.radix.match_prefix(req.cache_ids)
 
     # ---- memory helpers ----
     def _extend_pages(self, req: Req, target_tokens: int) -> bool:
@@ -767,7 +795,7 @@ class ScheduleCore:
             npages = aligned // ps
             if aligned > 0:
                 matched = self.radix.insert(
-                    req.all_ids[:aligned], req.pages[:npages]
+                    req.cache_ids[:aligned], req.pages[:npages]
                 )
                 # free our duplicates in [cached_len, matched) and the tail
                 dup = req.pages[own_start : matched // ps]

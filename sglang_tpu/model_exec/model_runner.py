@@ -261,6 +261,7 @@ class ModelRunner:
         vocab_mask: Optional[jax.Array],
         banned_tokens: Optional[jax.Array],  # [B, K] int32, -1 = none
         lora_pack=None,  # (pools dict, scalings [G], row_ids [B]) or None
+        mm_pack=None,  # (input_embeds [T, H], embed_mask [T]) or None
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
     ):
@@ -276,8 +277,12 @@ class ModelRunner:
                 row_ids if fb.mode.is_decode() else row_ids[fb.seq_ids]
             )
             lora_state = build_lora_state(pools, token_ids_, scalings)
+        input_embeds = embed_mask = None
+        if mm_pack is not None:
+            input_embeds, embed_mask = mm_pack
         hidden, kv = self.model(
-            params, fb, kv, self.attn_backend, lora=lora_state
+            params, fb, kv, self.attn_backend, lora=lora_state,
+            input_embeds=input_embeds, embed_mask=embed_mask,
         )
         sel = hidden[fb.logits_indices]  # [B, H]
         logits = self.model.compute_logits(params, sel).astype(jnp.float32)
@@ -387,6 +392,7 @@ class ModelRunner:
         vocab_mask: Optional[jax.Array] = None,
         banned_tokens: Optional[jax.Array] = None,
         lora_row_ids=None,
+        mm_pack=None,
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
     ) -> ForwardOutput:
@@ -418,6 +424,7 @@ class ModelRunner:
             vocab_mask,
             banned_tokens,
             lora_pack,
+            mm_pack,
             return_top_logprobs=return_top_logprobs,
             all_greedy=all_greedy,
         )

@@ -138,8 +138,11 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         )
 
     def __call__(self, params: Params, fb: ForwardBatch, kv, attn_backend,
-                 lora=None) -> Tuple[jax.Array, tuple]:
+                 lora=None, input_embeds=None, embed_mask=None
+                 ) -> Tuple[jax.Array, tuple]:
         x = self.embed(params, "embed", fb.input_ids)
+        if input_embeds is not None:
+            x = jnp.where(embed_mask[:, None], input_embeds.astype(x.dtype), x)
         # HF casts the normalizer to the embedding dtype before multiplying
         x = x * jnp.asarray(self.embed_scale, x.dtype)
         residual = None

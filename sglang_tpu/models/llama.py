@@ -180,9 +180,13 @@ class LlamaForCausalLM:
     # ---- forward ----
     def __call__(
         self, params: Params, fb: ForwardBatch, kv: jax.Array, attn_backend,
-        lora=None,
+        lora=None, input_embeds=None, embed_mask=None,
     ) -> Tuple[jax.Array, jax.Array]:
         x = self.embed(params, "embed", fb.input_ids)
+        if input_embeds is not None:
+            # Multimodal embedding injection (ref srt/managers/mm_utils:
+            # image features spliced at placeholder positions).
+            x = jnp.where(embed_mask[:, None], input_embeds.astype(x.dtype), x)
         residual = None
         for i, layer in enumerate(self.decoder_layers):
             x, residual, kv = layer(
