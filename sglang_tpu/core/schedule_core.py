@@ -717,9 +717,14 @@ class ScheduleCore:
                         continue
                     if not self._extend_pages(req, pos + 1):
                         continue
+            pages_np = getattr(req, "_pages_np", None)
+            if pages_np is None or len(pages_np) != len(req.pages):
+                pages_np = np.asarray(req.pages, np.int32)
+                req._pages_np = pages_np
             rows.append(_Row(req, "decode", req._epoch, req._device_step))
             seq_inputs.append(
-                SeqInput([0], pos, req.pages, req_slot=req.req_slot)
+                SeqInput([0], pos, req.pages, req_slot=req.req_slot,
+                         pages_np=pages_np)
             )
             req._device_seq_len = pos + 1
             req._device_step += 1

@@ -35,6 +35,7 @@ class SeqInput:
     page_ids: Sequence[int]  # pages covering [0, prefix_len + len(new))
     # decode only: position = prefix_len (the single new token's position)
     req_slot: int = -1  # device slot; -1 -> trash slot (no state publish)
+    pages_np: Optional[np.ndarray] = None  # cached ndarray of page_ids
 
 
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
@@ -101,7 +102,10 @@ def build_forward_batch(
         q_lens[i] = q
         cu_q_lens[i] = off
         seq_ids[off : off + q] = i
-        page_table[i, : len(s.page_ids)] = s.page_ids
+        if s.pages_np is not None:
+            page_table[i, : len(s.pages_np)] = s.pages_np
+        else:
+            page_table[i, : len(s.page_ids)] = s.page_ids
         prefix_lens[i] = s.prefix_len
         for j in range(q):
             pos = s.prefix_len + j
