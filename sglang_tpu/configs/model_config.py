@@ -68,6 +68,12 @@ class ModelConfig:
         num_heads = g("num_attention_heads")
         hidden = g("hidden_size")
         head_dim = g("head_dim") or hidden // num_heads
+        num_kv = g("num_key_value_heads") or num_heads
+        if g("qk_nope_head_dim"):
+            # MLA (DeepSeek): paged pool stores decompressed per-head K/V
+            # rows of qk_head_dim (V padded); every head keeps its own rows.
+            head_dim = g("qk_nope_head_dim") + g("qk_rope_head_dim")
+            num_kv = num_heads
         max_pos = g("max_position_embeddings", 8192)
         return cls(
             architectures=list(g("architectures", []) or []),
@@ -75,7 +81,7 @@ class ModelConfig:
             hidden_size=hidden,
             num_hidden_layers=g("num_hidden_layers"),
             num_attention_heads=num_heads,
-            num_key_value_heads=g("num_key_value_heads") or num_heads,
+            num_key_value_heads=num_kv,
             head_dim=head_dim,
             intermediate_size=g("intermediate_size"),
             rms_norm_eps=g("rms_norm_eps", 1e-6),
@@ -89,7 +95,8 @@ class ModelConfig:
             dtype=DTYPE_MAP[dtype],
             hf_config=hf_config,
             model_path=model_path,
-            num_experts=g("num_local_experts", 0) or g("num_experts", 0) or 0,
+            num_experts=g("num_local_experts", 0) or g("num_experts", 0)
+            or g("n_routed_experts", 0) or 0,
             num_experts_per_tok=g("num_experts_per_tok", 0) or 0,
             moe_intermediate_size=g("moe_intermediate_size", 0) or 0,
             sliding_window=g("sliding_window", None),

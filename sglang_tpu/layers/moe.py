@@ -55,9 +55,9 @@ class FusedMoE:
             ),
         }
 
-    def __call__(self, params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    def __call__(self, params: Params, prefix: str, x: jax.Array,
+                 lora=None) -> jax.Array:
         """x: [T, H] -> [T, H]."""
-        T, H = x.shape
         E, K = self.num_experts, self.top_k
         router_logits = jnp.dot(
             x.astype(jnp.float32), params[join(prefix, "router")].astype(
@@ -70,7 +70,14 @@ class FusedMoE:
         else:
             probs = jax.nn.softmax(router_logits, axis=-1)
             topk_weights, topk_idx = jax.lax.top_k(probs, K)
+        return self.compute_experts(params, prefix, x, topk_weights, topk_idx)
 
+    def compute_experts(self, params: Params, prefix: str, x: jax.Array,
+                        topk_weights: jax.Array, topk_idx: jax.Array
+                        ) -> jax.Array:
+        """Dropless grouped-GEMM expert compute given routing decisions."""
+        T, H = x.shape
+        E, K = self.num_experts, topk_idx.shape[-1]
         # Flatten (token, k) pairs and sort by expert for grouped GEMM.
         flat_expert = topk_idx.reshape(-1)  # [T*K]
         flat_weight = topk_weights.reshape(-1)  # [T*K]

@@ -1,0 +1,331 @@
+"""DeepSeek-V2 family: MLA attention + shared/routed-expert MoE.
+
+Behavioral reference: srt/models/deepseek_v2.py (and HF
+modeling_deepseek_v2 for exact numerics). Round-1 implementation notes:
+
+- MLA runs in the "naive" (decompressed) form: per-head K = [k_nope | k_pe]
+  and V are materialized from the latent and stored in the standard paged
+  pool (V rows padded to qk_head_dim so the pair layout holds). The
+  latent-cache absorbed-matmul decode path (kv_lora_rank-sized KV) is the
+  round-2 optimization; this form is numerically identical.
+- Rope is DeepSeek's INTERLEAVED complex convention (consecutive pairs),
+  not neox half-split.
+- MoE: greedy or group_limited_greedy top-k over softmax scores, scaled by
+  routed_scaling_factor (no renormalization — matches HF), plus shared
+  experts; dense layers for layer_idx < first_k_dense_replace. Experts run
+  as dropless grouped GEMMs (ragged_dot).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import silu_and_mul
+from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
+from sglang_tpu.layers.embedding import LMHead, VocabEmbedding
+from sglang_tpu.layers.linear import (
+    ColumnParallelLinear,
+    FusedColumnLinear,
+    RowParallelLinear,
+)
+from sglang_tpu.layers.moe import FusedMoE
+from sglang_tpu.layers.norms import RMSNorm
+from sglang_tpu.model_exec.forward_batch import ForwardBatch
+from sglang_tpu.models.llama import LlamaForCausalLM, LlamaMLP
+from jax.sharding import PartitionSpec as P
+
+
+def _interleaved_rope_tables(dim: int, max_pos: int, theta: float):
+    inv = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(max_pos, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)  # [max_pos, dim/2]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def _apply_interleaved_rope(x, cos, sin):
+    """x [T, H, D]; cos/sin [T, D/2]; pairs (2i, 2i+1) rotated (complex)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    o0 = x0 * c - x1 * s
+    o1 = x0 * s + x1 * c
+    out = jnp.stack([o0, o1], axis=-1).reshape(x.shape)
+    return out.astype(dtype)
+
+
+class DeepseekV2Attention:
+    def __init__(self, config: ModelConfig, layer_id: int):
+        c = config
+        hf = c.hf_config
+        self.layer_id = layer_id
+        self.nh = c.num_attention_heads
+        self.nope = hf.qk_nope_head_dim
+        self.rope = hf.qk_rope_head_dim
+        self.qk_hd = self.nope + self.rope
+        self.v_hd = hf.v_head_dim
+        self.q_lora_rank = getattr(hf, "q_lora_rank", None)
+        self.kv_lora_rank = hf.kv_lora_rank
+        dt = c.dtype
+        H = c.hidden_size
+        if self.q_lora_rank:
+            self.q_a = ColumnParallelLinear(H, self.q_lora_rank, dt)
+            self.q_a_norm = RMSNorm(self.q_lora_rank, c.rms_norm_eps, dt)
+            self.q_b = ColumnParallelLinear(
+                self.q_lora_rank, self.nh * self.qk_hd, dt
+            )
+        else:
+            self.q_proj = ColumnParallelLinear(H, self.nh * self.qk_hd, dt)
+        self.kv_a = ColumnParallelLinear(
+            H, self.kv_lora_rank + self.rope, dt
+        )
+        self.kv_a_norm = RMSNorm(self.kv_lora_rank, c.rms_norm_eps, dt)
+        self.kv_b = ColumnParallelLinear(
+            self.kv_lora_rank, self.nh * (self.nope + self.v_hd), dt
+        )
+        self.o_proj = RowParallelLinear(self.nh * self.v_hd, H, dt)
+        self.cos, self.sin = _interleaved_rope_tables(
+            self.rope, c.context_length, c.rope_theta
+        )
+        self.scale = self.qk_hd**-0.5
+
+    def specs(self, p: str) -> SpecTree:
+        s = {}
+        if self.q_lora_rank:
+            s.update(self.q_a.specs(join(p, "q_a")))
+            s.update(self.q_a_norm.specs(join(p, "q_a_norm")))
+            s.update(self.q_b.specs(join(p, "q_b")))
+        else:
+            s.update(self.q_proj.specs(join(p, "q_proj")))
+        s.update(self.kv_a.specs(join(p, "kv_a")))
+        s.update(self.kv_a_norm.specs(join(p, "kv_a_norm")))
+        s.update(self.kv_b.specs(join(p, "kv_b")))
+        s.update(self.o_proj.specs(join(p, "o_proj")))
+        return s
+
+    def __call__(self, params, p, x, fb: ForwardBatch, kv, attn_backend,
+                 lora=None):
+        T = x.shape[0]
+        if self.q_lora_rank:
+            q = self.q_a(params, join(p, "q_a"), x)
+            q = self.q_a_norm(params, join(p, "q_a_norm"), q)
+            q = self.q_b(params, join(p, "q_b"), q)
+        else:
+            q = self.q_proj(params, join(p, "q_proj"), x)
+        q = q.reshape(T, self.nh, self.qk_hd)
+        q_nope, q_pe = q[..., : self.nope], q[..., self.nope:]
+
+        ckv = self.kv_a(params, join(p, "kv_a"), x)
+        c_latent = ckv[:, : self.kv_lora_rank]
+        k_pe = ckv[:, self.kv_lora_rank:].reshape(T, 1, self.rope)
+        kvb = self.kv_b(
+            params, join(p, "kv_b"),
+            self.kv_a_norm(params, join(p, "kv_a_norm"), c_latent),
+        ).reshape(T, self.nh, self.nope + self.v_hd)
+        k_nope, v = kvb[..., : self.nope], kvb[..., self.nope:]
+
+        cos = self.cos[fb.positions]
+        sin = self.sin[fb.positions]
+        q_pe = _apply_interleaved_rope(q_pe, cos, sin)
+        k_pe = _apply_interleaved_rope(k_pe, cos, sin)
+        k_pe = jnp.broadcast_to(k_pe, (T, self.nh, self.rope))
+
+        k = jnp.concatenate([k_nope, k_pe], axis=-1)  # [T, nh, qk_hd]
+        # pad V rows to qk_hd so the pair-layout pool holds them
+        v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, self.qk_hd - self.v_hd)))
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        out, kv = attn_backend(
+            q_full, k, v_pad, self.layer_id, kv, fb, scale=self.scale
+        )
+        out = out[..., : self.v_hd].reshape(T, self.nh * self.v_hd)
+        out = self.o_proj(params, join(p, "o_proj"), out)
+        return out, kv
+
+
+class DeepseekV2MoE:
+    def __init__(self, config: ModelConfig):
+        c = config
+        hf = c.hf_config
+        self.n_experts = hf.n_routed_experts
+        self.top_k = hf.num_experts_per_tok
+        self.n_group = getattr(hf, "n_group", 1) or 1
+        self.topk_group = getattr(hf, "topk_group", 1) or 1
+        self.topk_method = getattr(hf, "topk_method", "greedy")
+        self.routed_scaling = getattr(hf, "routed_scaling_factor", 1.0)
+        self.moe = FusedMoE(
+            num_experts=self.n_experts,
+            top_k=self.top_k,
+            hidden_size=c.hidden_size,
+            intermediate_size=hf.moe_intermediate_size,
+            dtype=c.dtype,
+        )
+        n_shared = getattr(hf, "n_shared_experts", 0) or 0
+        self.shared = None
+        if n_shared:
+            shared_inter = hf.moe_intermediate_size * n_shared
+            self.sh_gate_up = FusedColumnLinear(
+                c.hidden_size, 2, shared_inter, c.dtype
+            )
+            self.sh_down = RowParallelLinear(shared_inter, c.hidden_size,
+                                             c.dtype)
+            self.shared = True
+
+    def specs(self, p: str) -> SpecTree:
+        s = self.moe.specs(p)
+        if self.shared:
+            s.update(self.sh_gate_up.specs(join(p, "shared_gate_up")))
+            s.update(self.sh_down.specs(join(p, "shared_down")))
+        return s
+
+    def _route(self, params, p, x):
+        """HF DeepseekV2MoEGate numerics: softmax scores, (group-limited)
+        top-k, scaled by routed_scaling_factor, NOT renormalized."""
+        logits = jnp.dot(
+            x.astype(jnp.float32),
+            params[join(p, "router")].astype(jnp.float32),
+        )
+        scores = jax.nn.softmax(logits, axis=-1)  # [T, E]
+        if self.topk_method == "group_limited_greedy" and self.n_group > 1:
+            T = scores.shape[0]
+            per = self.n_experts // self.n_group
+            g = scores.reshape(T, self.n_group, per).max(axis=-1)  # [T, G]
+            _, gidx = jax.lax.top_k(g, self.topk_group)
+            gmask = jnp.zeros_like(g).at[
+                jnp.arange(T)[:, None], gidx
+            ].set(1.0)
+            mask = jnp.repeat(gmask, per, axis=1)
+            scores = scores * mask
+        w, idx = jax.lax.top_k(scores, self.top_k)
+        return w * self.routed_scaling, idx
+
+    def __call__(self, params, p, x, lora=None):
+        w, idx = self._route(params, p, x)
+        out = self.moe.compute_experts(params, p, x, w, idx)
+        if self.shared:
+            h = silu_and_mul(
+                self.sh_gate_up(params, join(p, "shared_gate_up"), x)
+            )
+            out = out + self.sh_down(params, join(p, "shared_down"), h)
+        return out
+
+
+class DeepseekV2DecoderLayer:
+    def __init__(self, config: ModelConfig, layer_id: int):
+        c = config
+        hf = c.hf_config
+        self.attn = DeepseekV2Attention(c, layer_id)
+        first_dense = getattr(hf, "first_k_dense_replace", 0)
+        moe_freq = getattr(hf, "moe_layer_freq", 1) or 1
+        use_moe = (
+            getattr(hf, "n_routed_experts", 0)
+            and layer_id >= first_dense
+            and layer_id % moe_freq == 0
+        )
+        self.mlp = DeepseekV2MoE(c) if use_moe else LlamaMLP(c, layer_id)
+        self.input_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
+        self.post_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
+
+    def specs(self, p: str) -> SpecTree:
+        s = {}
+        s.update(self.attn.specs(join(p, "attn")))
+        s.update(self.mlp.specs(join(p, "mlp")))
+        s.update(self.input_norm.specs(join(p, "input_norm")))
+        s.update(self.post_norm.specs(join(p, "post_norm")))
+        return s
+
+    def __call__(self, params, p, x, residual, fb, kv, attn_backend,
+                 lora=None):
+        if residual is None:
+            residual = x
+            x = self.input_norm(params, join(p, "input_norm"), x)
+        else:
+            x, residual = self.input_norm(params, join(p, "input_norm"), x,
+                                          residual)
+        x, kv = self.attn(params, join(p, "attn"), x, fb, kv, attn_backend)
+        x, residual = self.post_norm(params, join(p, "post_norm"), x, residual)
+        if isinstance(self.mlp, LlamaMLP):
+            x = self.mlp(params, join(p, "mlp"), x, lora=lora)
+        else:
+            x = self.mlp(params, join(p, "mlp"), x)
+        return x, residual, kv
+
+
+class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        c = config
+        self.embed = VocabEmbedding(c.vocab_size, c.hidden_size, c.dtype)
+        self.decoder_layers = [
+            DeepseekV2DecoderLayer(c, i) for i in range(c.num_hidden_layers)
+        ]
+        self.final_norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
+        self.lm_head = LMHead(c.vocab_size, c.hidden_size, c.dtype)
+
+    def map_hf_weight(self, name: str, arr: np.ndarray):
+        pre = "model"
+        if name == f"{pre}.embed_tokens.weight":
+            return [("embed/weight", None, arr)]
+        if name == "lm_head.weight":
+            if self.config.tie_word_embeddings:
+                return []
+            return [("lm_head/weight", None, arr)]
+        if name == f"{pre}.norm.weight":
+            return [("final_norm/weight", None, arr)]
+        if not name.startswith(f"{pre}.layers."):
+            return []
+        rest = name[len(pre) + 8:]
+        idx, sub = rest.split(".", 1)
+        p = f"layers/{idx}"
+        flat = {
+            "self_attn.q_proj.weight": (f"{p}/attn/q_proj/weight", None, "t"),
+            "self_attn.q_a_proj.weight": (f"{p}/attn/q_a/weight", None, "t"),
+            "self_attn.q_a_layernorm.weight": (f"{p}/attn/q_a_norm/weight", None, ""),
+            "self_attn.q_b_proj.weight": (f"{p}/attn/q_b/weight", None, "t"),
+            "self_attn.kv_a_proj_with_mqa.weight": (f"{p}/attn/kv_a/weight", None, "t"),
+            "self_attn.kv_a_layernorm.weight": (f"{p}/attn/kv_a_norm/weight", None, ""),
+            "self_attn.kv_b_proj.weight": (f"{p}/attn/kv_b/weight", None, "t"),
+            "self_attn.o_proj.weight": (f"{p}/attn/o_proj/weight", None, "t"),
+            "input_layernorm.weight": (f"{p}/input_norm/weight", None, ""),
+            "post_attention_layernorm.weight": (f"{p}/post_norm/weight", None, ""),
+            # dense MLP layers
+            "mlp.gate_proj.weight": (f"{p}/mlp/gate_up/weight", 0, "t"),
+            "mlp.up_proj.weight": (f"{p}/mlp/gate_up/weight", 1, "t"),
+            "mlp.down_proj.weight": (f"{p}/mlp/down/weight", None, "t"),
+            # MoE router + shared experts
+            "mlp.gate.weight": (f"{p}/mlp/router", None, "t"),
+            "mlp.shared_experts.gate_proj.weight": (
+                f"{p}/mlp/shared_gate_up/weight", 0, "t"),
+            "mlp.shared_experts.up_proj.weight": (
+                f"{p}/mlp/shared_gate_up/weight", 1, "t"),
+            "mlp.shared_experts.down_proj.weight": (
+                f"{p}/mlp/shared_down/weight", None, "t"),
+        }
+        if sub in flat:
+            pname, slot, tf = flat[sub]
+            if "t" in tf:
+                arr = arr.T
+            return [(pname, slot, arr)]
+        if sub.startswith("mlp.experts."):
+            parts = sub.split(".")
+            e = int(parts[2])
+            w = parts[3]
+            m = {
+                "gate_proj": ("expert_gate", e),
+                "up_proj": ("expert_up", e),
+                "down_proj": ("expert_down", e),
+            }
+            if w in m:
+                target = (
+                    f"{p}/mlp/w_gate_up" if w != "down_proj"
+                    else f"{p}/mlp/w_down"
+                )
+                return [(target, m[w], arr.T)]
+        return []

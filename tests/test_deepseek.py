@@ -1,0 +1,87 @@
+"""DeepSeek-V2 (MLA + grouped-top-k MoE) greedy parity vs HF."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dsv2_dir(tmp_path_factory):
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(5)
+    cfg = DeepseekV2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=48,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        q_lora_rank=None,
+        kv_lora_rank=32,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        n_group=2,
+        topk_group=1,
+        topk_method="group_limited_greedy",
+        routed_scaling_factor=1.0,
+        first_k_dense_replace=1,
+        moe_layer_freq=1,
+        max_position_embeddings=256,
+        head_dim=24,
+    )
+    model = DeepseekV2ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_dsv2")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def _hf_greedy(model_dir, prompt, n_new):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, attn_implementation="eager"
+    )
+    model.eval()
+    with torch.no_grad():
+        out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False
+        )
+    return out[0, len(prompt):].tolist()
+
+
+def _our_greedy(model_dir, prompt, n_new):
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(
+        model_path=model_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=2048,
+    )
+    core = ScheduleCore(args, ModelRunner(args))
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp.normalize()
+    req = Req("d", prompt, sp)
+    core.add_request(req)
+    while core.has_work():
+        core.step()
+    return req.output_ids
+
+
+def test_deepseek_v2_greedy_parity(tiny_dsv2_dir):
+    prompt = [3, 17, 92, 45, 6, 88, 21, 101, 9, 54]
+    ref = _hf_greedy(tiny_dsv2_dir, prompt, 10)
+    ours = _our_greedy(tiny_dsv2_dir, prompt, 10)
+    assert ours == ref, f"ours={ours} ref={ref}"
