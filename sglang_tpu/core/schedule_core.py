@@ -80,6 +80,25 @@ class _PendingBatch:
     launch_time: float
 
 
+@dataclasses.dataclass
+class _ResidentState:
+    """Armed device-resident decode loop (see ModelRunner.forward_resident).
+
+    Valid while the decode batch composition is unchanged and every row has
+    page runway + output budget left; any admission/finish/retract makes the
+    identity check in _try_resident_decode fail and falls back to a host
+    rebuild. fb/st are device pytrees advanced in place by the runner."""
+
+    reqs: List[Req]
+    epochs: List[int]
+    fb: object  # ForwardBatch (device)
+    st: object  # SamplingTensors (device)
+    banned: object  # Optional[jax.Array]
+    top_logprobs: int
+    all_greedy: bool
+    steps_left: int
+
+
 class ScheduleCore:
     def __init__(
         self,
@@ -126,6 +145,9 @@ class ScheduleCore:
         self.chunked_req: Optional[Req] = None
         self.pending: deque[_PendingBatch] = deque()
         self.pipeline_depth = 1 if server_args.disable_overlap_schedule else 2
+        self._resident: Optional[_ResidentState] = None
+        self.resident_enabled = not server_args.disable_resident_decode
+        self.decode_runway = server_args.decode_runway
 
         self.eos_token_ids = set()
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
@@ -282,6 +304,7 @@ class ScheduleCore:
         self.radix.reset()
         self.allocator.clear()
         self.slots.clear()
+        self._resident = None
         return True
 
     # ------------------------------------------------------ batch scheduling
@@ -294,6 +317,8 @@ class ScheduleCore:
                               or self.draft_worker is not None):
             return self._run_spec_verify_step()
         if batch is None:
+            if self._try_resident_decode():
+                return True
             batch = self._get_decode_batch()
             mode = ForwardMode.DECODE
         if batch is None:
@@ -342,6 +367,15 @@ class ScheduleCore:
             return_top_logprobs=any_top, all_greedy=all_greedy,
         )
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
+        if (
+            mode == ForwardMode.DECODE
+            and self.resident_enabled
+            and not has_grammar
+            and lora_row_ids is None
+        ):
+            self._arm_resident(rows, fb, st, banned, any_top, all_greedy)
+        else:
+            self._resident = None
         if has_grammar:
             # Grammar FSM must advance on the sampled token before the next
             # mask can be built — no overlap for constrained batches
@@ -350,6 +384,64 @@ class ScheduleCore:
                 self._early_outputs.extend(
                     self._process_batch_result(self.pending.popleft())
                 )
+        return True
+
+    # ---- device-resident decode ----
+    def _arm_resident(self, rows, fb, st, banned, any_top, all_greedy) -> None:
+        """After a normal decode launch, capture its device fb/st so
+        subsequent identical-composition steps run with zero host arrays."""
+        ps = self.page_size
+        steps = 1 << 30
+        for r in rows:
+            req = r.req
+            sp = req.sampling_params
+            steps = min(steps, len(req.pages) * ps - req._device_seq_len)
+            steps = min(steps, sp.max_new_tokens - req._device_step)
+            if sp.min_new_tokens > 0 and req._device_step < sp.min_new_tokens:
+                # banned-token rows: the banned set changes once min_new is
+                # reached -> force a rebuild at that boundary.
+                steps = min(steps, sp.min_new_tokens - req._device_step)
+        if steps <= 0:
+            self._resident = None
+            return
+        self._resident = _ResidentState(
+            reqs=[r.req for r in rows],
+            epochs=[r.req._epoch for r in rows],
+            fb=fb,
+            st=st,
+            banned=banned,
+            top_logprobs=any_top,
+            all_greedy=all_greedy,
+            steps_left=steps,
+        )
+
+    def _try_resident_decode(self) -> bool:
+        rs = self._resident
+        if rs is None:
+            return False
+        cur = [
+            r
+            for r in self.running
+            if r.status == ReqStatus.RUNNING
+            and r._device_step < r.sampling_params.max_new_tokens
+        ]
+        if (
+            rs.steps_left <= 0
+            or len(cur) != len(rs.reqs)
+            or any(a is not b for a, b in zip(cur, rs.reqs))
+            or any(r._epoch != e for r, e in zip(cur, rs.epochs))
+        ):
+            self._resident = None
+            return False
+        rows = [_Row(r, "decode", r._epoch, r._device_step) for r in rs.reqs]
+        out = self.runner.forward_resident(rs)
+        for r in rs.reqs:
+            r._device_seq_len += 1
+            r._device_step += 1
+        rs.steps_left -= 1
+        self.pending.append(
+            _PendingBatch(rows, out, ForwardMode.DECODE, time.perf_counter())
+        )
         return True
 
     def _build_vocab_mask(self, rows: List[_Row], padded_bs: int):
@@ -717,6 +809,10 @@ class ScheduleCore:
                         continue
                     if not self._extend_pages(req, pos + 1):
                         continue
+            if self.resident_enabled:
+                # Best-effort page runway so the resident loop can run
+                # decode_runway steps before the next host rebuild.
+                self._extend_pages(req, pos + 1 + self.decode_runway)
             pages_np = getattr(req, "_pages_np", None)
             if pages_np is None or len(pages_np) != len(req.pages):
                 pages_np = np.asarray(req.pages, np.int32)

@@ -163,6 +163,17 @@ class ModelRunner:
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
         )
         self._verify = jax.jit(self._verify_impl, donate_argnums=(1,))
+        # Device-resident decode loop: fb AND sampling rng advance on device,
+        # so steady-state decode launches with ZERO fresh host arrays (a
+        # fresh H2D while compute is in flight costs ~12ms through the
+        # remote-TPU path — see PERF_NOTES.md). Ref analog: CUDA-graph
+        # replay with persistent device buffers (srt/model_executor/
+        # cuda_graph_runner.py) — here the buffers are the donated fb/st.
+        self._decode_resident = jax.jit(
+            self._decode_resident_impl,
+            donate_argnums=(1, 2, 3, 4, 5),  # kv, next_buf, penalty, fb, st
+            static_argnames=("return_top_logprobs", "all_greedy"),
+        )
         self._seed_penalty_row = jax.jit(
             self._seed_penalty_row_impl, donate_argnums=(0,)
         )
@@ -314,6 +325,83 @@ class ModelRunner:
         else:
             tv, ti = None, None
         return kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti
+
+    def _decode_resident_impl(
+        self,
+        params,
+        kv,
+        next_buf,
+        penalty_buf,
+        fb: ForwardBatch,
+        st: SamplingTensors,
+        banned_tokens,
+        return_top_logprobs: int = 0,
+        all_greedy: bool = False,
+    ):
+        """One fully device-resident decode step.
+
+        Convention: fb.seq_lens holds tokens ALREADY in KV (context before
+        this step). The step derives positions/out_cache_loc from it on
+        device, runs the model, then returns fb with seq_lens advanced and
+        the sampling rng keys folded forward — so consecutive decode steps
+        need NO host-built arrays at all (the page table must simply cover
+        the pre-allocated runway; the scheduler rebuilds when it runs out).
+        Ref analog: CUDA-graph replay over persistent device buffers
+        (srt/model_executor/cuda_graph_runner.py); here jit + donation give
+        the same zero-host steady state.
+        """
+        B = fb.padded_bs
+        ps = self.server_args.page_size
+        active = jnp.arange(B, dtype=jnp.int32) < fb.num_seqs
+        # Advance rng first: the host built st for the (normal-path) step
+        # that armed this loop; each resident step is one step later.
+        st = dataclasses.replace(
+            st,
+            rng_keys=st.rng_keys.at[:, 1].add(active.astype(jnp.uint32)),
+        )
+        pos = fb.seq_lens  # [B] ctx before this step; padding rows stay 0
+        page = jnp.take_along_axis(
+            fb.page_table, (pos // ps)[:, None], axis=1
+        )[:, 0]
+        fb = dataclasses.replace(
+            fb,
+            positions=pos,
+            out_cache_loc=page * ps + pos % ps,  # pads: page 0 -> trash row
+            seq_lens=pos + active.astype(jnp.int32),
+        )
+        kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti = self._step_impl(
+            params, kv, next_buf, penalty_buf, fb, st, None, banned_tokens,
+            None, None, return_top_logprobs, all_greedy,
+        )
+        return kv, next_buf, penalty_buf, fb, st, tokens, chosen_lp, tv, ti
+
+    def forward_resident(self, rstate) -> ForwardOutput:
+        """Run one resident decode step from a scheduler-armed state (see
+        ScheduleCore._arm_resident). Mutates rstate.fb/st in place."""
+        (
+            kv, buf, pen, fb, st, tokens, chosen_lp, tv, ti,
+        ) = self._decode_resident(
+            self.params,
+            self.kv_pool.kv,
+            self.next_tokens_buf,
+            self.penalty_buf,
+            rstate.fb,
+            rstate.st,
+            rstate.banned,
+            return_top_logprobs=rstate.top_logprobs,
+            all_greedy=rstate.all_greedy,
+        )
+        self.kv_pool.swap(kv)
+        self.next_tokens_buf = buf
+        self.penalty_buf = pen
+        rstate.fb = fb
+        rstate.st = st
+        return ForwardOutput(
+            next_tokens=tokens,
+            chosen_logprobs=chosen_lp,
+            top_logprob_vals=tv,
+            top_logprob_ids=ti,
+        )
 
     def _encode_impl(self, params, kv, fb: ForwardBatch):
         """Embedding forward: pooled (last-token) hidden states, L2-normed.

@@ -64,9 +64,13 @@ class XlaNativeBackend(AttentionBackend):
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
         k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
-        qf = q.reshape(B, nk, group, hd).astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        scores = jnp.einsum("bkgd,bckd->bkgc", qf, kf) * (scale or self.scale)
+        # bf16 operands with f32 MXU accumulation: casting k/v to f32 first
+        # would materialize 2x the gathered bytes in HBM (measured +2ms/layer
+        # at bs=256 on v5e); preferred_element_type gets f32 math for free.
+        qf = q.reshape(B, nk, group, hd)
+        scores = jnp.einsum(
+            "bkgd,bckd->bkgc", qf, k, preferred_element_type=jnp.float32
+        ) * (scale or self.scale)
         scores = self._softcap(scores, logit_cap)
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
         mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
@@ -74,7 +78,10 @@ class XlaNativeBackend(AttentionBackend):
             mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bkgc,bckd->bkgd", probs, v.astype(jnp.float32))
+        out = jnp.einsum(
+            "bkgc,bckd->bkgd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
         return out.reshape(B, nq, hd).astype(q.dtype)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,

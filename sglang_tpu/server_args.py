@@ -61,6 +61,12 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     disable_radix_cache: bool = False
     disable_overlap_schedule: bool = False
+    # Device-resident decode loop (zero host arrays per steady decode step).
+    disable_resident_decode: bool = False
+    # Tokens of KV page runway pre-allocated per decode seq between host
+    # rebuilds of the resident state (one page = one rebuild per page_size
+    # steps per seq).
+    decode_runway: int = 64
     stream_interval: int = 1
     max_queued_requests: Optional[int] = None
     retract_decode_steps: int = 20
