@@ -82,7 +82,9 @@ class Req:
 
         # KV/cache state
         self.pages: List[int] = []  # all pages covering the sequence
-        self.cached_len = 0  # tokens served from radix cache (page-aligned)
+        self.cached_len = 0  # tree-owned prefix tokens (page-aligned;
+        # advances when unfinished-prefill prefixes are inserted)
+        self.cached_report = 0  # cache-hit tokens at admission (metrics)
         self.prefill_progress = 0  # tokens already run through prefill
         self.last_node = None  # radix tree node locked by this req
         self.req_slot: Optional[int] = None  # device-resident slot id

@@ -148,6 +148,13 @@ class ScheduleCore:
         self._resident: Optional[_ResidentState] = None
         self.resident_enabled = not server_args.disable_resident_decode
         self.decode_runway = server_args.decode_runway
+        # Cascade decode needs a backend that understands fb.shared_pages
+        # and full (non-windowed) attention on every layer.
+        self.cascade_enabled = (
+            not server_args.disable_cascade_attn
+            and getattr(runner.attn_backend, "supports_cascade", False)
+            and runner.model_config.sliding_window is None
+        )
 
         self.eos_token_ids = set()
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
@@ -324,11 +331,16 @@ class ScheduleCore:
         if batch is None:
             return False
         rows, seq_inputs = batch
+        shared = getattr(self, "_decode_shared", None) if (
+            mode == ForwardMode.DECODE
+        ) else None
         fb = build_forward_batch(
             seq_inputs,
             self.page_size,
             mode,
             trash_slot=self.runner.trash_slot,
+            shared_pages=shared[0] if shared else None,
+            shared_len=shared[1] if shared else 0,
         )
         sp_list = [r.req.sampling_params for r in rows]
         seeds = [r.req._seed for r in rows]
@@ -527,6 +539,7 @@ class ScheduleCore:
             )
             req.prefill_progress += q
             req._device_seq_len = req.prefill_progress
+            self._cache_unfinished(req)
             if is_final:
                 req._device_step += 1
                 req._device_seq_len = req._fill_len  # last token KV pending
@@ -561,6 +574,7 @@ class ScheduleCore:
             cached = (cached // self.page_size) * self.page_size
             npages_cached = cached // self.page_size
             req.cached_len = cached
+            req.cached_report = cached
             req.prefill_progress = cached
             req.pages = list(mr.pages[:npages_cached])
             req.last_node = mr.node
@@ -597,6 +611,7 @@ class ScheduleCore:
             )
             req.prefill_progress = target
             req._device_seq_len = target
+            self._cache_unfinished(req)
             budget -= q
             self.num_prefill_tokens += q
             self.num_cached_tokens += cached
@@ -771,7 +786,7 @@ class ScheduleCore:
                             if req.return_logprob else None
                         ),
                         completion_tokens=len(req.output_ids),
-                        cached_tokens=req.cached_len,
+                        cached_tokens=req.cached_report,
                         prompt_tokens=len(req.input_ids),
                     )
                 )
@@ -790,10 +805,10 @@ class ScheduleCore:
 
     # ---- decode ----
     def _get_decode_batch(self):
+        self._decode_shared = None
         if not self.running:
             return None
-        rows: List[_Row] = []
-        seq_inputs: List[SeqInput] = []
+        eligible: List[Req] = []
         for req in list(self.running):
             if req.status != ReqStatus.RUNNING:
                 continue  # retracted earlier in this same loop
@@ -802,7 +817,7 @@ class ScheduleCore:
                 continue
             pos = req._device_seq_len
             if not self._extend_pages(req, pos + 1):
-                freed = self._evict_for(1)
+                self._evict_for(1)
                 if not self._extend_pages(req, pos + 1):
                     self._retract_one()
                     if req.status != ReqStatus.RUNNING or req not in self.running:
@@ -817,15 +832,50 @@ class ScheduleCore:
             if pages_np is None or len(pages_np) != len(req.pages):
                 pages_np = np.asarray(req.pages, np.int32)
                 req._pages_np = pages_np
+            eligible.append(req)
+        if not eligible:
+            return None
+
+        # Cascade: longest common page prefix across the batch (pages are
+        # radix-deduped, so equal page ids <=> identical token prefix).
+        shared_tokens = 0
+        if self.cascade_enabled and len(eligible) >= 2:
+            first = eligible[0]._pages_np
+            s = len(first)
+            for req in eligible[1:]:
+                p = req._pages_np
+                m = min(s, len(p))
+                eq = first[:m] == p[:m]
+                s = int(np.argmin(eq)) if not eq.all() else m
+                if s == 0:
+                    break
+            # Every row's new token must land in the suffix page table:
+            # shared tokens <= every row's current context length.
+            min_sl = min(r._device_seq_len for r in eligible)
+            s = min(s, min_sl // self.page_size)
+            if s > 0:
+                shared_tokens = s * self.page_size
+                self._decode_shared = (first[:s], shared_tokens)
+
+        rows: List[_Row] = []
+        seq_inputs: List[SeqInput] = []
+        for req in eligible:
+            pos = req._device_seq_len
+            if shared_tokens:
+                s = shared_tokens // self.page_size
+                seq_inputs.append(
+                    SeqInput([0], pos - shared_tokens, req.pages[s:],
+                             req_slot=req.req_slot,
+                             pages_np=req._pages_np[s:])
+                )
+            else:
+                seq_inputs.append(
+                    SeqInput([0], pos, req.pages, req_slot=req.req_slot,
+                             pages_np=req._pages_np)
+                )
             rows.append(_Row(req, "decode", req._epoch, req._device_step))
-            seq_inputs.append(
-                SeqInput([0], pos, req.pages, req_slot=req.req_slot,
-                         pages_np=pages_np)
-            )
             req._device_seq_len = pos + 1
             req._device_step += 1
-        if not rows:
-            return None
         return rows, seq_inputs
 
     def _try_hicache_restore(self, req, mr):
@@ -847,6 +897,45 @@ class ScheduleCore:
         self.hicache.load_prefix(hpages[mr.length // ps :], pages)
         self.radix.insert(req.cache_ids[:hlen], mr.pages + pages)
         return self.radix.match_prefix(req.cache_ids)
+
+    def _cache_unfinished(self, req: Req) -> None:
+        """Insert the already-computed prefix of a RUNNING request into the
+        radix tree (ref cache_unfinished_req, srt/mem_cache/radix_cache.py).
+
+        This is what lets concurrently-admitted same-prefix requests share
+        pages (instead of only matching prefixes of FINISHED requests), which
+        in turn feeds cascade decode attention and skips duplicate prefill.
+        If the tree already holds different pages for a range we computed,
+        adopt the tree's pages and free our duplicates — the in-flight step
+        that wrote ours is ordered before any later reuse on the device
+        stream, so the swap is safe."""
+        if self.radix.disable:
+            return
+        ps = self.page_size
+        aligned = (req.prefill_progress // ps) * ps
+        if aligned <= req.cached_len:
+            return
+        npages = aligned // ps
+        self.radix.insert(req.cache_ids[:aligned], req.pages[:npages])
+        mr = self.radix.match_prefix(req.cache_ids[:aligned])
+        mlen = min(mr.length, aligned)
+        mpages = mlen // ps
+        own_start = req.cached_len // ps
+        dup = [
+            p
+            for p, tp in zip(req.pages[own_start:mpages],
+                             mr.pages[own_start:mpages])
+            if p != tp
+        ]
+        req.pages[:mpages] = list(mr.pages[:mpages])
+        if dup:
+            self.allocator.free(dup)
+        if req.last_node is not None:
+            self.radix.dec_lock(req.last_node)
+        req.last_node = mr.node
+        self.radix.inc_lock(mr.node)
+        req.cached_len = mlen
+        req._pages_np = None
 
     # ---- memory helpers ----
     def _extend_pages(self, req: Req, target_tokens: int) -> bool:
@@ -972,7 +1061,7 @@ class ScheduleCore:
                         rid=req.rid, new_token=token,
                         finish_reason=fr.to_json(),
                         completion_tokens=1,
-                        cached_tokens=req.cached_len,
+                        cached_tokens=req.cached_report,
                         prompt_tokens=len(req.input_ids),
                     )
                 )
@@ -994,7 +1083,7 @@ class ScheduleCore:
                         else None
                     ),
                     completion_tokens=len(req.output_ids),
-                    cached_tokens=req.cached_len,
+                    cached_tokens=req.cached_report,
                     prompt_tokens=len(req.input_ids),
                 )
             )

@@ -58,6 +58,8 @@ def build_forward_batch(
     bs_buckets: Optional[Sequence[int]] = None,
     trash_slot: int = 0,
     align: int = EXTEND_ALIGN,
+    shared_pages: Optional[np.ndarray] = None,
+    shared_len: int = 0,
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
@@ -128,6 +130,17 @@ def build_forward_batch(
         block_seq[used_blocks:] = max(n - 1, 0)
         block_q_off[used_blocks:] = 1 << 28  # >> any q_len -> inactive
 
+    shared_pages_dev = shared_len_dev = None
+    if shared_pages is not None and shared_len > 0:
+        # Cascade decode: seqs carry suffix-local prefix_len/page_ids; rope
+        # positions must stay global.
+        positions += shared_len
+        S = bucketize(len(shared_pages), PAGE_BUCKETS)
+        sp = np.zeros(S, np.int32)
+        sp[: len(shared_pages)] = shared_pages
+        shared_pages_dev = jnp.asarray(sp)
+        shared_len_dev = jnp.asarray(shared_len, jnp.int32)
+
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids),
         positions=jnp.asarray(positions),
@@ -143,6 +156,8 @@ def build_forward_batch(
         block_seq=jnp.asarray(block_seq),
         block_q_off=jnp.asarray(block_q_off),
         prefix_lens=jnp.asarray(prefix_lens),
+        shared_pages=shared_pages_dev,
+        shared_len=shared_len_dev,
         mode=mode,
         extend_align=align,
     )

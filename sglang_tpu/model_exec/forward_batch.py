@@ -67,6 +67,15 @@ class ForwardBatch:
     block_seq: jax.Array  # int32: owning seq per q block
     block_q_off: jax.Array  # int32: block's first-token offset within the seq
     prefix_lens: jax.Array  # [B] int32: tokens already in KV before this step
+    # Cascade (shared-prefix) decode attention: when every row of a decode
+    # batch shares its first shared_len tokens (same radix pages), those
+    # pages are gathered ONCE and attended with a single dense matmul; the
+    # per-row page_table/seq_lens then cover only the suffix. positions
+    # stay global (builder adds shared_len back). Ref analog: FlashInfer
+    # cascade / multi-level attention (srt/layers/attention/
+    # flashinfer_backend.py). None = disabled.
+    shared_pages: Optional[jax.Array] = None  # [S] int32 page ids
+    shared_len: Optional[jax.Array] = None  # [] int32 tokens in shared part
 
     # --- static fields ---
     mode: ForwardMode = dataclasses.field(

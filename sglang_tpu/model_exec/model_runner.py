@@ -360,12 +360,15 @@ class ModelRunner:
             rng_keys=st.rng_keys.at[:, 1].add(active.astype(jnp.uint32)),
         )
         pos = fb.seq_lens  # [B] ctx before this step; padding rows stay 0
+        # Cascade fbs keep suffix-local seq_lens/page_table; rope positions
+        # are global (suffix pos + shared prefix length).
+        rope_pos = pos if fb.shared_len is None else pos + fb.shared_len
         page = jnp.take_along_axis(
             fb.page_table, (pos // ps)[:, None], axis=1
         )[:, 0]
         fb = dataclasses.replace(
             fb,
-            positions=pos,
+            positions=rope_pos,
             out_cache_loc=page * ps + pos % ps,  # pads: page 0 -> trash row
             seq_lens=pos + active.astype(jnp.int32),
         )

@@ -22,6 +22,10 @@ class AttentionBackend:
     """Stateless (per-call) attention executor."""
 
     name = "base"
+    # Whether forward_decode understands fb.shared_pages (cascade /
+    # shared-prefix attention). The scheduler only builds cascade decode
+    # batches for backends that advertise it.
+    supports_cascade = False
 
     def __init__(self, num_q_heads: int, num_kv_heads: int, head_dim: int,
                  page_size: int, scale: float | None = None):

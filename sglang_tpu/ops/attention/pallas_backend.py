@@ -39,6 +39,8 @@ class PallasBackend(AttentionBackend):
       Pallas decode kernel ("pallas_dma" backend) is the right choice.
     """
 
+    supports_cascade = True  # decode delegates to the XLA cascade path
+
     def forward_decode(self, q, kv_layer, fb: ForwardBatch, **kw):
         from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 
@@ -160,6 +162,8 @@ class PallasBackend(AttentionBackend):
 class PallasDmaBackend(PallasBackend):
     """Pure-Pallas decode (manual page DMA) — for bare-metal TPUs where
     kernel DMA issue is cheap."""
+
+    supports_cascade = False  # kernel reads the full per-row page table
 
     def forward_decode(self, q, kv_layer, fb: ForwardBatch, **kw):
         return self._kernel_decode(q, kv_layer, fb, **kw)

@@ -27,6 +27,10 @@ def _flat_slot_indices(page_table: jax.Array, page_size: int) -> jax.Array:
 
 @register_attention_backend("xla_native")
 class XlaNativeBackend(AttentionBackend):
+    # Decode batches whose rows share a radix prefix can use cascade
+    # (shared-prefix) attention: fb.shared_pages gathered once + LSE merge.
+    supports_cascade = True
+
     def _gather_ctx(self, kv_layer, slots):
         """kv_layer [NP, ps, 2, F]; slots [..., C] -> k, v [..., C, nk, hd]."""
         nk, hd = self.num_kv_heads, self.head_dim
@@ -62,7 +66,6 @@ class XlaNativeBackend(AttentionBackend):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
-        slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
         k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
         # bf16 operands with f32 MXU accumulation: casting k/v to f32 first
         # would materialize 2x the gathered bytes in HBM (measured +2ms/layer
@@ -72,11 +75,46 @@ class XlaNativeBackend(AttentionBackend):
             "bkgd,bckd->bkgc", qf, k, preferred_element_type=jnp.float32
         ) * (scale or self.scale)
         scores = self._softcap(scores, logit_cap)
-        ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
+        C = k.shape[1]
+        ctx = jnp.arange(C, dtype=jnp.int32)
         mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
         if window and window > 0:
             mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+
+        if fb.shared_pages is not None and not (window and window > 0):
+            # Cascade: the batch-shared prefix is gathered ONCE (vs B times)
+            # and attended as a single dense matmul, then merged with the
+            # per-row suffix via a joint softmax (mergeable LSE form).
+            ps = self.page_size
+            Cs = fb.shared_pages.shape[0] * ps
+            srows = kv_layer[fb.shared_pages].reshape(Cs, 2, nk * hd)
+            k_s = srows[:, 0, :].reshape(Cs, nk, hd)
+            v_s = srows[:, 1, :].reshape(Cs, nk, hd)
+            ss = jnp.einsum(
+                "bkgd,ckd->bkgc", qf, k_s, preferred_element_type=jnp.float32
+            ) * (scale or self.scale)
+            ss = self._softcap(ss, logit_cap)
+            ctx_s = jnp.arange(Cs, dtype=jnp.int32)
+            ss = jnp.where((ctx_s < fb.shared_len)[None, None, None, :], ss,
+                           NEG_INF)
+            m = jnp.maximum(
+                jnp.max(ss, axis=-1), jnp.max(scores, axis=-1)
+            )[..., None]
+            p_s = jnp.exp(ss - m)
+            p_x = jnp.exp(scores - m)
+            denom = jnp.sum(p_s, axis=-1) + jnp.sum(p_x, axis=-1)
+            o_s = jnp.einsum(
+                "bkgc,ckd->bkgd", p_s.astype(v.dtype), v_s,
+                preferred_element_type=jnp.float32,
+            )
+            o_x = jnp.einsum(
+                "bkgc,bckd->bkgd", p_x.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            out = (o_s + o_x) / jnp.maximum(denom[..., None], 1e-20)
+            return out.reshape(B, nq, hd).astype(q.dtype)
+
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bkgc,bckd->bkgd", probs.astype(v.dtype), v,

@@ -63,6 +63,9 @@ class ServerArgs:
     disable_overlap_schedule: bool = False
     # Device-resident decode loop (zero host arrays per steady decode step).
     disable_resident_decode: bool = False
+    # Cascade (shared-prefix) decode attention: gather a batch-wide common
+    # radix prefix once instead of per row.
+    disable_cascade_attn: bool = False
     # Tokens of KV page runway pre-allocated per decode seq between host
     # rebuilds of the resident state (one page = one rebuild per page_size
     # steps per seq).
