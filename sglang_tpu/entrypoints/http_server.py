@@ -370,8 +370,63 @@ class HttpServer:
                 "stop": body.get("stop_sequences"),
             }
             gri = self.openai.chat_to_gri(chat_body)
+            gri.stream = bool(body.get("stream", False))
         except ValueError as e:
             return _json_error(str(e))
+        model = body.get("model", self.args.served_model_name)
+        mid = f"msg_{uuid.uuid4().hex}"
+        if gri.stream:
+            # Anthropic streaming event sequence: message_start ->
+            # content_block_start -> content_block_delta* ->
+            # content_block_stop -> message_delta -> message_stop.
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+
+            async def ev(name, payload):
+                payload = {"type": name, **payload}
+                await resp.write(
+                    f"event: {name}\ndata: {json.dumps(payload)}\n\n".encode()
+                )
+
+            await ev("message_start", {"message": {
+                "id": mid, "type": "message", "role": "assistant",
+                "content": [], "model": model,
+                "usage": {"input_tokens": 0, "output_tokens": 0},
+            }})
+            await ev("content_block_start", {
+                "index": 0, "content_block": {"type": "text", "text": ""},
+            })
+            sent_len = 0
+            meta = {}
+            try:
+                async for out in self.tm.generate_request(gri):
+                    delta = out["text"][sent_len:]
+                    sent_len = len(out["text"])
+                    meta = out["meta_info"]
+                    if delta:
+                        await ev("content_block_delta", {
+                            "index": 0,
+                            "delta": {"type": "text_delta", "text": delta},
+                        })
+                await ev("content_block_stop", {"index": 0})
+                fr = (meta.get("finish_reason") or {})
+                stop_reason = {"stop": "end_turn", "length": "max_tokens"}.get(
+                    fr.get("type"), "end_turn"
+                )
+                await ev("message_delta", {
+                    "delta": {"stop_reason": stop_reason,
+                              "stop_sequence": fr.get("matched_str")},
+                    "usage": {
+                        "output_tokens": meta.get("completion_tokens", 0)
+                    },
+                })
+                await ev("message_stop", {})
+            except Exception as e:  # noqa: BLE001
+                await ev("error", {"error": {"type": "api_error",
+                                             "message": str(e)}})
+            return resp
         out = None
         async for o in self.tm.generate_request(gri):
             out = o
@@ -382,11 +437,11 @@ class HttpServer:
         }.get(fr.get("type"), "end_turn")
         return web.json_response(
             {
-                "id": f"msg_{uuid.uuid4().hex}",
+                "id": mid,
                 "type": "message",
                 "role": "assistant",
                 "content": [{"type": "text", "text": out["text"]}],
-                "model": body.get("model", self.args.served_model_name),
+                "model": model,
                 "stop_reason": stop_reason,
                 "usage": {
                     "input_tokens": meta.get("prompt_tokens", 0),
@@ -408,14 +463,52 @@ class HttpServer:
                 "top_k": opts.get("top_k"),
             }
             gri = self.openai.chat_to_gri(chat_body)
+            # Ollama streams by default (NDJSON lines, not SSE).
+            gri.stream = bool(body.get("stream", True))
         except ValueError as e:
             return _json_error(str(e))
+        model = body.get("model", self.args.served_model_name)
+        if gri.stream:
+            resp = web.StreamResponse(
+                headers={"Content-Type": "application/x-ndjson"}
+            )
+            await resp.prepare(request)
+            sent_len = 0
+            meta = {}
+            try:
+                async for out in self.tm.generate_request(gri):
+                    delta = out["text"][sent_len:]
+                    sent_len = len(out["text"])
+                    meta = out["meta_info"]
+                    if delta:
+                        line = {
+                            "model": model,
+                            "message": {"role": "assistant", "content": delta},
+                            "done": False,
+                        }
+                        await resp.write(
+                            (json.dumps(line) + "\n").encode()
+                        )
+                final = {
+                    "model": model,
+                    "message": {"role": "assistant", "content": ""},
+                    "done": True,
+                    "done_reason": "stop",
+                    "prompt_eval_count": meta.get("prompt_tokens", 0),
+                    "eval_count": meta.get("completion_tokens", 0),
+                }
+                await resp.write((json.dumps(final) + "\n").encode())
+            except Exception as e:  # noqa: BLE001
+                await resp.write(
+                    (json.dumps({"error": str(e), "done": True}) + "\n").encode()
+                )
+            return resp
         out = None
         async for o in self.tm.generate_request(gri):
             out = o
         return web.json_response(
             {
-                "model": body.get("model", self.args.served_model_name),
+                "model": model,
                 "message": {"role": "assistant", "content": out["text"]},
                 "done": True,
                 "done_reason": "stop",

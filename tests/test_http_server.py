@@ -200,6 +200,7 @@ def test_ollama_chat(server):
         server + "/api/chat",
         json={
             "model": "test",
+            "stream": False,
             "messages": [{"role": "user", "content": "w62"}],
             "options": {"num_predict": 4, "temperature": 0},
         },
@@ -208,3 +209,57 @@ def test_ollama_chat(server):
     out = r.json()
     assert out["done"] is True
     assert out["message"]["role"] == "assistant"
+
+
+def test_ollama_chat_streaming(server):
+    """Ollama streams NDJSON lines by default."""
+    import json as _json
+
+    r = requests.post(
+        server + "/api/chat",
+        json={
+            "model": "test",
+            "messages": [{"role": "user", "content": "w63 w64"}],
+            "options": {"num_predict": 4, "temperature": 0},
+        },
+        stream=True,
+    )
+    assert r.status_code == 200, r.text
+    lines = [_json.loads(l) for l in r.iter_lines() if l]
+    assert lines[-1]["done"] is True
+    assert lines[-1]["eval_count"] >= 1
+    text = "".join(l["message"]["content"] for l in lines)
+    assert len(text) > 0
+    assert all(not l["done"] for l in lines[:-1])
+
+
+def test_anthropic_messages_streaming(server):
+    """Anthropic SSE event sequence with text deltas."""
+    import json as _json
+
+    r = requests.post(
+        server + "/v1/messages",
+        json={
+            "model": "test",
+            "max_tokens": 5,
+            "stream": True,
+            "messages": [{"role": "user", "content": "w65 w66"}],
+        },
+        stream=True,
+    )
+    assert r.status_code == 200, r.text
+    events = []
+    for line in r.iter_lines():
+        if line and line.startswith(b"data: "):
+            events.append(_json.loads(line[6:]))
+    kinds = [e["type"] for e in events]
+    assert kinds[0] == "message_start"
+    assert "content_block_start" in kinds
+    assert "content_block_delta" in kinds
+    assert kinds[-1] == "message_stop"
+    text = "".join(
+        e["delta"]["text"] for e in events if e["type"] == "content_block_delta"
+    )
+    assert len(text) > 0
+    md = [e for e in events if e["type"] == "message_delta"][0]
+    assert md["usage"]["output_tokens"] >= 1
