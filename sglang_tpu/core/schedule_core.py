@@ -189,6 +189,15 @@ class ScheduleCore:
                 num_draft_tokens=server_args.speculative_num_draft_tokens,
             )
             self.pipeline_depth = 1
+        elif algo == "EAGLE":
+            from sglang_tpu.speculative.eagle import EagleWorker
+
+            self.draft_worker = EagleWorker(
+                server_args,
+                runner,
+                num_draft_tokens=server_args.speculative_num_draft_tokens,
+            )
+            self.pipeline_depth = 1
         self.num_spec_accepted = 0
         self.num_spec_steps = 0
 
@@ -373,11 +382,25 @@ class ScheduleCore:
             and not r.req.sampling_params.needs_penalties
             for r in rows
         )
+        want_hidden = (
+            mode == ForwardMode.EXTEND
+            and getattr(self.draft_worker, "needs_hidden", False)
+        )
         out = self.runner.forward(
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
             lora_row_ids=lora_row_ids, mm_pack=mm_pack,
             return_top_logprobs=any_top, all_greedy=all_greedy,
+            return_hidden=want_hidden,
         )
+        if want_hidden and out.hidden is not None:
+            # EAGLE prefill tap: the draft head consumes the target's
+            # features for every prompt position as it is computed.
+            seg = np.asarray(fb.cu_q_lens)
+            entries = [
+                (r.req, si.prefix_len, int(seg[i]), len(si.new_token_ids))
+                for i, (r, si) in enumerate(zip(rows, seq_inputs))
+            ]
+            self.draft_worker.observe_and_extend(entries, out.hidden)
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
         if (
             mode == ForwardMode.DECODE
@@ -741,7 +764,7 @@ class ScheduleCore:
                         continue
                     if not self._extend_pages(req, prefix + len(inputs)):
                         continue
-            rows.append((req, drafts))
+            rows.append((req, drafts, prefix))
             seq_inputs.append(
                 SeqInput(inputs, prefix, req.pages, req_slot=req.req_slot)
             )
@@ -751,13 +774,14 @@ class ScheduleCore:
             seq_inputs, self.page_size, ForwardMode.EXTEND,
             trash_slot=self.runner.trash_slot, align=16,
         )
-        tokens_dev, logprobs_dev = self.runner.forward_verify(fb)
+        tokens_dev, logprobs_dev, hidden_dev = self.runner.forward_verify(fb)
         tokens = np.asarray(tokens_dev)
         logprobs = np.asarray(logprobs_dev)
         seg = np.asarray(fb.cu_q_lens)
 
         slots, next_tokens = [], []
-        for i, (req, drafts) in enumerate(rows):
+        observe_entries = []
+        for i, (req, drafts, prefix) in enumerate(rows):
             start = int(seg[i])
             qlen = 1 + len(drafts)
             verified = tokens[start : start + qlen].tolist()
@@ -799,8 +823,14 @@ class ScheduleCore:
             if not finished and emit:
                 slots.append(req.req_slot)
                 next_tokens.append(emit[-1])
+                observe_entries.append((req, prefix, start, 1 + n_accept))
         if slots:
             self.runner.override_next_tokens(slots, next_tokens)
+        if observe_entries and getattr(self.draft_worker, "needs_hidden",
+                                       False):
+            # EAGLE: catch the draft head's KV up over the accepted
+            # positions using the target's features from this verify pass.
+            self.draft_worker.observe_and_extend(observe_entries, hidden_dev)
         return True
 
     # ---- decode ----

@@ -71,6 +71,7 @@ class ForwardOutput:
     chosen_logprobs: jax.Array  # [B] f32
     top_logprob_vals: Optional[jax.Array] = None  # [B, K]
     top_logprob_ids: Optional[jax.Array] = None  # [B, K]
+    hidden: Optional[jax.Array] = None  # [T, H] (EAGLE feature taps)
 
 
 class ModelRunner:
@@ -157,7 +158,8 @@ class ModelRunner:
         self._step = jax.jit(
             self._step_impl,
             donate_argnums=(1, 2, 3),
-            static_argnames=("return_top_logprobs", "all_greedy"),
+            static_argnames=("return_top_logprobs", "all_greedy",
+                             "return_hidden"),
         )
         self._override_tokens = jax.jit(
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
@@ -275,6 +277,7 @@ class ModelRunner:
         mm_pack=None,  # (input_embeds [T, H], embed_mask [T]) or None
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
+        return_hidden: bool = False,  # full [T, H] tap for EAGLE drafting
     ):
         if fb.mode.is_decode():
             # Input token comes from the device future-map, not the host.
@@ -324,7 +327,8 @@ class ModelRunner:
             tv, ti = compute_logprobs(logits, return_top_logprobs)
         else:
             tv, ti = None, None
-        return kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti
+        return (kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti,
+                hidden if return_hidden else None)
 
     def _decode_resident_impl(
         self,
@@ -372,9 +376,11 @@ class ModelRunner:
             out_cache_loc=page * ps + pos % ps,  # pads: page 0 -> trash row
             seq_lens=pos + active.astype(jnp.int32),
         )
-        kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti = self._step_impl(
-            params, kv, next_buf, penalty_buf, fb, st, None, banned_tokens,
-            None, None, return_top_logprobs, all_greedy,
+        kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti, _ = (
+            self._step_impl(
+                params, kv, next_buf, penalty_buf, fb, st, None,
+                banned_tokens, None, None, return_top_logprobs, all_greedy,
+            )
         )
         return kv, next_buf, penalty_buf, fb, st, tokens, chosen_lp, tv, ti
 
@@ -431,18 +437,22 @@ class ModelRunner:
 
         Ref: ForwardMode.TARGET_VERIFY (srt/model_executor/
         forward_batch_info.py:98) + EAGLE verify (eagle_worker_v2.py:1492).
+        Also returns the hidden states [T, H] — the EAGLE draft head
+        conditions on the target's features at accepted positions.
         """
         hidden, kv = self.model(params, fb, kv, self.attn_backend)
         logits = self.model.compute_logits(params, hidden).astype(jnp.float32)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [T]
         lp = jax.nn.log_softmax(logits, axis=-1)
         chosen = jnp.take_along_axis(lp, tokens[:, None], axis=1)[:, 0]
-        return kv, tokens, chosen
+        return kv, tokens, chosen, hidden
 
     def forward_verify(self, fb: ForwardBatch):
-        new_kv, tokens, chosen = self._verify(self.params, self.kv_pool.kv, fb)
+        new_kv, tokens, chosen, hidden = self._verify(
+            self.params, self.kv_pool.kv, fb
+        )
         self.kv_pool.swap(new_kv)
-        return tokens, chosen
+        return tokens, chosen, hidden
 
     def _seed_penalty_row_impl(self, penalty_buf, slot, tokens, valid):
         """Rebuild one slot's output-token counts (after retraction)."""
@@ -486,6 +496,7 @@ class ModelRunner:
         mm_pack=None,
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
+        return_hidden: bool = False,
     ) -> ForwardOutput:
         lora_pack = None
         if lora_row_ids is not None and self.lora_manager is not None:
@@ -505,19 +516,22 @@ class ModelRunner:
                 dummy = jnp.zeros((B,), jnp.int32)
                 self._decode_dummy_ids[B] = dummy
             fb = dataclasses.replace(fb, input_ids=dummy)
-        new_kv, new_buf, new_pen, tokens, chosen_lp, tv, ti = self._step(
-            self.params,
-            self.kv_pool.kv,
-            self.next_tokens_buf,
-            self.penalty_buf,
-            fb,
-            st,
-            vocab_mask,
-            banned_tokens,
-            lora_pack,
-            mm_pack,
-            return_top_logprobs=return_top_logprobs,
-            all_greedy=all_greedy,
+        new_kv, new_buf, new_pen, tokens, chosen_lp, tv, ti, hidden = (
+            self._step(
+                self.params,
+                self.kv_pool.kv,
+                self.next_tokens_buf,
+                self.penalty_buf,
+                fb,
+                st,
+                vocab_mask,
+                banned_tokens,
+                lora_pack,
+                mm_pack,
+                return_top_logprobs=return_top_logprobs,
+                all_greedy=all_greedy,
+                return_hidden=return_hidden,
+            )
         )
         self.kv_pool.swap(new_kv)
         self.next_tokens_buf = new_buf
@@ -527,4 +541,5 @@ class ModelRunner:
             chosen_logprobs=chosen_lp,
             top_logprob_vals=tv,
             top_logprob_ids=ti,
+            hidden=hidden,
         )

@@ -72,7 +72,7 @@ class StandaloneDraftWorker:
             seq_inputs, self.page_size, ForwardMode.EXTEND,
             trash_slot=self.runner.trash_slot, align=16,
         )
-        tokens, _ = self.runner.forward_verify(fb)
+        tokens, _, _ = self.runner.forward_verify(fb)
         return np.asarray(tokens), np.asarray(fb.cu_q_lens)
 
     def propose_all(self, reqs) -> List[List[int]]:
