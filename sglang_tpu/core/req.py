@@ -53,8 +53,12 @@ class Req:
         arrival_time: Optional[float] = None,
         lora_id: Optional[str] = None,
         is_embedding: bool = False,
+        priority: int = 0,
     ):
         self.rid = rid
+        # Higher value = scheduled first & retracted last (ref
+        # --enable-priority-scheduling, srt/managers/schedule_policy.py).
+        self.priority = priority
         self.input_ids = list(input_ids)
         self.output_ids: List[int] = []
         self.sampling_params = sampling_params

@@ -988,7 +988,10 @@ class ScheduleCore:
         victims = [r for r in self.running if r.status == ReqStatus.RUNNING]
         if len(victims) <= 1:
             return None
-        victim = max(victims, key=lambda r: r.arrival_time)
+        # Lowest priority first; newest within a priority class.
+        victim = max(
+            victims, key=lambda r: (-getattr(r, "priority", 0), r.arrival_time)
+        )
         self._release_req_memory(victim, cache=False)
         victim.status = ReqStatus.WAITING
         victim._epoch += 1

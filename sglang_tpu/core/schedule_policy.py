@@ -53,3 +53,8 @@ class SchedulePolicy:
             random.shuffle(waiting)
         else:
             raise ValueError(f"unknown schedule policy {self.policy}")
+        # Priority dominates the policy ordering (stable sort keeps the
+        # policy's order within a priority class). Ref:
+        # --enable-priority-scheduling, srt/managers/schedule_policy.py.
+        if any(getattr(r, "priority", 0) for r in waiting):
+            waiting.sort(key=lambda r: -getattr(r, "priority", 0))

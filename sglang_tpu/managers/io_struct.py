@@ -29,6 +29,7 @@ class GenerateReqInput:
     top_logprobs_num: Union[int, List[int]] = 0
     stream: bool = False
     lora_path: Optional[Union[str, List[str]]] = None
+    priority: Union[int, List[int]] = 0
     session_params: Optional[Dict] = None
     return_text_in_logprobs: bool = False
     is_embedding: bool = False
@@ -82,6 +83,7 @@ class GenerateReqInput:
                     top_logprobs_num=pick(self.top_logprobs_num, i, 0),
                     stream=self.stream,
                     lora_path=pick(self.lora_path, i),
+                    priority=pick(self.priority, i, 0),
                     is_embedding=self.is_embedding,
                 )
             )
@@ -97,6 +99,7 @@ class TokenizedGenerateReqInput:
     top_logprobs_num: int = 0
     stream: bool = False
     lora_path: Optional[str] = None
+    priority: int = 0
     is_embedding: bool = False
 
 

@@ -69,6 +69,7 @@ class Scheduler:
                 return_logprob=msg.return_logprob,
                 top_logprobs_num=msg.top_logprobs_num,
                 lora_id=msg.lora_path,
+                priority=getattr(msg, "priority", 0),
                 is_embedding=getattr(msg, "is_embedding", False),
             )
             self._req_meta[msg.rid] = (

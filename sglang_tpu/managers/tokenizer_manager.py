@@ -184,6 +184,7 @@ class TokenizerManager:
             top_logprobs_num=int(gri.top_logprobs_num or 0),
             stream=gri.stream,
             lora_path=gri.lora_path,
+            priority=int(getattr(gri, "priority", 0) or 0),
             is_embedding=bool(getattr(gri, "is_embedding", False)),
         )
 
