@@ -19,6 +19,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("sglang_tpu.models.mixtral", "MixtralForCausalLM"),
     "Gemma2ForCausalLM": ("sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
+    "GemmaForCausalLM": ("sglang_tpu.models.gemma", "GemmaForCausalLM"),
+    "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
 }
