@@ -120,6 +120,16 @@ class ScheduleCore:
             self.hicache = HiCacheController(
                 runner.kv_pool, host_ratio=server_args.hicache_ratio
             )
+        # KV event publishing (ref --kv-events-config): BlockStored /
+        # BlockRemoved / AllBlocksCleared over ZMQ PUB for external
+        # cache-aware routers.
+        self.kv_events = None
+        self._kv_blocks_published: set = set()
+        if server_args.kv_events_config:
+            from sglang_tpu.observability.kv_events import KVEventPublisher
+
+            self.kv_events = KVEventPublisher(server_args.kv_events_config)
+
         radix_cls = RadixCache
         if server_args.radix_cache_impl == "cpp":
             try:
@@ -131,11 +141,22 @@ class ScheduleCore:
                     "native radix tree unavailable; using python impl",
                     exc_info=True,
                 )
+        evict_hooks = []
+        if self.hicache is not None:
+            evict_hooks.append(self.hicache.store_pages)
+        if self.kv_events is not None:
+            evict_hooks.append(self._kv_evict_event)
+        on_evict = None
+        if evict_hooks:
+            def on_evict(full_prefix, pages, _hooks=tuple(evict_hooks)):
+                for h in _hooks:
+                    h(full_prefix, pages)
+
         self.radix = radix_cls(
             self.page_size,
             self.allocator,
             disable=server_args.disable_radix_cache,
-            on_evict=(self.hicache.store_pages if self.hicache else None),
+            on_evict=on_evict,
         )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
         self.slots = ReqSlotPool(server_args.max_running_requests)
@@ -321,6 +342,9 @@ class ScheduleCore:
         self.allocator.clear()
         self.slots.clear()
         self._resident = None
+        if self.kv_events is not None:
+            self._kv_blocks_published.clear()
+            self.kv_events.all_blocks_cleared()
         return True
 
     # ------------------------------------------------------ batch scheduling
@@ -928,6 +952,36 @@ class ScheduleCore:
         self.radix.insert(req.cache_ids[:hlen], mr.pages + pages)
         return self.radix.match_prefix(req.cache_ids)
 
+    # ---- KV events ----
+    def _kv_insert_event(self, tokens_aligned) -> None:
+        if self.kv_events is None:
+            return
+        from sglang_tpu.observability.kv_events import block_hashes
+
+        hashes = block_hashes(tokens_aligned, self.page_size)
+        new = [
+            (i, h) for i, h in enumerate(hashes)
+            if h not in self._kv_blocks_published
+        ]
+        if not new:
+            return
+        first = new[0][0]
+        parent = hashes[first - 1] if first > 0 else None
+        self.kv_events.block_stored(
+            [h for _, h in new],
+            list(tokens_aligned[first * self.page_size:]),
+            parent,
+        )
+        self._kv_blocks_published.update(h for _, h in new)
+
+    def _kv_evict_event(self, full_prefix, pages) -> None:
+        from sglang_tpu.observability.kv_events import block_hashes
+
+        hashes = block_hashes(full_prefix, self.page_size)
+        removed = hashes[len(hashes) - len(pages):]
+        self.kv_events.block_removed(removed)
+        self._kv_blocks_published.difference_update(removed)
+
     def _cache_unfinished(self, req: Req) -> None:
         """Insert the already-computed prefix of a RUNNING request into the
         radix tree (ref cache_unfinished_req, srt/mem_cache/radix_cache.py).
@@ -947,6 +1001,7 @@ class ScheduleCore:
             return
         npages = aligned // ps
         self.radix.insert(req.cache_ids[:aligned], req.pages[:npages])
+        self._kv_insert_event(req.cache_ids[:aligned])
         mr = self.radix.match_prefix(req.cache_ids[:aligned])
         mlen = min(mr.length, aligned)
         mpages = mlen // ps
@@ -1020,6 +1075,7 @@ class ScheduleCore:
                 matched = self.radix.insert(
                     req.cache_ids[:aligned], req.pages[:npages]
                 )
+                self._kv_insert_event(req.cache_ids[:aligned])
                 # free our duplicates in [cached_len, matched) and the tail
                 dup = req.pages[own_start : matched // ps]
                 tail = req.pages[npages:]

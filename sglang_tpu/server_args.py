@@ -66,6 +66,9 @@ class ServerArgs:
     # Cascade (shared-prefix) decode attention: gather a batch-wide common
     # radix prefix once instead of per row.
     disable_cascade_attn: bool = False
+    # KV cache event publishing for external cache-aware routers
+    # (JSON: {"endpoint": "tcp://*:5557", "topic": "kv-events"}).
+    kv_events_config: Optional[str] = None
     # Tokens of KV page runway pre-allocated per decode seq between host
     # rebuilds of the resident state (one page = one rebuild per page_size
     # steps per seq).
