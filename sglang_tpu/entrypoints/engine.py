@@ -243,6 +243,13 @@ class Engine:
             )
         )
 
+    def update_weights_from_tensor(self, named_tensors):
+        """RL hook: push updated weights as (hf_name, array) pairs without
+        touching disk (ref engine.update_weights_from_tensor)."""
+        return self._run_coro(
+            self.tokenizer_manager.update_weights_from_tensor(named_tensors)
+        )
+
     def release_memory_occupation(self, tags=None):
         return self._run_coro(
             self.tokenizer_manager.release_memory_occupation(tags)

@@ -186,6 +186,13 @@ class UpdateWeightsResp:
 
 
 @dataclasses.dataclass
+class UpdateWeightsFromTensorReq:
+    """RL weight push: [(hf_name, np.ndarray)] (pickled over local ZMQ)."""
+
+    named_tensors: List  # List[Tuple[str, np.ndarray]]
+
+
+@dataclasses.dataclass
 class ReleaseMemoryReq:
     tags: List[str] = dataclasses.field(default_factory=lambda: ["kv_cache"])
 

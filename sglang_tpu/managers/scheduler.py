@@ -31,6 +31,7 @@ from sglang_tpu.managers.io_struct import (
     HealthCheckResp,
     SchedulerReady,
     TokenizedGenerateReqInput,
+    UpdateWeightsFromTensorReq,
     UpdateWeightsReq,
     UpdateWeightsResp,
 )
@@ -130,6 +131,22 @@ class Scheduler:
                     msg.model_path,
                     load_format=msg.load_format,
                     seed=self.server_args.random_seed,
+                )
+                send_pyobj(self.to_detok, UpdateWeightsResp(True, "ok"))
+            except Exception as e:  # noqa: BLE001
+                send_pyobj(self.to_detok, UpdateWeightsResp(False, str(e)))
+        elif isinstance(msg, UpdateWeightsFromTensorReq):
+            try:
+                from sglang_tpu.model_exec.weight_loader import (
+                    update_params_from_named_tensors,
+                )
+
+                self.runner.params = update_params_from_named_tensors(
+                    self.runner.model,
+                    self.runner.specs,
+                    self.runner.mesh_ctx,
+                    self.runner.params,
+                    msg.named_tensors,
                 )
                 send_pyobj(self.to_detok, UpdateWeightsResp(True, "ok"))
             except Exception as e:  # noqa: BLE001

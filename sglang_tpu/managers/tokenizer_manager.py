@@ -315,6 +315,16 @@ class TokenizerManager:
         )
         return resp.success, resp.message
 
+    async def update_weights_from_tensor(self, named_tensors):
+        from sglang_tpu.managers.io_struct import UpdateWeightsFromTensorReq
+
+        resp = await self._control_rpc(
+            UpdateWeightsFromTensorReq(named_tensors=list(named_tensors)),
+            UpdateWeightsResp,
+            timeout=600,
+        )
+        return resp.success, resp.message
+
     async def update_weights_from_disk(self, model_path: str,
                                        load_format: str = "auto"):
         resp = await self._control_rpc(

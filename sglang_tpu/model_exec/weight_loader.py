@@ -121,3 +121,61 @@ def load_model_weights(
         raise ValueError(f"missing weights for params: {missing[:8]}... "
                          f"({len(missing)} total)")
     return params
+
+
+def _write_slot(target: np.ndarray, slot, arr: np.ndarray) -> None:
+    if slot is None:
+        target[...] = arr
+    elif isinstance(slot, tuple):
+        kind, e = slot
+        if kind == "expert_gate":
+            target[e, :, 0, :] = arr
+        elif kind == "expert_up":
+            target[e, :, 1, :] = arr
+        elif kind == "expert_down":
+            target[e] = arr
+        else:
+            raise ValueError(f"unknown expert slot {kind}")
+    elif target.ndim == 3:
+        target[:, slot, :] = arr
+    elif target.ndim == 2:
+        target[slot, :] = arr.reshape(-1)
+    else:
+        raise ValueError("bad fused target ndim")
+
+
+def update_params_from_named_tensors(
+    model,
+    specs: SpecTree,
+    mesh_ctx: MeshContext,
+    params: Params,
+    named_tensors,
+) -> Params:
+    """In-place partial weight update from (hf_name, array) pairs.
+
+    Ref: /update_weights_from_tensor (srt/model_executor/model_runner.py
+    update_weights_from_tensor) — the RL path: a colocated trainer pushes
+    updated tensors without touching disk. HF names go through the model's
+    map_hf_weight so fused slots (qkv/gate_up/experts) update correctly;
+    params not mentioned keep their current values.
+    """
+    touched: Dict[str, np.ndarray] = {}
+    for hf_name, tensor in named_tensors:
+        for pname, slot, arr in model.map_hf_weight(hf_name, _to_numpy(tensor)):
+            if pname not in specs:
+                logger.warning("tensor %s maps to unknown param %s", hf_name,
+                               pname)
+                continue
+            if pname not in touched:
+                # start from the current device value (partial slot updates);
+                # np.asarray of a device buffer is read-only — copy.
+                touched[pname] = np.array(params[pname], dtype=np.float32,
+                                          copy=True)
+            _write_slot(touched[pname], slot, arr)
+    new_params = dict(params)
+    for pname, buf in touched.items():
+        spec = specs[pname]
+        new_params[pname] = jax.device_put(
+            buf.astype(spec.dtype), NamedSharding(mesh_ctx.mesh, spec.spec)
+        )
+    return new_params

@@ -170,3 +170,33 @@ def test_release_resume_memory(engine, tiny_llama_dir):
                          "ignore_eos": True},
     )
     assert len(out["output_ids"]) == 3
+
+
+def test_update_weights_from_tensor(engine):
+    """RL weight push: replacing lm_head must change greedy outputs, and
+    fused-slot tensors (k_proj -> kv_proj slot 0) must route correctly."""
+    import numpy as np
+
+    prompt = "w40 w41 w42 w43 w44"
+    sp = {"temperature": 0, "max_new_tokens": 6, "ignore_eos": True}
+    before = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
+
+    rng = np.random.default_rng(0)
+    new_head = rng.standard_normal((256, 64), dtype=np.float32)
+    ok, msg = engine.update_weights_from_tensor([("lm_head.weight", new_head)])
+    assert ok, msg
+    engine.flush_cache()
+    after = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
+    assert after != before
+
+    # fused slot update (k part of kv_proj) — must not error and must be
+    # deterministic across calls
+    new_k = rng.standard_normal((32, 64), dtype=np.float32) * 0.02
+    ok, msg = engine.update_weights_from_tensor(
+        [("model.layers.0.self_attn.k_proj.weight", new_k)]
+    )
+    assert ok, msg
+    engine.flush_cache()
+    a = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
+    b = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
+    assert a == b
