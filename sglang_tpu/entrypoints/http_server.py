@@ -185,6 +185,40 @@ class HttpServer:
             }
         )
 
+    async def v1_rerank(self, request: web.Request) -> web.Response:
+        """Bi-encoder rerank (ref /v1/rerank, srt http_server.py): embed the
+        query and each document through the pooled-embedding path and rank
+        by cosine similarity (embeddings are L2-normed already)."""
+        body = await request.json()
+        query = body.get("query")
+        docs = list(body.get("documents") or [])
+        if not query or not docs:
+            return _json_error("query and documents are required")
+        gri = GenerateReqInput(text=[query] + docs, is_embedding=True)
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        qv = outs[0]["embedding"]
+        scores = [
+            sum(a * b for a, b in zip(qv, o["embedding"])) for o in outs[1:]
+        ]
+        ranked = sorted(
+            (
+                {"index": i, "relevance_score": s,
+                 **({"document": docs[i]}
+                    if body.get("return_documents", True) else {})}
+                for i, s in enumerate(scores)
+            ),
+            key=lambda r: -r["relevance_score"],
+        )
+        top_n = body.get("top_n")
+        if top_n:
+            ranked = ranked[: int(top_n)]
+        return web.json_response({
+            "model": body.get("model", self.args.served_model_name),
+            "results": ranked,
+        })
+
     async def start_profile(self, request: web.Request) -> web.Response:
         """jax.profiler trace (Perfetto-compatible); ref /start_profile:1137."""
         import jax
@@ -529,6 +563,7 @@ class HttpServer:
         r.add_post("/generate", self.generate)
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
+        r.add_post("/v1/rerank", self.v1_rerank)
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)

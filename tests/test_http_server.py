@@ -263,3 +263,22 @@ def test_anthropic_messages_streaming(server):
     assert len(text) > 0
     md = [e for e in events if e["type"] == "message_delta"][0]
     assert md["usage"]["output_tokens"] >= 1
+
+
+def test_v1_rerank(server):
+    r = requests.post(
+        server + "/v1/rerank",
+        json={
+            "query": "w10 w11 w12",
+            "documents": ["w10 w11 w12", "w90 w91", "w10 w11"],
+            "top_n": 2,
+        },
+        timeout=120,
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert len(out["results"]) == 2
+    # identical document must rank first with ~1.0 cosine score
+    assert out["results"][0]["document"] == "w10 w11 w12"
+    assert out["results"][0]["relevance_score"] > 0.99
+    assert out["results"][0]["relevance_score"] >= out["results"][1]["relevance_score"]
