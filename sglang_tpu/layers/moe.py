@@ -3,10 +3,20 @@
 Behavioral reference: srt/layers/moe/{topk.py,fused_moe_triton/,ep_moe/}.
 TPU design: tokens are sorted by routed expert and the expert FFNs run as
 grouped matmuls via jax.lax.ragged_dot (the Megablox-style dropless
-grouped GEMM XLA lowers to MXU-tiled kernels). Expert weights carry a
-"tp"-axis PartitionSpec on the FFN hidden dim, so each chip computes every
-expert on its intermediate shard (MoE-TP); expert-partitioned EP with
-ragged all-to-all over a dedicated mesh axis is the planned extension.
+grouped GEMM XLA lowers to MXU-tiled kernels).
+
+Two parallelism modes:
+- MoE-TP (default): expert weights carry a "tp"-axis PartitionSpec on the
+  FFN hidden dim, so each chip computes every expert on its intermediate
+  shard.
+- EP (--ep-size == tp_size, ref srt/layers/moe/ep_moe/): experts are
+  partitioned over the same devices. Each shard runs ONE grouped GEMM over
+  the globally expert-sorted token stream, with zero-weight "before"/
+  "after" padding groups absorbing the rows routed to other shards (their
+  outputs are exactly zero), then a psum over the axis combines shard
+  results — dropless and exact with no host-side dispatch. A ragged
+  all-to-all dispatch (send each token only to its experts' shard) is the
+  planned bandwidth optimization.
 
 Numerics match HF Mixtral/Qwen2MoE: softmax over top-k (Mixtral
 renormalizes over the selected k; Qwen2MoE optionally normalizes), f32
@@ -22,7 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
-from sglang_tpu.parallel.mesh import AXIS_TP
+from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 
 
 class FusedMoE:
@@ -41,18 +51,26 @@ class FusedMoE:
         self.intermediate_size = intermediate_size
         self.dtype = dtype
         self.renormalize = renormalize
+        ctx = get_mesh_context()
+        self.ep_size = ctx.ep_size if (
+            ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
+        ) else 1
 
     def specs(self, prefix: str) -> SpecTree:
         E, H, I = self.num_experts, self.hidden_size, self.intermediate_size
+        if self.ep_size > 1:
+            # EP: shard the EXPERT dim over the tp-axis devices.
+            gu_spec = P(AXIS_TP, None, None, None)
+            dn_spec = P(AXIS_TP, None, None)
+        else:
+            # MoE-TP: shard the FFN hidden dim.
+            gu_spec = P(None, None, None, AXIS_TP)
+            dn_spec = P(None, AXIS_TP, None)
         return {
             join(prefix, "router"): ParamSpec((H, E), self.dtype, P()),
-            # gate+up fused on a fusion axis; sharded on I over tp
-            join(prefix, "w_gate_up"): ParamSpec(
-                (E, H, 2, I), self.dtype, P(None, None, None, AXIS_TP)
-            ),
-            join(prefix, "w_down"): ParamSpec(
-                (E, I, H), self.dtype, P(None, AXIS_TP, None)
-            ),
+            join(prefix, "w_gate_up"): ParamSpec((E, H, 2, I), self.dtype,
+                                                 gu_spec),
+            join(prefix, "w_down"): ParamSpec((E, I, H), self.dtype, dn_spec),
         }
 
     def __call__(self, params: Params, prefix: str, x: jax.Array,
@@ -72,6 +90,22 @@ class FusedMoE:
             topk_weights, topk_idx = jax.lax.top_k(probs, K)
         return self.compute_experts(params, prefix, x, topk_weights, topk_idx)
 
+    @staticmethod
+    def _grouped_ffn(x_sorted, group_sizes, w_gu, w_dn):
+        """gate/up/down grouped GEMMs over an expert-sorted token stream."""
+        gate = jax.lax.ragged_dot(
+            x_sorted, w_gu[:, :, 0, :], group_sizes,
+            preferred_element_type=x_sorted.dtype,
+        )  # [TK, I]
+        up = jax.lax.ragged_dot(
+            x_sorted, w_gu[:, :, 1, :], group_sizes,
+            preferred_element_type=x_sorted.dtype,
+        )
+        h = jax.nn.silu(gate) * up
+        return jax.lax.ragged_dot(
+            h, w_dn, group_sizes, preferred_element_type=x_sorted.dtype
+        )  # [TK, H]
+
     def compute_experts(self, params: Params, prefix: str, x: jax.Array,
                         topk_weights: jax.Array, topk_idx: jax.Array
                         ) -> jax.Array:
@@ -88,22 +122,54 @@ class FusedMoE:
 
         w_gu = params[join(prefix, "w_gate_up")]  # [E, H, 2, I]
         w_dn = params[join(prefix, "w_down")]  # [E, I, H]
-        E_, H_, _, I_ = w_gu.shape
-        gate = jax.lax.ragged_dot(
-            x_sorted, w_gu[:, :, 0, :], group_sizes,
-            preferred_element_type=x.dtype,
-        )  # [T*K, I]
-        up = jax.lax.ragged_dot(
-            x_sorted, w_gu[:, :, 1, :], group_sizes,
-            preferred_element_type=x.dtype,
-        )
-        h = jax.nn.silu(gate) * up
-        out_sorted = jax.lax.ragged_dot(
-            h, w_dn, group_sizes, preferred_element_type=x.dtype
-        )  # [T*K, H]
-        out_sorted = out_sorted * flat_weight[order][:, None].astype(out_sorted.dtype)
+        w_sorted = flat_weight[order][:, None]
+
+        if self.ep_size > 1:
+            out_sorted = self._experts_ep(
+                x_sorted, group_sizes, w_gu, w_dn
+            )
+        else:
+            out_sorted = self._grouped_ffn(x_sorted, group_sizes, w_gu, w_dn)
+        out_sorted = out_sorted * w_sorted.astype(out_sorted.dtype)
 
         # Scatter-add back to tokens.
         out = jnp.zeros((T, H), out_sorted.dtype)
         out = out.at[token_of].add(out_sorted)
         return out.astype(x.dtype)
+
+    def _experts_ep(self, x_sorted, group_sizes, w_gu, w_dn):
+        """Expert-parallel grouped GEMM: each shard holds E/ep experts and
+        processes the FULL sorted stream with zero-weight padding groups for
+        the rows owned by other shards (their outputs are exactly zero —
+        silu(0)*0 through zero down-weights), then psum combines shards."""
+        E = self.num_experts
+        ep = self.ep_size
+        El = E // ep
+        TK = x_sorted.shape[0]
+        ctx = get_mesh_context()
+
+        def local(xs, gs, gu, dn):
+            # gu [El, H, 2, I]; dn [El, I, H] (this shard's experts)
+            idx = jax.lax.axis_index(AXIS_TP)
+            eids = jnp.arange(E, dtype=jnp.int32)
+            n_before = jnp.sum(jnp.where(eids < idx * El, gs, 0))
+            gs_local = jax.lax.dynamic_slice_in_dim(gs, idx * El, El)
+            n_after = TK - n_before - jnp.sum(gs_local)
+            gs_pad = jnp.concatenate(
+                [n_before[None], gs_local, n_after[None]]
+            ).astype(jnp.int32)
+            zgu = jnp.zeros((1,) + gu.shape[1:], gu.dtype)
+            zdn = jnp.zeros((1,) + dn.shape[1:], dn.dtype)
+            gu_pad = jnp.concatenate([zgu, gu, zgu], axis=0)
+            dn_pad = jnp.concatenate([zdn, dn, zdn], axis=0)
+            out = self._grouped_ffn(xs, gs_pad, gu_pad, dn_pad)
+            return jax.lax.psum(out, AXIS_TP)
+
+        return jax.shard_map(
+            local,
+            mesh=ctx.mesh,
+            in_specs=(P(), P(), P(AXIS_TP, None, None, None),
+                      P(AXIS_TP, None, None)),
+            out_specs=P(),
+            check_vma=False,
+        )(x_sorted, group_sizes, w_gu, w_dn)

@@ -94,7 +94,8 @@ class ModelRunner:
         self.model_config = model_config
         if mesh_ctx is None:
             mesh_ctx = create_mesh(
-                tp_size=server_args.tp_size, dp_size=1, pp_size=1
+                tp_size=server_args.tp_size, dp_size=1, pp_size=1,
+                ep_size=server_args.ep_size,
             )
         self.mesh_ctx = mesh_ctx
         set_mesh_context(mesh_ctx)

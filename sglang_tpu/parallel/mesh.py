@@ -64,6 +64,11 @@ def create_mesh(
 ) -> MeshContext:
     if devices is None:
         devices = jax.devices()
+    if ep_size not in (1, tp_size):
+        raise ValueError(
+            f"ep_size must be 1 or equal to tp_size (EP partitions experts "
+            f"over the tp-axis devices); got ep={ep_size} tp={tp_size}"
+        )
     need = tp_size * dp_size * pp_size
     if len(devices) < need:
         raise ValueError(
