@@ -88,6 +88,16 @@ class TokenizerManager:
         self.sessions: Dict[str, List[int]] = {}
         self._control_waiters: Dict[type, deque] = {}
         self.ready = asyncio.Event()
+        # Multi-tokenizer analog (ref --tokenizer-worker-num, srt/managers/
+        # multi_tokenizer_mixin.py): HF fast tokenizers release the GIL, so
+        # a thread pool parallelizes CPU tokenization instead of N processes
+        # and keeps long-prompt encodes off the event loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._tok_pool = ThreadPoolExecutor(
+            max_workers=max(1, server_args.tokenizer_worker_num),
+            thread_name_prefix="tokenizer",
+        )
         self.scheduler_info: Dict[str, Any] = {}
         self._handle_task: Optional[asyncio.Task] = None
 
@@ -210,7 +220,9 @@ class TokenizerManager:
             yield r
 
     async def _generate_one(self, gri: GenerateReqInput):
-        treq = self._to_tokenized(gri)
+        treq = await asyncio.get_running_loop().run_in_executor(
+            self._tok_pool, self._to_tokenized, gri
+        )
         session_id = (gri.session_params or {}).get("id")
         if session_id is not None:
             ctx = self.sessions.get(session_id)

@@ -69,6 +69,8 @@ class ServerArgs:
     # KV cache event publishing for external cache-aware routers
     # (JSON: {"endpoint": "tcp://*:5557", "topic": "kv-events"}).
     kv_events_config: Optional[str] = None
+    # Parallel CPU tokenization workers (multi-tokenizer analog).
+    tokenizer_worker_num: int = 4
     # Tokens of KV page runway pre-allocated per decode seq between host
     # rebuilds of the resident state (one page = one rebuild per page_size
     # steps per seq).
