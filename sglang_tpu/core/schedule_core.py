@@ -355,7 +355,9 @@ class ScheduleCore:
         mode = ForwardMode.EXTEND
         if batch is None and (self.drafter is not None
                               or self.draft_worker is not None):
-            return self._run_spec_verify_step()
+            if self._run_spec_verify_step():
+                return True
+            # fall through: rows needing the full sampler decode normally
         if batch is None:
             if self._try_resident_decode():
                 return True
@@ -542,20 +544,37 @@ class ScheduleCore:
         return (jnp.asarray(embeds), jnp.asarray(mask))
 
     def _build_banned_tokens(self, rows: List[_Row], padded_bs: int):
+        """(token_ids [B, K], biases [B, K]) pack: min_new_tokens bans
+        (bias -1e30) and user logit_bias entries, applied on device.
+        K is bucketed so batches with small bias sets share jit programs."""
         import jax.numpy as jnp
 
-        need = False
-        arr = np.full((padded_bs, MAX_BANNED_TOKENS), -1, np.int32)
-        for i, r in enumerate(rows):
+        per_row = []
+        kmax = 0
+        for r in rows:
             sp = r.req.sampling_params
+            entries = []
             if sp.min_new_tokens > 0 and r.device_step < sp.min_new_tokens:
                 banned = list(r.req.eos_token_ids) + list(sp.stop_token_ids or [])
                 if sp.ignore_eos:
                     banned = list(sp.stop_token_ids or [])
-                for j, t in enumerate(banned[:MAX_BANNED_TOKENS]):
-                    arr[i, j] = t
-                    need = True
-        return jnp.asarray(arr) if need else None
+                entries.extend((t, -1e30) for t in banned)
+            if sp.logit_bias:
+                entries.extend(
+                    (int(t), float(b)) for t, b in sp.logit_bias.items()
+                )
+            per_row.append(entries)
+            kmax = max(kmax, len(entries))
+        if kmax == 0:
+            return None
+        K = max(MAX_BANNED_TOKENS, 1 << (kmax - 1).bit_length())
+        idx = np.full((padded_bs, K), -1, np.int32)
+        vals = np.zeros((padded_bs, K), np.float32)
+        for i, entries in enumerate(per_row):
+            for j, (t, b) in enumerate(entries[:K]):
+                idx[i, j] = t
+                vals[i, j] = b
+        return (jnp.asarray(idx), jnp.asarray(vals))
 
     # ---- prefill admission ----
     def _get_prefill_batch(self):
@@ -753,9 +772,19 @@ class ScheduleCore:
                 r.sampling_params.is_greedy
                 and r.grammar is None
                 and not r.sampling_params.needs_penalties
+                and not r.sampling_params.logit_bias
+                and not (
+                    r.sampling_params.min_new_tokens > 0
+                    and r._device_step < r.sampling_params.min_new_tokens
+                )
             )
             for r in eligible
         }
+        if not all(can_spec.values()):
+            # The verify step is biasless greedy argmax — rows that need the
+            # full sampler (temperature/penalties/grammar/bias/min-new) must
+            # decode through the normal path; mixed batches skip spec.
+            return False
         if self.draft_worker is not None:
             spec_reqs = [r for r in eligible if can_spec[r.rid]]
             draft_lists = (

@@ -303,8 +303,11 @@ class ModelRunner:
         logits = self.model.compute_logits(params, sel).astype(jnp.float32)
         B = logits.shape[0]
         if banned_tokens is not None:
-            bias = jnp.where(banned_tokens >= 0, -1e30, 0.0)
-            idx = jnp.maximum(banned_tokens, 0)
+            # (token_ids [B, K], biases [B, K]): min_new_tokens eos bans
+            # (-1e30) and user logit_bias, merged into one scatter-add.
+            tok_idx, biases = banned_tokens
+            bias = jnp.where(tok_idx >= 0, biases, 0.0)
+            idx = jnp.maximum(tok_idx, 0)
             logits = logits.at[jnp.arange(B)[:, None], idx].add(bias)
         if vocab_mask is not None:
             # Packed allowed-token bits [B, ceil(V/32)] uint32 (grammar-

@@ -200,3 +200,28 @@ def test_update_weights_from_tensor(engine):
     a = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
     b = engine.generate(prompt=prompt, sampling_params=sp)["output_ids"]
     assert a == b
+
+
+def test_logit_bias(engine):
+    """OpenAI-style logit_bias: a +100 bias must force that token."""
+    out = engine.generate(
+        prompt="w70 w71 w72",
+        sampling_params={
+            "temperature": 0,
+            "max_new_tokens": 4,
+            "ignore_eos": True,
+            "logit_bias": {"123": 100.0},
+        },
+    )
+    assert out["output_ids"] == [123, 123, 123, 123]
+    # strong negative bias must exclude the token
+    out2 = engine.generate(
+        prompt="w70 w71 w72",
+        sampling_params={
+            "temperature": 0,
+            "max_new_tokens": 4,
+            "ignore_eos": True,
+            "logit_bias": {"123": -100.0},
+        },
+    )
+    assert 123 not in out2["output_ids"]
