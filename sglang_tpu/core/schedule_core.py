@@ -297,6 +297,30 @@ class ScheduleCore:
             else:
                 kind, spec = "ebnf", sp.ebnf
             req.grammar = self._get_grammar_backend().get_matcher(kind, spec)
+        elif sp.structural_tag:
+            # Structural tags (ref srt/constrained/ structural_tag): free
+            # text until a structure's `begin` trigger is emitted, then the
+            # content is schema-constrained through `end`, then free again.
+            import json as _json
+            import re as _re
+
+            tag = (
+                _json.loads(sp.structural_tag)
+                if isinstance(sp.structural_tag, str)
+                else sp.structural_tag
+            )
+            from sglang_tpu.constrained.json_schema import json_schema_to_regex
+
+            structures = []
+            for st_ in tag.get("structures", []):
+                schema = st_.get("schema")
+                pattern = st_.get("regex") or (
+                    json_schema_to_regex(_json.dumps(schema)) if schema else ""
+                )
+                pattern = pattern + _re.escape(st_.get("end", ""))
+                if pattern:
+                    structures.append((st_["begin"], pattern))
+            req._structag = structures or None
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
@@ -428,6 +452,14 @@ class ScheduleCore:
             ]
             self.draft_worker.observe_and_extend(entries, out.hidden)
         self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
+        # Structural-tag rows attach their grammar mid-stream (on trigger) —
+        # keep them host-synced like grammar rows so no step launches
+        # between the trigger token and the mask attach, and never arm the
+        # resident loop for them.
+        has_grammar = has_grammar or any(
+            getattr(r.req, "_structag", None) and r.kind != "chunk"
+            for r in rows
+        )
         if (
             mode == ForwardMode.DECODE
             and self.resident_enabled
@@ -773,6 +805,7 @@ class ScheduleCore:
                 and r.grammar is None
                 and not r.sampling_params.needs_penalties
                 and not r.sampling_params.logit_bias
+                and not getattr(r, "_structag", None)
                 and not (
                     r.sampling_params.min_new_tokens > 0
                     and r._device_step < r.sampling_params.min_new_tokens
@@ -851,7 +884,8 @@ class ScheduleCore:
                 if req.return_logprob:
                     req.output_logprobs.append(float(logprobs[start + j]))
                 fr = req.check_finished(tok)
-                if fr is None and req.sampling_params.stop:
+                if fr is None and (req.sampling_params.stop
+                        or req.sampling_params.stop_regex):
                     fr = self._check_stop_strings(req)
                 self._early_outputs.append(
                     StepOutput(
@@ -980,6 +1014,21 @@ class ScheduleCore:
         self.hicache.load_prefix(hpages[mr.length // ps :], pages)
         self.radix.insert(req.cache_ids[:hlen], mr.pages + pages)
         return self.radix.match_prefix(req.cache_ids)
+
+    def _maybe_attach_structag(self, req: Req) -> None:
+        """Attach a schema grammar when the decoded tail ends with a
+        structure's `begin` trigger (tokens may split the trigger, so we
+        test the decoded suffix, like stop strings)."""
+        if self.tokenizer is None or not req.output_ids:
+            return
+        max_beg = max(len(b) for b, _ in req._structag)
+        tail = self.tokenizer.decode(req.output_ids[-(max_beg + 16):])
+        for begin, pattern in req._structag:
+            if tail.endswith(begin):
+                req.grammar = self._get_grammar_backend().get_matcher(
+                    "regex", pattern
+                )
+                return
 
     # ---- KV events ----
     def _kv_insert_event(self, tokens_aligned) -> None:
@@ -1163,6 +1212,14 @@ class ScheduleCore:
             self.num_generated_tokens += 1
             if req.grammar is not None:
                 req.grammar.accept_token(token)
+                if getattr(req, "_structag", None) and (
+                    req.grammar.compiled.dfa.is_accepting(req.grammar.state)
+                ):
+                    # structural tag completed (schema + end emitted):
+                    # back to unconstrained text until the next trigger.
+                    req.grammar = None
+            elif getattr(req, "_structag", None):
+                self._maybe_attach_structag(req)
             if req.return_logprob:
                 req.output_logprobs.append(float(logprobs[i]))
                 if req.top_logprobs_num and top_v is not None:
@@ -1185,7 +1242,8 @@ class ScheduleCore:
                 )
                 continue
             fr = req.check_finished(token)
-            if fr is None and req.sampling_params.stop:
+            if fr is None and (req.sampling_params.stop
+                        or req.sampling_params.stop_regex):
                 fr = self._check_stop_strings(req)
             if fr is not None:
                 self._finish_req(req, fr)
@@ -1278,12 +1336,24 @@ class ScheduleCore:
         if self.tokenizer is None:
             return None
         sp = req.sampling_params
-        max_stop = max(len(s) for s in sp.stop)
+        max_stop = max((len(s) for s in sp.stop), default=0)
+        if sp.stop_regex:
+            max_stop = max(max_stop, 64)
         tail_tokens = req.output_ids[-(max_stop + 16) :]
         text = self.tokenizer.decode(tail_tokens)
         for s in sp.stop:
             if s in text:
                 return FinishReason("stop", matched_str=s)
+        if sp.stop_regex:
+            import re
+
+            pat = getattr(req, "_stop_regex_c", None)
+            if pat is None:
+                pat = re.compile(sp.stop_regex)
+                req._stop_regex_c = pat
+            m = pat.search(text)
+            if m:
+                return FinishReason("stop", matched_str=m.group(0))
         return None
 
     def _maybe_log(self) -> None:

@@ -193,3 +193,45 @@ def test_ebnf_recursion_rejected():
 
     with _pytest.raises(EbnfError):
         ebnf_to_regex(grammar)
+
+
+def test_structural_tag_end_to_end(tiny_llama_dir):
+    """Structural tags: free text until the `begin` trigger appears, then
+    schema/regex-constrained content, then free text again."""
+    import json
+
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir, dtype="float32",
+        attention_backend="xla_native", page_size=4,
+        max_total_tokens=2048, max_running_requests=8,
+    )
+    runner = ModelRunner(args)
+    from sglang_tpu.tokenizer import get_tokenizer
+
+    core = ScheduleCore(args, runner, get_tokenizer(tiny_llama_dir, False))
+    tag = {
+        "type": "structural_tag",
+        "structures": [{"begin": "w9", "regex": "w5w6", "end": ""}],
+        "triggers": ["w9"],
+    }
+    sp = SamplingParams(
+        temperature=0.0, max_new_tokens=6, ignore_eos=True,
+        logit_bias={"9": 100.0},  # free-text steps always pick w9
+        structural_tag=json.dumps(tag),
+    )
+    sp.normalize()
+    req = Req("st", [10, 11, 12], sp)
+    core.add_request(req)
+    n = 0
+    while core.has_work():
+        core.step()
+        n += 1
+        assert n < 200
+    # trigger -> constrained w5 w6 -> detach -> trigger again -> ...
+    assert req.output_ids == [9, 5, 6, 9, 5, 6], req.output_ids

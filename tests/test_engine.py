@@ -225,3 +225,19 @@ def test_logit_bias(engine):
         },
     )
     assert 123 not in out2["output_ids"]
+
+
+def test_stop_regex(engine):
+    """stop_regex finishes the request when the decoded tail matches."""
+    out = engine.generate(
+        prompt="w80 w81 w82",
+        sampling_params={
+            "temperature": 0,
+            "max_new_tokens": 12,
+            "ignore_eos": True,
+            "logit_bias": {"123": 100.0},  # force a predictable stream
+            "stop_regex": r"w123\s*w123",
+        },
+    )
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
+    assert len(out["output_ids"]) < 12
