@@ -345,6 +345,16 @@ class ScheduleCore:
 
     def step(self) -> List[StepOutput]:
         """Schedule + launch at most one batch; process due results."""
+        if self.args.enable_invariant_check:
+            self._invariant_counter = getattr(self, "_invariant_counter", 0) + 1
+            if self._invariant_counter % self.args.enable_invariant_check == 0:
+                from sglang_tpu.core.invariants import check_invariants
+
+                errs = check_invariants(self)
+                if errs:
+                    raise AssertionError(
+                        "KV invariant violations: " + "; ".join(errs[:4])
+                    )
         launched = self._schedule_and_launch()
         outputs: List[StepOutput] = []
         if self._early_outputs:

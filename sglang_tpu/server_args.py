@@ -71,6 +71,8 @@ class ServerArgs:
     kv_events_config: Optional[str] = None
     # Parallel CPU tokenization workers (multi-tokenizer analog).
     tokenizer_worker_num: int = 4
+    # KV page-ownership invariant sweeps every N scheduler steps (0 = off).
+    enable_invariant_check: int = 0
     # Tokens of KV page runway pre-allocated per decode seq between host
     # rebuilds of the resident state (one page = one rebuild per page_size
     # steps per seq).
