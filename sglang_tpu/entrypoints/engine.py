@@ -149,6 +149,7 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         session_params: Optional[Dict] = None,
+        input_embeds=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -159,6 +160,7 @@ class Engine:
             stream=stream,
             rid=rid,
             session_params=session_params,
+            input_embeds=input_embeds,
         )
         if stream:
             return self._stream_sync(gri)

@@ -112,6 +112,7 @@ class HttpServer:
                 top_logprobs_num=body.get("top_logprobs_num", 0),
                 stream=body.get("stream", False),
                 lora_path=body.get("lora_path"),
+                input_embeds=body.get("input_embeds"),
                 priority=body.get("priority", 0),
                 session_params=body.get("session_params"),
             )

@@ -29,6 +29,9 @@ class GenerateReqInput:
     top_logprobs_num: Union[int, List[int]] = 0
     stream: bool = False
     lora_path: Optional[Union[str, List[str]]] = None
+    # Precomputed input embeddings [T, H] for a SINGLE request (ref
+    # GenerateReqInput.input_embeds) — rides the multimodal injection path.
+    input_embeds: Optional[Any] = None
     priority: Union[int, List[int]] = 0
     session_params: Optional[Dict] = None
     return_text_in_logprobs: bool = False
@@ -101,6 +104,7 @@ class TokenizedGenerateReqInput:
     lora_path: Optional[str] = None
     priority: int = 0
     is_embedding: bool = False
+    input_embeds: Optional[Any] = None  # np [T, H]
 
 
 @dataclasses.dataclass

@@ -73,6 +73,10 @@ class Scheduler:
                 priority=getattr(msg, "priority", 0),
                 is_embedding=getattr(msg, "is_embedding", False),
             )
+            embeds = getattr(msg, "input_embeds", None)
+            if embeds is not None:
+                req.mm_positions = list(range(len(embeds)))
+                req.mm_embeds = embeds
             self._req_meta[msg.rid] = (
                 sp.skip_special_tokens,
                 sp.spaces_between_special_tokens,

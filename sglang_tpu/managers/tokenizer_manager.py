@@ -12,6 +12,8 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import pickle
+
+import numpy as np
 import logging
 import time
 from collections import deque
@@ -169,6 +171,9 @@ class TokenizerManager:
     def _tokenize(self, gri: GenerateReqInput) -> List[int]:
         if gri.input_ids is not None:
             return list(gri.input_ids)
+        if getattr(gri, "input_embeds", None) is not None:
+            # Placeholder ids; the embeddings replace them on device.
+            return [0] * len(gri.input_embeds)
         if self.tokenizer is None:
             raise ValueError("tokenizer disabled; pass input_ids")
         return self.tokenizer.encode(gri.text)
@@ -196,6 +201,10 @@ class TokenizerManager:
             lora_path=gri.lora_path,
             priority=int(getattr(gri, "priority", 0) or 0),
             is_embedding=bool(getattr(gri, "is_embedding", False)),
+            input_embeds=(
+                np.asarray(gri.input_embeds, np.float32)
+                if getattr(gri, "input_embeds", None) is not None else None
+            ),
         )
 
     async def generate_request(

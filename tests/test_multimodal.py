@@ -88,3 +88,39 @@ def test_mm_radix_keys_distinguish_images(tiny_llama_dir):
     r3 = run_mm(core, "c", prompt, positions, e1, 6)
     assert r3.output_ids == ref1.output_ids
     assert r3.cached_len > 0
+
+
+def test_input_embeds_api(tiny_llama_dir):
+    """/generate with input_embeds: embeddings of real tokens must produce
+    the same greedy output as the tokens themselves (ref
+    GenerateReqInput.input_embeds)."""
+    import numpy as np
+
+    from sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=2048,
+        max_running_requests=8,
+        enable_single_process=True,
+        log_level="warning",
+    )
+    try:
+        import safetensors.numpy
+
+        weights = safetensors.numpy.load_file(
+            f"{tiny_llama_dir}/model.safetensors"
+        )
+        embed = weights["model.embed_tokens.weight"]  # [V, H]
+        ids = [11, 12, 13, 14, 15]
+        sp = {"temperature": 0, "max_new_tokens": 6, "ignore_eos": True}
+        ref = eng.generate(input_ids=ids, sampling_params=sp)["output_ids"]
+        out = eng.generate(
+            input_embeds=embed[ids].tolist(), sampling_params=sp
+        )["output_ids"]
+        assert out == ref, (out, ref)
+    finally:
+        eng.shutdown()
