@@ -110,6 +110,9 @@ class HttpServer:
                 rid=body.get("rid"),
                 return_logprob=body.get("return_logprob", False),
                 top_logprobs_num=body.get("top_logprobs_num", 0),
+                return_text_in_logprobs=body.get(
+                    "return_text_in_logprobs", False
+                ),
                 stream=body.get("stream", False),
                 lora_path=body.get("lora_path"),
                 input_embeds=body.get("input_embeds"),

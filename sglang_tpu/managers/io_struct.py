@@ -84,6 +84,7 @@ class GenerateReqInput:
                     ),
                     return_logprob=pick(self.return_logprob, i, False),
                     top_logprobs_num=pick(self.top_logprobs_num, i, 0),
+                    return_text_in_logprobs=self.return_text_in_logprobs,
                     stream=self.stream,
                     lora_path=pick(self.lora_path, i),
                     priority=pick(self.priority, i, 0),

@@ -274,12 +274,23 @@ class TokenizerManager:
                 "meta_info": meta,
             }
         if treq.return_logprob:
+            decode_text = (
+                getattr(gri, "return_text_in_logprobs", False)
+                and self.tokenizer is not None
+            )
             meta["output_token_logprobs"] = [
-                (lp, tid, None)
+                (lp, tid,
+                 self.tokenizer.decode([tid]) if decode_text else None)
                 for lp, tid in zip(state.logprobs, state.output_ids)
             ]
             if treq.top_logprobs_num:
-                meta["output_top_logprobs"] = list(state.top_logprobs)
+                if decode_text:
+                    meta["output_top_logprobs"] = [
+                        (vals, ids, [self.tokenizer.decode([t]) for t in ids])
+                        for vals, ids in state.top_logprobs
+                    ]
+                else:
+                    meta["output_top_logprobs"] = list(state.top_logprobs)
         return {
             "text": state.text,
             "output_ids": list(state.output_ids),

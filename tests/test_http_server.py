@@ -282,3 +282,25 @@ def test_v1_rerank(server):
     assert out["results"][0]["document"] == "w10 w11 w12"
     assert out["results"][0]["relevance_score"] > 0.99
     assert out["results"][0]["relevance_score"] >= out["results"][1]["relevance_score"]
+
+
+def test_return_text_in_logprobs(server):
+    r = requests.post(
+        server + "/generate",
+        json={
+            "text": "w33 w34 w35",
+            "sampling_params": {"temperature": 0, "max_new_tokens": 3,
+                                "ignore_eos": True},
+            "return_logprob": True,
+            "top_logprobs_num": 2,
+            "return_text_in_logprobs": True,
+        },
+        timeout=120,
+    )
+    assert r.status_code == 200, r.text
+    meta = r.json()["meta_info"]
+    for lp, tid, text in meta["output_token_logprobs"]:
+        assert isinstance(text, str) and text
+    for vals, ids, texts in meta["output_top_logprobs"]:
+        assert len(texts) == len(ids)
+        assert all(isinstance(t, str) for t in texts)
