@@ -21,6 +21,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Gemma2ForCausalLM": ("sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "GemmaForCausalLM": ("sglang_tpu.models.gemma", "GemmaForCausalLM"),
     "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
+    "Olmo2ForCausalLM": ("sglang_tpu.models.olmo2", "Olmo2ForCausalLM"),
+    "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
 }
