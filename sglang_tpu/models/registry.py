@@ -22,6 +22,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GemmaForCausalLM": ("sglang_tpu.models.gemma", "GemmaForCausalLM"),
     "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_tpu.models.olmo2", "Olmo2ForCausalLM"),
+    "GptOssForCausalLM": ("sglang_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),

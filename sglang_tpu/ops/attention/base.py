@@ -46,14 +46,17 @@ class AttentionBackend:
         window: int = 0,  # sliding-window size (0 = full attention)
         logit_cap: float = 0.0,  # tanh soft-capping (0 = off)
         scale: float | None = None,  # per-layer scale override
+        sinks=None,  # [nq] learned per-head sink logits (GPT-OSS style)
     ) -> Tuple[jax.Array, tuple]:
         kv_layer = self.write_kv(kv[layer_id], k, v, fb)
         if fb.mode.is_decode():
             out = self.forward_decode(q, kv_layer, fb, window=window,
-                                      logit_cap=logit_cap, scale=scale)
+                                      logit_cap=logit_cap, scale=scale,
+                                      sinks=sinks)
         else:
             out = self.forward_extend(q, kv_layer, fb, window=window,
-                                      logit_cap=logit_cap, scale=scale)
+                                      logit_cap=logit_cap, scale=scale,
+                                      sinks=sinks)
         kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
 

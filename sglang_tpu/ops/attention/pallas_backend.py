@@ -97,7 +97,8 @@ class PallasBackend(AttentionBackend):
         return local(kv_layer, rows, fb.out_cache_loc)
 
     def _kernel_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None):
+                       logit_cap=0.0, scale=None, sinks=None):
+        assert sinks is None, "pallas_dma decode does not support sinks yet"
         scale = scale or self.scale
         ps, hd = self.page_size, self.head_dim
 
@@ -123,7 +124,16 @@ class PallasBackend(AttentionBackend):
         return local(q, kv_layer, fb.page_table, fb.seq_lens)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None):
+                       logit_cap=0.0, scale=None, sinks=None):
+        if sinks is not None:
+            # The pallas extend kernel has no sink term yet; sink models
+            # (GPT-OSS) take the XLA extend path.
+            from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+            return XlaNativeBackend.forward_extend(
+                self, q, kv_layer, fb, window=window, logit_cap=logit_cap,
+                scale=scale, sinks=sinks,
+            )
         scale = scale or self.scale
         ps, hd = self.page_size, self.head_dim
         T, nq, _ = q.shape

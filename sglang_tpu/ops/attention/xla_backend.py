@@ -62,7 +62,7 @@ class XlaNativeBackend(AttentionBackend):
         return scores
 
     def forward_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None):
+                       logit_cap=0.0, scale=None, sinks=None):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -82,7 +82,8 @@ class XlaNativeBackend(AttentionBackend):
             mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
 
-        if fb.shared_pages is not None and not (window and window > 0):
+        if (fb.shared_pages is not None and sinks is None
+                and not (window and window > 0)):
             # Cascade: the batch-shared prefix is gathered ONCE (vs B times)
             # and attended as a single dense matmul, then merged with the
             # per-row suffix via a joint softmax (mergeable LSE form).
@@ -115,6 +116,18 @@ class XlaNativeBackend(AttentionBackend):
             out = (o_s + o_x) / jnp.maximum(denom[..., None], 1e-20)
             return out.reshape(B, nq, hd).astype(q.dtype)
 
+        if sinks is not None:
+            # GPT-OSS attention sinks: a learned per-head logit joins the
+            # softmax (its probability mass is dropped from the output).
+            sk = sinks.astype(jnp.float32).reshape(1, nk, group, 1)
+            m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sk)
+            p = jnp.exp(scores - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sk - m)
+            out = jnp.einsum(
+                "bkgc,bckd->bkgd", (p / denom).astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(B, nq, hd).astype(q.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bkgc,bckd->bkgd", probs.astype(v.dtype), v,
@@ -123,7 +136,7 @@ class XlaNativeBackend(AttentionBackend):
         return out.reshape(B, nq, hd).astype(q.dtype)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None):
+                       logit_cap=0.0, scale=None, sinks=None):
         T, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -141,6 +154,14 @@ class XlaNativeBackend(AttentionBackend):
         if window and window > 0:
             mask &= ctx[None, :] > fb.positions[:, None] - window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        if sinks is not None:
+            sk = sinks.astype(jnp.float32).reshape(1, nk, group, 1)
+            m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sk)
+            p = jnp.exp(scores - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sk - m)
+            out = jnp.einsum("tkgc,tckd->tkgd", p / denom,
+                             v.astype(jnp.float32))
+            return out.reshape(T, nq, hd).astype(q.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("tkgc,tckd->tkgd", probs, v.astype(jnp.float32))
         return out.reshape(T, nq, hd).astype(q.dtype)
