@@ -47,6 +47,72 @@ def apply_llama3_scaling(
     return scaled
 
 
+def apply_yarn_scaling(
+    rotary_dim: int,
+    rope_theta: float,
+    scaling: dict,
+    max_position: int,
+):
+    """YaRN (arXiv 2309.00071) frequency interpolation + attention mscale.
+
+    Matches HF _compute_yarn_parameters (incl. DeepSeek's mscale/
+    mscale_all_dim variant and GPT-OSS's truncate=False). Returns
+    (inv_freq, attention_factor)."""
+    import numpy as np
+
+    dim = rotary_dim
+    factor = scaling["factor"]
+    original_max = (
+        scaling.get("original_max_position_embeddings") or max_position
+    )
+    attention_factor = scaling.get("attention_factor")
+    mscale = scaling.get("mscale")
+    mscale_all_dim = scaling.get("mscale_all_dim")
+
+    def get_mscale(scale, m=1.0):
+        if scale <= 1:
+            return 1.0
+        return 0.1 * m * math.log(scale) + 1.0
+
+    if attention_factor is None:
+        if mscale and mscale_all_dim:
+            attention_factor = float(
+                get_mscale(factor, mscale) / get_mscale(factor, mscale_all_dim)
+            )
+        else:
+            attention_factor = get_mscale(factor)
+
+    beta_fast = scaling.get("beta_fast") or 32
+    beta_slow = scaling.get("beta_slow") or 1
+    truncate = scaling.get("truncate", True)
+
+    def correction_dim(num_rotations):
+        return (dim * math.log(original_max / (num_rotations * 2 * math.pi))
+                ) / (2 * math.log(rope_theta))
+
+    low = correction_dim(beta_fast)
+    high = correction_dim(beta_slow)
+    if truncate:
+        low = math.floor(low)
+        high = math.ceil(high)
+    low = max(low, 0)
+    high = min(high, dim - 1)
+    if low == high:
+        high += 0.001
+
+    pos_freqs = rope_theta ** (
+        np.arange(0, dim, 2, dtype=np.float32) / dim
+    )
+    inv_extrap = 1.0 / pos_freqs
+    inv_interp = 1.0 / (factor * pos_freqs)
+    ramp = np.clip(
+        (np.arange(dim // 2, dtype=np.float32) - low) / (high - low), 0, 1
+    )
+    extrap_factor = 1 - ramp
+    inv_freq = inv_interp * (1 - extrap_factor) + inv_extrap * extrap_factor
+    return jnp.asarray(inv_freq, jnp.float32), float(attention_factor)
+
+
 class RotaryEmbedding:
     def __init__(
         self,
@@ -83,6 +149,10 @@ class RotaryEmbedding:
                     ** (self.rotary_dim / (self.rotary_dim - 2))
                 )
                 inv_freq = compute_inv_freq(self.rotary_dim, theta)
+            elif rtype == "yarn":
+                inv_freq, mscale = apply_yarn_scaling(
+                    self.rotary_dim, rope_theta, rope_scaling, max_position
+                )
             elif rtype in ("default", "mrope", ""):
                 pass
         t = jnp.arange(max_position, dtype=jnp.float32)

@@ -10,8 +10,8 @@ Architecture vs Llama:
   experts use the clamped swiglu  glu = clamp(gate) * sigmoid(1.702 *
   clamp(gate)); out = (clamp(up) + 1) * glu  with gate/up INTERLEAVED in
   the checkpoint's fused gate_up tensor (deinterleaved at load).
-- YARN rope on real checkpoints (not wired yet — tiny-config parity uses
-  default rope; yarn lands with the long-context work).
+- YARN rope (layers/rotary.py apply_yarn_scaling, HF-exact incl. the
+  truncate=False GPT-OSS variant).
 Greedy decode is token-identical to HF (tests/test_gpt_oss.py).
 """
 

@@ -87,3 +87,61 @@ def test_gpt_oss_pallas_backend(tiny_gptoss_dir):
     ref = _our_greedy(tiny_gptoss_dir, prompt, 8, backend="xla_native")
     ours = _our_greedy(tiny_gptoss_dir, prompt, 8, backend="pallas")
     assert ours == ref
+
+
+def test_yarn_rope_matches_hf():
+    """apply_yarn_scaling must match HF _compute_yarn_parameters, including
+    the GPT-OSS truncate=False variant and the DeepSeek mscale variant."""
+    import numpy as np
+    import torch
+    from transformers import GptOssConfig
+    from transformers.modeling_rope_utils import _compute_yarn_parameters
+
+    from sglang_tpu.layers.rotary import apply_yarn_scaling
+
+    cases = [
+        {"rope_type": "yarn", "factor": 32.0, "beta_fast": 32.0,
+         "beta_slow": 1.0, "truncate": False,
+         "original_max_position_embeddings": 4096},
+        {"rope_type": "yarn", "factor": 8.0,
+         "original_max_position_embeddings": 2048},
+        {"rope_type": "yarn", "factor": 40.0, "mscale": 1.0,
+         "mscale_all_dim": 0.8,
+         "original_max_position_embeddings": 4096},
+    ]
+    for sc in cases:
+        cfg = GptOssConfig(
+            hidden_size=256, num_attention_heads=4, head_dim=64,
+            rope_theta=150000.0, max_position_embeddings=131072,
+            rope_scaling=dict(sc), num_hidden_layers=1,
+        )
+        ref_inv, ref_att = _compute_yarn_parameters(cfg, torch.device("cpu"))
+        ours_inv, ours_att = apply_yarn_scaling(64, 150000.0, sc, 131072)
+        assert abs(ours_att - ref_att) < 1e-6, sc
+        np.testing.assert_allclose(
+            np.asarray(ours_inv), ref_inv.numpy(), rtol=1e-6
+        )
+
+
+def test_gpt_oss_yarn_parity(tiny_gptoss_dir, tmp_path):
+    """Greedy parity with YARN rope enabled on the tiny config."""
+    import json
+    import shutil
+
+    import pytest
+
+    src = tiny_gptoss_dir
+    dst = tmp_path / "gptoss_yarn"
+    shutil.copytree(src, dst)
+    cfg = json.loads((dst / "config.json").read_text())
+    cfg["rope_scaling"] = {
+        "rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+        "beta_slow": 1.0, "truncate": False,
+        "original_max_position_embeddings": 64,
+    }
+    (dst / "config.json").write_text(json.dumps(cfg))
+    prompt = [(i * 7) % 120 + 3 for i in range(16)]
+    ref = _hf_greedy(str(dst), prompt, 8)
+    ours = _our_greedy(str(dst), prompt, 8)
+    assert len(ref) >= 4
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
