@@ -41,11 +41,21 @@ from sglang_tpu.models.llama import LlamaForCausalLM, LlamaMLP
 from jax.sharding import PartitionSpec as P
 
 
-def _interleaved_rope_tables(dim: int, max_pos: int, theta: float):
+def _interleaved_rope_tables(dim: int, max_pos: int, theta: float,
+                             rope_scaling=None):
     inv = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    mscale = 1.0
+    if rope_scaling and rope_scaling.get(
+        "rope_type", rope_scaling.get("type", "")
+    ) == "yarn":
+        # Real DeepSeek-V2/V3 checkpoints extend context with YaRN
+        # (mscale_all_dim variant); HF applies attention_factor to cos/sin.
+        from sglang_tpu.layers.rotary import apply_yarn_scaling
+
+        inv, mscale = apply_yarn_scaling(dim, theta, rope_scaling, max_pos)
     t = jnp.arange(max_pos, dtype=jnp.float32)
     freqs = jnp.outer(t, inv)  # [max_pos, dim/2]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
 
 def _apply_interleaved_rope(x, cos, sin):
@@ -93,7 +103,7 @@ class DeepseekV2Attention:
         )
         self.o_proj = RowParallelLinear(self.nh * self.v_hd, H, dt)
         self.cos, self.sin = _interleaved_rope_tables(
-            self.rope, c.context_length, c.rope_theta
+            self.rope, c.context_length, c.rope_theta, c.rope_scaling
         )
         self.scale = self.qk_hd**-0.5
 

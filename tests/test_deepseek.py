@@ -85,3 +85,26 @@ def test_deepseek_v2_greedy_parity(tiny_dsv2_dir):
     ref = _hf_greedy(tiny_dsv2_dir, prompt, 10)
     ours = _our_greedy(tiny_dsv2_dir, prompt, 10)
     assert ours == ref, f"ours={ours} ref={ref}"
+
+
+def test_deepseek_v2_yarn_parity(tiny_dsv2_dir, tmp_path):
+    """Real V2/V3 checkpoints extend context with YaRN (mscale_all_dim
+    variant): greedy parity must hold with yarn enabled."""
+    import json
+    import shutil
+
+    src = tiny_dsv2_dir
+    dst = tmp_path / "dsv2_yarn"
+    shutil.copytree(src, dst)
+    cfg = json.loads((dst / "config.json").read_text())
+    cfg["rope_scaling"] = {
+        "type": "yarn", "factor": 4.0, "beta_fast": 32, "beta_slow": 1,
+        "mscale": 0.707, "mscale_all_dim": 0.707,
+        "original_max_position_embeddings": 64,
+    }
+    (dst / "config.json").write_text(json.dumps(cfg))
+    prompt = [(i * 9) % 120 + 3 for i in range(12)]
+    ref = _hf_greedy(str(dst), prompt, 8)
+    ours = _our_greedy(str(dst), prompt, 8)
+    assert len(ref) >= 4
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
