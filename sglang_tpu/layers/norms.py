@@ -16,6 +16,33 @@ from jax.sharding import PartitionSpec as P
 from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 
 
+class LayerNorm:
+    """Full LayerNorm with bias (Starcoder2/GPT-class models)."""
+
+    def __init__(self, size: int, eps: float, dtype):
+        self.size, self.eps, self.dtype = size, eps, dtype
+
+    def specs(self, prefix: str) -> SpecTree:
+        return {
+            join(prefix, "weight"): ParamSpec(
+                (self.size,), self.dtype, P(), init_scale=0.0
+            ),
+            join(prefix, "bias"): ParamSpec(
+                (self.size,), self.dtype, P(), init_scale=0.0
+            ),
+        }
+
+    def __call__(self, params: Params, prefix: str, x: jax.Array):
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        w = params[join(prefix, "weight")].astype(jnp.float32)
+        b = params[join(prefix, "bias")].astype(jnp.float32)
+        return (xf * w + b).astype(orig_dtype)
+
+
 class RMSNorm:
     def __init__(self, size: int, eps: float, dtype, gemma_style: bool = False):
         # gemma_style: out = x_norm * (1 + w) (HF Gemma/Gemma2 convention)

@@ -23,6 +23,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_tpu.models.olmo2", "Olmo2ForCausalLM"),
     "GptOssForCausalLM": ("sglang_tpu.models.gpt_oss", "GptOssForCausalLM"),
+    "Starcoder2ForCausalLM": ("sglang_tpu.models.starcoder2",
+                              "Starcoder2ForCausalLM"),
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),

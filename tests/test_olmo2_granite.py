@@ -92,3 +92,29 @@ def test_granite_greedy_parity(tiny_granite_dir):
     ours = _our_greedy(tiny_granite_dir, prompt, 10)
     assert len(ref) >= 5
     assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_starcoder2_dir(tmp_path_factory):
+    import torch
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    torch.manual_seed(9)
+    cfg = Starcoder2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, pad_token_id=0, sliding_window=16,
+    )
+    model = Starcoder2ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_starcoder2")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_starcoder2_greedy_parity(tiny_starcoder2_dir):
+    prompt = [(i * 7) % 120 + 3 for i in range(24)]  # exceeds the window
+    ref = _hf_greedy(tiny_starcoder2_dir, prompt, 10)
+    ours = _our_greedy(tiny_starcoder2_dir, prompt, 10)
+    assert len(ref) >= 5
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
