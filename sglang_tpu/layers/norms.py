@@ -17,20 +17,23 @@ from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 
 
 class LayerNorm:
-    """Full LayerNorm with bias (Starcoder2/GPT-class models)."""
+    """Full LayerNorm (Starcoder2/GPT-class; Cohere uses bias=False)."""
 
-    def __init__(self, size: int, eps: float, dtype):
+    def __init__(self, size: int, eps: float, dtype, bias: bool = True):
         self.size, self.eps, self.dtype = size, eps, dtype
+        self.bias = bias
 
     def specs(self, prefix: str) -> SpecTree:
-        return {
+        s = {
             join(prefix, "weight"): ParamSpec(
                 (self.size,), self.dtype, P(), init_scale=0.0
             ),
-            join(prefix, "bias"): ParamSpec(
-                (self.size,), self.dtype, P(), init_scale=0.0
-            ),
         }
+        if self.bias:
+            s[join(prefix, "bias")] = ParamSpec(
+                (self.size,), self.dtype, P(), init_scale=0.0
+            )
+        return s
 
     def __call__(self, params: Params, prefix: str, x: jax.Array):
         orig_dtype = x.dtype
@@ -39,8 +42,10 @@ class LayerNorm:
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         w = params[join(prefix, "weight")].astype(jnp.float32)
-        b = params[join(prefix, "bias")].astype(jnp.float32)
-        return (xf * w + b).astype(orig_dtype)
+        xf = xf * w
+        if self.bias:
+            xf = xf + params[join(prefix, "bias")].astype(jnp.float32)
+        return xf.astype(orig_dtype)
 
 
 class RMSNorm:

@@ -118,3 +118,31 @@ def test_starcoder2_greedy_parity(tiny_starcoder2_dir):
     ours = _our_greedy(tiny_starcoder2_dir, prompt, 10)
     assert len(ref) >= 5
     assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_cohere2_dir(tmp_path_factory):
+    import torch
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    torch.manual_seed(10)
+    cfg = Cohere2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4,  # 3 sliding (rope) + 1 full (NoPE)
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, pad_token_id=0, sliding_window=8,
+        logit_scale=0.25,
+    )
+    model = Cohere2ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_cohere2")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_cohere2_greedy_parity(tiny_cohere2_dir):
+    prompt = [(i * 13) % 120 + 3 for i in range(20)]  # exceeds the window
+    ref = _hf_greedy(tiny_cohere2_dir, prompt, 10)
+    ours = _our_greedy(tiny_cohere2_dir, prompt, 10)
+    assert len(ref) >= 5
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
