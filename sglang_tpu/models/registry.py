@@ -26,6 +26,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Starcoder2ForCausalLM": ("sglang_tpu.models.starcoder2",
                               "Starcoder2ForCausalLM"),
     "Cohere2ForCausalLM": ("sglang_tpu.models.cohere2", "Cohere2ForCausalLM"),
+    "StableLmForCausalLM": ("sglang_tpu.models.stablelm", "StableLmForCausalLM"),
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),

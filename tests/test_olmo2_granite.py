@@ -146,3 +146,30 @@ def test_cohere2_greedy_parity(tiny_cohere2_dir):
     ours = _our_greedy(tiny_cohere2_dir, prompt, 10)
     assert len(ref) >= 5
     assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_stablelm_dir(tmp_path_factory):
+    import torch
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    torch.manual_seed(11)
+    cfg = StableLmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, pad_token_id=0,
+        partial_rotary_factor=0.25, use_qkv_bias=True,
+    )
+    model = StableLmForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_stablelm")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_stablelm_greedy_parity(tiny_stablelm_dir):
+    prompt = [(i * 11) % 120 + 3 for i in range(14)]
+    ref = _hf_greedy(tiny_stablelm_dir, prompt, 10)
+    ours = _our_greedy(tiny_stablelm_dir, prompt, 10)
+    assert len(ref) >= 5
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
