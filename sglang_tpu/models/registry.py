@@ -22,6 +22,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GemmaForCausalLM": ("sglang_tpu.models.gemma", "GemmaForCausalLM"),
     "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_tpu.models.olmo2", "Olmo2ForCausalLM"),
+    "OlmoForCausalLM": ("sglang_tpu.models.olmo", "OlmoForCausalLM"),
     "GptOssForCausalLM": ("sglang_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "Starcoder2ForCausalLM": ("sglang_tpu.models.starcoder2",
                               "Starcoder2ForCausalLM"),

@@ -173,3 +173,29 @@ def test_stablelm_greedy_parity(tiny_stablelm_dir):
     ours = _our_greedy(tiny_stablelm_dir, prompt, 10)
     assert len(ref) >= 5
     assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_olmo_dir(tmp_path_factory):
+    import torch
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    torch.manual_seed(12)
+    cfg = OlmoConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, pad_token_id=0, clip_qkv=5.0,
+    )
+    model = OlmoForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_olmo")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_olmo_greedy_parity(tiny_olmo_dir):
+    prompt = [(i * 17) % 120 + 3 for i in range(14)]
+    ref = _hf_greedy(tiny_olmo_dir, prompt, 10)
+    ours = _our_greedy(tiny_olmo_dir, prompt, 10)
+    assert len(ref) >= 5
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
