@@ -20,6 +20,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "MixtralForCausalLM": ("sglang_tpu.models.mixtral", "MixtralForCausalLM"),
     "Gemma2ForCausalLM": ("sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "GemmaForCausalLM": ("sglang_tpu.models.gemma", "GemmaForCausalLM"),
+    "Gemma3ForCausalLM": ("sglang_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "Phi3ForCausalLM": ("sglang_tpu.models.phi3", "Phi3ForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_tpu.models.olmo2", "Olmo2ForCausalLM"),
     "OlmoForCausalLM": ("sglang_tpu.models.olmo", "OlmoForCausalLM"),

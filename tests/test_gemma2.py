@@ -75,3 +75,39 @@ def test_gemma2_greedy_parity(tiny_gemma2_dir):
     ref = _hf_greedy(tiny_gemma2_dir, prompt, 10)
     ours = _our_greedy(tiny_gemma2_dir, prompt, 10)
     assert ours == ref, f"ours={ours} ref={ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_gemma3_dir(tmp_path_factory):
+    import torch
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    torch.manual_seed(4)
+    cfg = Gemma3TextConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=6,  # 5 sliding (local rope) + 1 global
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        sliding_window=8,
+        query_pre_attn_scalar=16,
+        rope_theta=1000000.0,
+        rope_local_base_freq=10000.0,
+        pad_token_id=0,
+    )
+    model = Gemma3ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_gemma3")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_gemma3_greedy_parity(tiny_gemma3_dir):
+    prompt = [(i * 13) % 120 + 3 for i in range(24)]  # windows clip context
+    ref = _hf_greedy(tiny_gemma3_dir, prompt, 10)
+    ours = _our_greedy(tiny_gemma3_dir, prompt, 10)
+    assert len(ref) >= 5
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
