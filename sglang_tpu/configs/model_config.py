@@ -56,6 +56,32 @@ class ModelConfig:
     def is_moe(self) -> bool:
         return self.num_experts > 0
 
+    def layer_is_sliding(self, layer_id: int) -> bool:
+        """Whether `layer_id` uses sliding-window attention.
+
+        Prefers hf_config.layer_types (modern transformers); falls back to
+        sliding_window_pattern (older Gemma-3 / Cohere2 configs, where every
+        pattern-th layer is full attention). Raises rather than silently
+        running every layer as full attention when the model declares a
+        sliding window but carries neither field.
+        """
+        hf = self.hf_config
+        layer_types = list(getattr(hf, "layer_types", None) or [])
+        if layer_types:
+            return (
+                layer_id < len(layer_types)
+                and layer_types[layer_id] == "sliding_attention"
+            )
+        pattern = getattr(hf, "sliding_window_pattern", None)
+        if pattern:
+            return bool((layer_id + 1) % int(pattern))
+        if self.sliding_window:
+            raise ValueError(
+                "config has sliding_window but neither layer_types nor "
+                "sliding_window_pattern; cannot infer layer attention types"
+            )
+        return False
+
     @classmethod
     def from_hf(
         cls,

@@ -629,7 +629,10 @@ class ScheduleCore:
             req = self.chunked_req
             q = min(req._fill_len - req.prefill_progress, budget)
             if not self._extend_pages(req, req.prefill_progress + q):
-                self._evict_for(cdiv(req.prefill_progress + q, self.page_size))
+                self._evict_for(
+                    cdiv(req.prefill_progress + q, self.page_size)
+                    - len(req.pages)
+                )
                 if not self._extend_pages(req, req.prefill_progress + q):
                     return None  # wait for memory
             is_final = req.prefill_progress + q >= req._fill_len

@@ -33,11 +33,7 @@ class Cohere2Attention(LlamaAttention):
     def __init__(self, config: ModelConfig, layer_id: int):
         super().__init__(config, layer_id)
         c = config
-        layer_types = list(getattr(c.hf_config, "layer_types", []) or [])
-        is_sliding = (
-            layer_id < len(layer_types)
-            and layer_types[layer_id] == "sliding_attention"
-        )
+        is_sliding = c.layer_is_sliding(layer_id)
         self.window = int(c.hf_config.sliding_window) if is_sliding else 0
         self.use_rope = is_sliding  # full-attention layers have NO rope
         self.cos, self.sin = _interleaved_rope_tables(

@@ -26,11 +26,7 @@ class Gemma3Attention(Gemma2Attention):
         super().__init__(config, layer_id)
         c = config
         hf = c.hf_config
-        layer_types = list(getattr(hf, "layer_types", []) or [])
-        self.is_sliding = (
-            layer_id < len(layer_types)
-            and layer_types[layer_id] == "sliding_attention"
-        )
+        self.is_sliding = c.layer_is_sliding(layer_id)
         self.window = int(c.sliding_window or 0) if self.is_sliding else 0
         self.logit_cap = 0.0  # gemma3 drops attention softcapping
         if self.is_sliding:

@@ -27,11 +27,21 @@ from sglang_tpu.models.llama import (
 
 class StableLmAttention(LlamaAttention):
     def __init__(self, config: ModelConfig, layer_id: int):
-        config.attention_bias = bool(
-            getattr(config.hf_config, "use_qkv_bias", False)
-        )
         super().__init__(config, layer_id)
         c = config
+        use_bias = bool(getattr(c.hf_config, "use_qkv_bias", False))
+        if use_bias != bool(c.attention_bias):
+            from sglang_tpu.layers.linear import (
+                ColumnParallelLinear,
+                FusedColumnLinear,
+            )
+
+            self.q_proj = ColumnParallelLinear(
+                c.hidden_size, self.nq * self.hd, c.dtype, use_bias
+            )
+            self.kv_proj = FusedColumnLinear(
+                c.hidden_size, 2, self.nk * self.hd, c.dtype, use_bias
+            )
         rotary_ndims = int(
             self.hd * getattr(c.hf_config, "partial_rotary_factor", 1.0)
         )
