@@ -54,10 +54,13 @@ class CompiledGrammar:
 class GrammarMatcher:
     """Per-request matcher (mutable DFA state). Ref: XGrammarGrammar."""
 
-    def __init__(self, compiled: CompiledGrammar, token_bytes, eos_ids):
+    def __init__(self, compiled: CompiledGrammar, token_bytes, eos_ids,
+                 bytes_to_tid=None, max_token_len: int = 0):
         self.compiled = compiled
         self.token_bytes = token_bytes
         self.eos_ids = set(eos_ids)
+        self._bytes_to_tid = bytes_to_tid or {}
+        self._max_token_len = max_token_len
         self.state = 0
         self.finished = False
 
@@ -105,6 +108,39 @@ class GrammarMatcher:
             state = nxt
         return bytes(out)
 
+    def jump_forward_tokens(self, max_tokens: int) -> List[int]:
+        """Tokenize the forced byte run (longest-match) and ADVANCE the DFA.
+
+        Returns the forced token ids (possibly consuming only a prefix of
+        the forced bytes when no vocab token tiles the tail — the model
+        will emit the rest under the mask). Empty when fewer than 2 whole
+        tokens fit: a 1-token jump saves nothing over a masked decode step
+        but costs a re-extend. Ref: scheduler jump-forward integration,
+        srt/managers/scheduler.py around check_for_jump_forward.
+        """
+        if self.finished or max_tokens < 2 or not self._bytes_to_tid:
+            return []
+        forced = self.jump_forward()
+        if len(forced) < 2:
+            return []
+        toks: List[int] = []
+        i, n = 0, len(forced)
+        while i < n and len(toks) < max_tokens:
+            for L in range(min(self._max_token_len, n - i), 0, -1):
+                tid = self._bytes_to_tid.get(forced[i : i + L])
+                if tid is not None:
+                    toks.append(tid)
+                    i += L
+                    break
+            else:
+                break
+        if len(toks) < 2:
+            return []
+        nxt = self.compiled.dfa.walk(self.state, forced[:i])
+        assert nxt >= 0, "jump-forward walked off the grammar"
+        self.state = nxt
+        return toks
+
 
 class GrammarBackend:
     """Compile cache over (kind, spec) -> CompiledGrammar."""
@@ -116,6 +152,14 @@ class GrammarBackend:
         self.token_bytes = extract_token_bytes(tokenizer)
         vs = vocab_size or len(self.token_bytes)
         self.trie = TokenTrie(self.token_bytes, vs)
+        # bytes -> token id for jump-forward retokenization (smallest id
+        # wins among duplicate surface forms).
+        self.bytes_to_tid: Dict[bytes, int] = {}
+        self.max_token_len = 0
+        for tid, bs in enumerate(self.token_bytes):
+            if bs and bs not in self.bytes_to_tid:
+                self.bytes_to_tid[bs] = tid
+                self.max_token_len = max(self.max_token_len, len(bs))
         self._cache: Dict[Tuple[str, str], CompiledGrammar] = {}
         self._lock = threading.Lock()
 
@@ -146,4 +190,5 @@ class GrammarBackend:
             compiled = self._compile(kind, spec)
             with self._lock:
                 self._cache[key] = compiled
-        return GrammarMatcher(compiled, self.token_bytes, self.eos_token_ids)
+        return GrammarMatcher(compiled, self.token_bytes, self.eos_token_ids,
+                              self.bytes_to_tid, self.max_token_len)

@@ -67,6 +67,17 @@ class Req:
         self.eos_token_ids = eos_token_ids or set()
         self.arrival_time = arrival_time or time.time()
         self.lora_id = lora_id
+        # Radix keys are salted per adapter: KV computed under a LoRA must
+        # never be prefix-shared with the base model or another adapter
+        # (ref RadixKey extra_key, srt/mem_cache/radix_cache.py).
+        if lora_id:
+            import zlib
+
+            self._lora_salt = (
+                zlib.crc32(str(lora_id).encode()) & 0x3FFFFFFF
+            ) or 1
+        else:
+            self._lora_salt = 0
         self.is_embedding = is_embedding
         self.embedding = None
 
@@ -115,22 +126,36 @@ class Req:
     def all_ids(self) -> List[int]:
         return self.input_ids + self.output_ids
 
+    def _salt_key(self, t: int) -> int:
+        # Bijective per adapter; bit 30 keeps salted keys outside the
+        # vocab-id and mm-key ranges (int32-safe for the C++ tree).
+        s = self._lora_salt
+        if t >= 0:
+            return (t ^ s) | 0x40000000
+        return -((((-t) ^ s) | 0x40000000))
+
     @property
     def cache_ids(self) -> List[int]:
-        """Token ids used as radix-cache keys (mm-aware)."""
-        if self.mm_positions is None:
+        """Token ids used as radix-cache keys (mm- and LoRA-aware)."""
+        if self.mm_positions is None and not self._lora_salt:
             return self.all_ids
         if self._input_cache_ids is None:
             ids = list(self.input_ids)
-            for j, pos in enumerate(self.mm_positions):
-                h = (
-                    self.mm_hashes[j]
-                    if self.mm_hashes is not None
-                    else hash(self.mm_embeds[j].tobytes())
-                )
-                ids[pos] = -(abs(int(h)) % (1 << 30)) - 2  # negative = mm key
+            if self.mm_positions is not None:
+                for j, pos in enumerate(self.mm_positions):
+                    h = (
+                        self.mm_hashes[j]
+                        if self.mm_hashes is not None
+                        else hash(self.mm_embeds[j].tobytes())
+                    )
+                    ids[pos] = -(abs(int(h)) % (1 << 30)) - 2  # mm key
+            if self._lora_salt:
+                ids = [self._salt_key(t) for t in ids]
             self._input_cache_ids = ids
-        return self._input_cache_ids + self.output_ids
+        out = self.output_ids
+        if self._lora_salt:
+            out = [self._salt_key(t) for t in out]
+        return self._input_cache_ids + out
 
     @property
     def is_prefill_done(self) -> bool:

@@ -253,6 +253,7 @@ class ScheduleCore:
         # metrics
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
+        self.num_jump_tokens = 0
         self.num_cached_tokens = 0
         self.gen_throughput = 0.0
         self._tp_last = (time.time(), 0)
@@ -1276,7 +1277,64 @@ class ScheduleCore:
                     prompt_tokens=len(req.input_ids),
                 )
             )
+            if (
+                fr is None
+                and req.grammar is not None
+                and not req.grammar.is_terminated()
+                and not self.args.disable_jump_forward
+            ):
+                self._try_jump_forward(req, outputs)
         return outputs
+
+    def _try_jump_forward(self, req: Req, outputs: List[StepOutput]) -> None:
+        """Jump-forward decoding: emit grammar-forced token runs without
+        model calls, then requeue the req for a re-extend over the forced
+        tokens (its prior KV survives via the radix tree). Ref:
+        srt/constrained/outlines_jump_forward.py + scheduler integration.
+        """
+        budget = req.sampling_params.max_new_tokens - len(req.output_ids)
+        forced = req.grammar.jump_forward_tokens(budget)
+        if not forced:
+            return
+        fr = None
+        for tok in forced:
+            req.output_ids.append(tok)
+            self.num_generated_tokens += 1
+            self.num_jump_tokens += 1
+            fr = req.check_finished(tok)
+            if fr is None and (req.sampling_params.stop
+                               or req.sampling_params.stop_regex):
+                fr = self._check_stop_strings(req)
+            outputs.append(
+                StepOutput(
+                    rid=req.rid,
+                    new_token=tok,
+                    finish_reason=fr.to_json() if fr else None,
+                    completion_tokens=len(req.output_ids),
+                    cached_tokens=req.cached_report,
+                    prompt_tokens=len(req.input_ids),
+                )
+            )
+            if fr is not None:
+                break
+        if getattr(req, "_structag", None) and req.grammar.compiled.dfa.is_accepting(
+            req.grammar.state
+        ):
+            req.grammar = None
+        if fr is not None:
+            self._finish_req(req, fr)
+            return
+        # Self-retract: KV computed so far re-enters via the radix match,
+        # and the forced tokens get their KV in the re-extend pass.
+        self._release_req_memory(req, cache=True)
+        req.status = ReqStatus.WAITING
+        req._epoch += 1
+        req.prefill_progress = 0
+        req.cached_len = 0
+        req._device_seq_len = 0
+        req._device_step = len(req.output_ids)
+        self.running.remove(req)
+        self.waiting.insert(0, req)
 
     def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
         """Ship the finished prefill's KV pages to the decode fleet."""

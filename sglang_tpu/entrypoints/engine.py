@@ -150,6 +150,7 @@ class Engine:
         rid: Optional[str] = None,
         session_params: Optional[Dict] = None,
         input_embeds=None,
+        lora_path: Optional[str] = None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -161,11 +162,13 @@ class Engine:
             rid=rid,
             session_params=session_params,
             input_embeds=input_embeds,
+            lora_path=lora_path,
         )
         if stream:
             return self._stream_sync(gri)
         outs = self._run_coro(self._collect(gri))
-        if not gri.is_batch():
+        sp0 = sampling_params if isinstance(sampling_params, dict) else {}
+        if not gri.is_batch() and int((sp0 or {}).get("n") or 1) <= 1:
             return outs[0]
         return outs
 
@@ -237,6 +240,16 @@ class Engine:
 
     def get_server_info(self) -> Dict[str, Any]:
         return self._run_coro(self.tokenizer_manager.get_server_info())
+
+    def load_lora_adapter(self, lora_name: str, lora_path: str):
+        return self._run_coro(
+            self.tokenizer_manager.load_lora_adapter(lora_name, lora_path)
+        )
+
+    def unload_lora_adapter(self, lora_name: str):
+        return self._run_coro(
+            self.tokenizer_manager.unload_lora_adapter(lora_name)
+        )
 
     def update_weights_from_disk(self, model_path: str, load_format="auto"):
         return self._run_coro(

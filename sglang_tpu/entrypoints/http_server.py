@@ -15,7 +15,7 @@ import json
 import logging
 import time
 import uuid
-from typing import Optional
+from typing import Dict, Optional
 
 from aiohttp import web
 
@@ -291,6 +291,25 @@ class HttpServer:
         )
         return web.json_response({"success": ok, "message": msg})
 
+    async def load_lora_adapter(self, request: web.Request) -> web.Response:
+        """Dynamic LoRA load (ref http_server.py:1519)."""
+        body = await request.json()
+        ok, msg, loaded = await self.tm.load_lora_adapter(
+            body["lora_name"], body["lora_path"]
+        )
+        return web.json_response(
+            {"success": ok, "message": msg, "loaded_adapters": loaded},
+            status=200 if ok else 400,
+        )
+
+    async def unload_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok, msg, loaded = await self.tm.unload_lora_adapter(body["lora_name"])
+        return web.json_response(
+            {"success": ok, "message": msg, "loaded_adapters": loaded},
+            status=200 if ok else 400,
+        )
+
     # ------------------------------------------------------------ OpenAI API
     async def metrics_endpoint(self, request: web.Request) -> web.Response:
         if self.metrics is None:
@@ -322,17 +341,18 @@ class HttpServer:
                 headers={"Content-Type": "text/event-stream"}
             )
             await resp.prepare(request)
-            sent_len = 0
+            sent_len: Dict[int, int] = {}
             try:
                 async for out in self.tm.generate_request(gri):
-                    delta = out["text"][sent_len:]
-                    sent_len = len(out["text"])
+                    idx = out.get("index", 0)
+                    delta = out["text"][sent_len.get(idx, 0):]
+                    sent_len[idx] = len(out["text"])
                     fr = out["meta_info"]["finish_reason"]
                     if delta or fr:
                         await resp.write(
                             _sse(
                                 self.openai.completion_stream_chunk(
-                                    body, delta, 0, fr, created, cid
+                                    body, delta, idx, fr, created, cid
                                 )
                             )
                         )
@@ -344,7 +364,7 @@ class HttpServer:
             outs = []
             async for out in self.tm.generate_request(gri):
                 outs.append(out)
-            if not gri.is_batch():
+            if not gri.is_batch() and int(body.get("n") or 1) <= 1:
                 outs = outs[-1:]
             return web.json_response(
                 self.openai.completion_response(body, outs, created)
@@ -365,31 +385,36 @@ class HttpServer:
                 headers={"Content-Type": "text/event-stream"}
             )
             await resp.prepare(request)
-            sent_len = 0
-            first = True
+            sent_len: Dict[int, int] = {}
+            first: Dict[int, bool] = {}
             try:
                 async for out in self.tm.generate_request(gri):
-                    delta = out["text"][sent_len:]
-                    sent_len = len(out["text"])
+                    idx = out.get("index", 0)
+                    delta = out["text"][sent_len.get(idx, 0):]
+                    sent_len[idx] = len(out["text"])
                     fr = out["meta_info"]["finish_reason"]
-                    if delta or fr or first:
+                    is_first = first.get(idx, True)
+                    if delta or fr or is_first:
                         await resp.write(
                             _sse(
                                 self.openai.chat_stream_chunk(
-                                    body, delta, fr, created, cid, first
+                                    body, delta, fr, created, cid, is_first,
+                                    index=idx,
                                 )
                             )
                         )
-                        first = False
+                        first[idx] = False
                 await resp.write(_sse("[DONE]"))
             except Exception as e:  # noqa: BLE001
                 await resp.write(_sse({"error": str(e)}))
             return resp
         try:
-            out = None
+            outs = []
             async for o in self.tm.generate_request(gri):
-                out = o
-            return web.json_response(self.openai.chat_response(body, out, created))
+                outs.append(o)
+            return web.json_response(
+                self.openai.chat_response(body, outs, created)
+            )
         except ValueError as e:
             return _json_error(str(e))
 
@@ -576,6 +601,8 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/load_lora_adapter", self.load_lora_adapter)
+        r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/release_memory_occupation", self.release_memory_occupation)
         r.add_post("/resume_memory_occupation", self.resume_memory_occupation)
         r.add_get("/metrics", self.metrics_endpoint)

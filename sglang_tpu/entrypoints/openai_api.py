@@ -26,6 +26,7 @@ OPENAI_SAMPLING_FIELDS = (
     ("stop", "stop"),
     ("stop_token_ids", "stop_token_ids"),
     ("seed", "sampling_seed"),
+    ("n", "n"),
     ("min_tokens", "min_new_tokens"),
     ("ignore_eos", "ignore_eos"),
     ("skip_special_tokens", "skip_special_tokens"),
@@ -195,7 +196,36 @@ class OpenAIServing:
             top_logprobs_num=top_lp,
         )
 
-    def chat_response(self, body: Dict, out: Dict, created: int) -> Dict:
+    def chat_response(self, body: Dict, outs, created: int) -> Dict:
+        """Build a chat.completion; `outs` is one output dict per choice
+        (n>1 parallel sampling yields several)."""
+        if isinstance(outs, dict):
+            outs = [outs]
+        choices = [
+            self._chat_choice(body, out, i) for i, out in enumerate(outs)
+        ]
+        usage = {
+            "prompt_tokens": outs[0]["meta_info"].get("prompt_tokens", 0),
+            "completion_tokens": sum(
+                o["meta_info"].get("completion_tokens", 0) for o in outs
+            ),
+            "prompt_tokens_details": {
+                "cached_tokens": outs[0]["meta_info"].get("cached_tokens", 0)
+            },
+        }
+        usage["total_tokens"] = (
+            usage["prompt_tokens"] + usage["completion_tokens"]
+        )
+        return {
+            "id": f"chatcmpl-{uuid.uuid4().hex}",
+            "object": "chat.completion",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": choices,
+            "usage": usage,
+        }
+
+    def _chat_choice(self, body: Dict, out: Dict, index: int) -> Dict:
         meta = out["meta_info"]
         text = out["text"]
         message: Dict[str, Any] = {"role": "assistant", "content": text}
@@ -232,24 +262,15 @@ class OpenAIServing:
                     ]
                     finish = "tool_calls"
         return {
-            "id": f"chatcmpl-{uuid.uuid4().hex}",
-            "object": "chat.completion",
-            "created": created,
-            "model": body.get("model", self.served_model),
-            "choices": [
-                {
-                    "index": 0,
-                    "message": message,
-                    "finish_reason": finish,
-                    "logprobs": None,
-                }
-            ],
-            "usage": _usage(meta),
+            "index": index,
+            "message": message,
+            "finish_reason": finish,
+            "logprobs": None,
         }
 
     def chat_stream_chunk(
         self, body: Dict, delta: Optional[str], fr: Optional[dict],
-        created: int, cid: str, first: bool = False,
+        created: int, cid: str, first: bool = False, index: int = 0,
     ) -> Dict:
         d: Dict[str, Any] = {}
         if first:
@@ -264,7 +285,7 @@ class OpenAIServing:
             "model": body.get("model", self.served_model),
             "choices": [
                 {
-                    "index": 0,
+                    "index": index,
                     "delta": d,
                     "finish_reason": _finish_reason_str(fr),
                 }

@@ -198,6 +198,26 @@ class UpdateWeightsFromTensorReq:
 
 
 @dataclasses.dataclass
+class LoadLoRAAdapterReq:
+    """Dynamic adapter load (ref /load_lora_adapter, http_server.py:1519)."""
+
+    lora_name: str
+    lora_path: str
+
+
+@dataclasses.dataclass
+class UnloadLoRAAdapterReq:
+    lora_name: str
+
+
+@dataclasses.dataclass
+class LoRAUpdateResp:
+    success: bool
+    message: str = ""
+    loaded_adapters: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
 class ReleaseMemoryReq:
     tags: List[str] = dataclasses.field(default_factory=lambda: ["kv_cache"])
 

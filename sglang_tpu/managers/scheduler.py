@@ -29,6 +29,9 @@ from sglang_tpu.managers.io_struct import (
     GetServerInfoResp,
     HealthCheckReq,
     HealthCheckResp,
+    LoadLoRAAdapterReq,
+    LoRAUpdateResp,
+    UnloadLoRAAdapterReq,
     SchedulerReady,
     TokenizedGenerateReqInput,
     UpdateWeightsFromTensorReq,
@@ -139,6 +142,24 @@ class Scheduler:
                 send_pyobj(self.to_detok, UpdateWeightsResp(True, "ok"))
             except Exception as e:  # noqa: BLE001
                 send_pyobj(self.to_detok, UpdateWeightsResp(False, str(e)))
+        elif isinstance(msg, LoadLoRAAdapterReq):
+            try:
+                self.runner.ensure_lora_manager().load(
+                    msg.lora_name, msg.lora_path
+                )
+                send_pyobj(self.to_detok, LoRAUpdateResp(
+                    True, "ok",
+                    loaded_adapters=list(self.runner.lora_manager.adapters),
+                ))
+            except Exception as e:  # noqa: BLE001
+                send_pyobj(self.to_detok, LoRAUpdateResp(False, str(e)))
+        elif isinstance(msg, UnloadLoRAAdapterReq):
+            lm = self.runner.lora_manager
+            ok = lm is not None and lm.unload(msg.lora_name)
+            send_pyobj(self.to_detok, LoRAUpdateResp(
+                ok, "ok" if ok else f"adapter {msg.lora_name!r} not loaded",
+                loaded_adapters=list(lm.adapters) if lm else [],
+            ))
         elif isinstance(msg, UpdateWeightsFromTensorReq):
             try:
                 from sglang_tpu.model_exec.weight_loader import (

@@ -210,14 +210,67 @@ class TokenizerManager:
     async def generate_request(
         self, gri: GenerateReqInput
     ) -> AsyncGenerator[Dict[str, Any], None]:
-        """Yields cumulative output dicts; final one carries finish_reason."""
+        """Yields cumulative output dicts; final one carries finish_reason.
+
+        n>1 parallel sampling fans each prompt out into n independent
+        requests (ref tokenizer_manager batch expansion); the radix cache
+        shares the common prompt KV. Each yielded dict carries "index".
+        """
         await self.wait_ready()
-        singles = gri.normalize()
+        singles: List[GenerateReqInput] = []
+        for g in gri.normalize():
+            sp = g.sampling_params if isinstance(g.sampling_params, dict) else {}
+            n = int((sp or {}).get("n") or 1)
+            if n <= 1 or g.is_embedding:
+                singles.append(g)
+                continue
+            for i in range(n):
+                c = dataclasses.replace(
+                    g,
+                    sampling_params=dict(sp, n=1),
+                    rid=g.rid if i == 0 else f"{g.rid}-n{i}",
+                )
+                seed = c.sampling_params.get("sampling_seed")
+                if seed is not None:
+                    c.sampling_params["sampling_seed"] = int(seed) + i
+                singles.append(c)
         if len(singles) == 1:
             async for out in self._generate_one(singles[0]):
+                out["index"] = 0
                 yield out
             return
-        # Batch: run concurrently, yield per-item finals in order.
+        if gri.stream:
+            # Merged stream: deltas from all sub-requests interleave as they
+            # arrive, tagged with their choice index.
+            queue: asyncio.Queue = asyncio.Queue()
+
+            async def pump(i: int, g: GenerateReqInput):
+                try:
+                    async for out in self._generate_one(g):
+                        out["index"] = i
+                        await queue.put(out)
+                except Exception as e:  # noqa: BLE001
+                    await queue.put(e)
+
+            tasks = [
+                asyncio.get_running_loop().create_task(pump(i, g))
+                for i, g in enumerate(singles)
+            ]
+            remaining = len(singles)
+            try:
+                while remaining:
+                    item = await queue.get()
+                    if isinstance(item, Exception):
+                        raise item
+                    if item["meta_info"]["finish_reason"] is not None:
+                        remaining -= 1
+                    yield item
+            finally:
+                for t in tasks:
+                    t.cancel()
+            return
+
+        # Non-stream batch: run concurrently, yield per-item finals in order.
         async def collect(g):
             last = None
             async for out in self._generate_one(g):
@@ -225,7 +278,9 @@ class TokenizerManager:
             return last
 
         results = await asyncio.gather(*(collect(g) for g in singles))
-        for r in results:
+        for i, r in enumerate(results):
+            if r is not None:
+                r["index"] = i
             yield r
 
     async def _generate_one(self, gri: GenerateReqInput):
@@ -356,6 +411,31 @@ class TokenizerManager:
             timeout=600,
         )
         return resp.success, resp.message
+
+    async def load_lora_adapter(self, lora_name: str, lora_path: str):
+        from sglang_tpu.managers.io_struct import (
+            LoadLoRAAdapterReq,
+            LoRAUpdateResp,
+        )
+
+        resp = await self._control_rpc(
+            LoadLoRAAdapterReq(lora_name=lora_name, lora_path=lora_path),
+            LoRAUpdateResp,
+            timeout=300,
+        )
+        return resp.success, resp.message, resp.loaded_adapters
+
+    async def unload_lora_adapter(self, lora_name: str):
+        from sglang_tpu.managers.io_struct import (
+            LoRAUpdateResp,
+            UnloadLoRAAdapterReq,
+        )
+
+        resp = await self._control_rpc(
+            UnloadLoRAAdapterReq(lora_name=lora_name), LoRAUpdateResp,
+            timeout=300,
+        )
+        return resp.success, resp.message, resp.loaded_adapters
 
     async def update_weights_from_disk(self, model_path: str,
                                        load_format: str = "auto"):

@@ -130,15 +130,7 @@ class ModelRunner:
 
         self.lora_manager = None
         if server_args.enable_lora or server_args.lora_paths:
-            from sglang_tpu.lora.manager import LoRAManager
-
-            self.lora_manager = LoRAManager(
-                self.model,
-                model_config,
-                max_loras=server_args.max_loras_per_batch,
-                max_rank=server_args.max_lora_rank or 64,
-                dtype=model_config.dtype,
-            )
+            self.ensure_lora_manager()
             for spec in server_args.lora_paths or []:
                 if "=" in spec:
                     name, path = spec.split("=", 1)
@@ -182,6 +174,21 @@ class ModelRunner:
         )
 
     # ---- KV sizing ----
+    def ensure_lora_manager(self):
+        """Create the LoRA pools on first use (dynamic /load_lora_adapter
+        works without --enable-lora at startup; ref lora_manager.py:221)."""
+        if self.lora_manager is None:
+            from sglang_tpu.lora.manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model,
+                self.model_config,
+                max_loras=self.server_args.max_loras_per_batch,
+                max_rank=self.server_args.max_lora_rank or 64,
+                dtype=self.model_config.dtype,
+            )
+        return self.lora_manager
+
     def _init_kv_pool(self) -> None:
         c = self.model_config
         sa = self.server_args

@@ -97,6 +97,7 @@ class ServerArgs:
 
     # Decode-time features
     grammar_backend: str = "native"  # our own FSM engine (ref: xgrammar)
+    disable_jump_forward: bool = False
     tool_call_parser: Optional[str] = None  # llama3|qwen25|mistral|json|...
     reasoning_parser: Optional[str] = None  # deepseek-r1|qwen3|kimi|...
     constrained_json_whitespace_pattern: Optional[str] = None

@@ -156,6 +156,43 @@ def test_e2e_regex_constrained(tiny_llama_dir):
     # max_new_tokens; either way the constrained segment must be exact.
 
 
+def test_e2e_jump_forward(tiny_llama_dir):
+    """Deterministic grammar runs are emitted without model steps and the
+    request re-extends over the forced tokens (scheduler jump-forward)."""
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+    from sglang_tpu.tokenizer import get_tokenizer
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir, dtype="float32",
+        attention_backend="xla_native", page_size=4,
+        max_total_tokens=2048,
+    )
+    runner = ModelRunner(args)
+    tok = get_tokenizer(tiny_llama_dir)
+    core = ScheduleCore(args, runner, tok)
+
+    sp = SamplingParams(
+        temperature=0.0, max_new_tokens=12,
+        regex=r"w20w21w22w23w24w25",
+    )
+    sp.normalize()
+    req = Req("jf", [5, 6, 7], sp)
+    core.add_request(req)
+    decode_steps = 0
+    while core.has_work():
+        core.step()
+        decode_steps += 1
+        assert decode_steps < 200
+    texts = [tok.decode([t]) for t in req.output_ids]
+    assert texts[:6] == ["w20", "w21", "w22", "w23", "w24", "w25"], texts
+    # w21..w25 (5 tokens) must have been jump-forwarded, not decoded
+    assert core.num_jump_tokens >= 4, core.num_jump_tokens
+
+
 def test_ebnf_to_regex():
     from sglang_tpu.constrained.ebnf import ebnf_to_regex
 

@@ -93,6 +93,22 @@ def test_logprobs(engine):
     assert len(out["meta_info"]["output_top_logprobs"]) == 4
 
 
+def test_n_parallel_sampling(engine):
+    outs = engine.generate(
+        prompt="w10 w11 w12",
+        sampling_params={
+            "temperature": 0.9, "top_p": 0.9, "max_new_tokens": 6,
+            "n": 3, "sampling_seed": 7, "ignore_eos": True,
+        },
+    )
+    assert isinstance(outs, list) and len(outs) == 3
+    for i, o in enumerate(outs):
+        assert len(o["output_ids"]) == 6
+        assert o["index"] == i
+    # distinct seeds per choice -> not all identical (overwhelmingly likely)
+    assert len({tuple(o["output_ids"]) for o in outs}) >= 2
+
+
 def test_sampling_seed_reproducible(engine):
     sp = {
         "temperature": 0.9,

@@ -16,7 +16,7 @@ from sglang_tpu.utils import find_free_port
 
 
 @pytest.fixture(scope="module")
-def server(tiny_llama_dir):
+def server(tiny_llama_dir, tmp_path_factory):
     port = find_free_port()
     env = dict(os.environ)
     env.update(
@@ -24,6 +24,11 @@ def server(tiny_llama_dir):
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         TOKENIZERS_PARALLELISM="false",
     )
+    # Server output goes to a FILE, not a PIPE: nothing drains a pipe here,
+    # so enough log output would fill the 64KB buffer and block the server
+    # mid-write (observed as flaky 120s request timeouts).
+    log_path = tmp_path_factory.mktemp("srv") / "server_log.txt"
+    log_f = open(log_path, "wb")
     proc = subprocess.Popen(
         [
             sys.executable,
@@ -39,7 +44,7 @@ def server(tiny_llama_dir):
             "--log-level", "warning",
         ],
         env=env,
-        stdout=subprocess.PIPE,
+        stdout=log_f,
         stderr=subprocess.STDOUT,
     )
     base = f"http://127.0.0.1:{port}"
@@ -51,7 +56,7 @@ def server(tiny_llama_dir):
         except Exception:
             pass
         if proc.poll() is not None:
-            out = proc.stdout.read().decode()
+            out = log_path.read_bytes().decode(errors="replace")
             raise RuntimeError(f"server died:\n{out[-4000:]}")
         time.sleep(1)
     else:
@@ -60,6 +65,7 @@ def server(tiny_llama_dir):
     yield base
     proc.terminate()
     proc.wait(timeout=10)
+    log_f.close()
 
 
 def test_health_and_info(server):
@@ -140,6 +146,54 @@ def test_v1_chat_completions(server):
     out = r.json()
     assert out["object"] == "chat.completion"
     assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_v1_chat_n_choices(server):
+    r = requests.post(
+        server + "/v1/chat/completions",
+        json={
+            "model": "test",
+            "messages": [{"role": "user", "content": "w40 w41"}],
+            "max_tokens": 4,
+            "temperature": 0.8,
+            "n": 2,
+            "seed": 3,
+            "ignore_eos": True,
+        },
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert len(out["choices"]) == 2
+    assert sorted(c["index"] for c in out["choices"]) == [0, 1]
+    assert out["usage"]["completion_tokens"] == 8
+
+
+def test_v1_completions_n_stream(server):
+    r = requests.post(
+        server + "/v1/completions",
+        json={
+            "model": "test",
+            "prompt": "w30 w31",
+            "max_tokens": 3,
+            "temperature": 0.8,
+            "n": 2,
+            "stream": True,
+            "ignore_eos": True,
+        },
+        stream=True,
+    )
+    assert r.status_code == 200
+    seen_idx = set()
+    for line in r.iter_lines():
+        if not line or not line.startswith(b"data: "):
+            continue
+        payload = line[len(b"data: "):]
+        if payload == b"[DONE]":
+            break
+        chunk = json.loads(payload)
+        for c in chunk["choices"]:
+            seen_idx.add(c["index"])
+    assert seen_idx == {0, 1}
 
 
 def test_v1_chat_stream(server):

@@ -83,6 +83,45 @@ def _our_lora_greedy(base_dir, lora_dir, prompts, n_new, lora_names):
     return [r.output_ids for r in reqs]
 
 
+def test_dynamic_lora_load_unload(tiny_llama_dir, tiny_lora_dir):
+    """Dynamic /load_lora_adapter path: server starts WITHOUT LoRA, loads an
+    adapter at runtime, serves with it, then unloads (ref lora_manager.py:221,
+    http_server.py:1519)."""
+    from sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=2048,
+    )
+    try:
+        prompt = [3, 17, 92, 45, 6]
+        n_new = 6
+        sp = {"temperature": 0, "max_new_tokens": n_new, "ignore_eos": True}
+        base_out = eng.generate(input_ids=prompt, sampling_params=sp)
+
+        ok, msg, loaded = eng.load_lora_adapter("dyn", tiny_lora_dir)
+        assert ok, msg
+        assert "dyn" in loaded
+
+        ref = _hf_lora_greedy(tiny_llama_dir, tiny_lora_dir, prompt, n_new)
+        out = eng.generate(
+            input_ids=prompt, sampling_params=sp, lora_path="dyn"
+        )
+        assert out["output_ids"] == ref
+        assert out["output_ids"] != base_out["output_ids"]
+
+        ok, msg, loaded = eng.unload_lora_adapter("dyn")
+        assert ok and "dyn" not in loaded
+        # unknown adapter now errors cleanly
+        ok2, _, _ = eng.unload_lora_adapter("dyn")
+        assert not ok2
+    finally:
+        eng.shutdown()
+
+
 def test_lora_parity_and_mixed_batch(tiny_llama_dir, tiny_lora_dir):
     prompt_a = [3, 17, 92, 45, 6]
     prompt_b = [8, 9, 10, 11]

@@ -28,7 +28,9 @@ def _launch_server(tiny_llama_dir, port):
             "--enable-single-process",
             "--log-level", "warning",
         ],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        # DEVNULL, not PIPE: an undrained pipe blocks the server once the
+        # 64KB buffer fills (see tests/test_http_server.py).
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
     )
 
 
