@@ -23,7 +23,7 @@ from typing import List, Optional, Set
 def collect_radix_pages(radix) -> Optional[Set[int]]:
     """Page set owned by the tree; None if the impl can't enumerate (C++)."""
     root = getattr(radix, "root", None)
-    if root is None:
+    if root is None or not hasattr(root, "children"):
         return None
     pages: Set[int] = set()
     stack = [root]
@@ -84,6 +84,39 @@ def check_invariants(core) -> List[str]:
                 errs.append(
                     f"req {req.rid} cached pages not in tree: {missing[:8]}"
                 )
+
+    # Hybrid SWA pool: swa pages are owned by the free list, the shadow
+    # registry (tree-retained windows), or exactly one request's own slots.
+    if getattr(core, "hybrid_swa", False):
+        salloc = core.swa_allocator
+        sfree = list(salloc.free_pages)
+        sfree_set = set(sfree)
+        if len(sfree) != len(sfree_set):
+            errs.append("swa allocator free list contains duplicates")
+        shadow_pages = {e[0] for e in core.swa_shadow.map.values()}
+        both = shadow_pages & sfree_set
+        if both:
+            errs.append(f"swa pages both free and shadowed: {sorted(both)[:8]}")
+        sowner = {}
+        for req in reqs:
+            for j, p in enumerate(req.swa_pages):
+                if not p:
+                    continue
+                if j < req.swa_adopted:
+                    if p not in shadow_pages:
+                        errs.append(
+                            f"req {req.rid} adopted swa page {p} not shadowed"
+                        )
+                    continue
+                if p in sfree_set:
+                    errs.append(f"req {req.rid} swa page {p} is free")
+                if p in shadow_pages:
+                    errs.append(f"req {req.rid} swa page {p} is shadowed")
+                if p in sowner and sowner[p] != req.rid:
+                    errs.append(
+                        f"swa page {p} owned by {sowner[p]} and {req.rid}"
+                    )
+                sowner[p] = req.rid
 
     # Conservation: free + tree + own <= total-1 (hicache-evicted pages have
     # returned to the free list; equality is not required because PREBUILT /

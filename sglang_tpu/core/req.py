@@ -97,6 +97,13 @@ class Req:
 
         # KV/cache state
         self.pages: List[int] = []  # all pages covering the sequence
+        # Hybrid SWA pool: per-slot SWA-pool page ids parallel to `pages`
+        # (0 = freed / out-of-window slot). The first swa_adopted slots are
+        # tree-owned shadow pages (read-only; released, never freed, by us).
+        self.swa_pages: List[int] = []
+        self.swa_adopted = 0
+        self.swa_adopted_full_pages: List[int] = []
+        self._swa_trim_ptr = 0
         self.cached_len = 0  # tree-owned prefix tokens (page-aligned;
         # advances when unfinished-prefill prefixes are inserted)
         self.cached_report = 0  # cache-hit tokens at admission (metrics)

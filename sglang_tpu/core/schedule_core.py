@@ -113,6 +113,23 @@ class ScheduleCore:
         self.allocator = PageAllocator(
             runner.kv_pool.config.num_pages, self.page_size
         )
+        # Hybrid SWA pool (ref srt/mem_cache/allocator/swa.py +
+        # swa_radix_cache.py): sliding layers live in their own small pool;
+        # out-of-window SWA pages are freed as sequences grow, and trailing
+        # windows released into the tree stay reusable via the shadow map.
+        kvc = runner.kv_pool.config
+        self.hybrid_swa = kvc.swa_num_pages > 0
+        self.swa_allocator = None
+        self.swa_shadow = None
+        self.swa_window = 0
+        if self.hybrid_swa:
+            from sglang_tpu.mem.allocator import SwaShadowRegistry
+
+            self.swa_allocator = PageAllocator(
+                kvc.swa_num_pages, self.page_size
+            )
+            self.swa_shadow = SwaShadowRegistry(self.swa_allocator)
+            self.swa_window = max(kvc.layer_windows)
         self.hicache = None
         if server_args.enable_hierarchical_cache:
             from sglang_tpu.mem.hicache import HiCacheController
@@ -152,9 +169,14 @@ class ScheduleCore:
                 for h in _hooks:
                     h(full_prefix, pages)
 
+        radix_alloc = self.allocator
+        if self.hybrid_swa:
+            from sglang_tpu.mem.allocator import RadixAllocatorShim
+
+            radix_alloc = RadixAllocatorShim(self.allocator, self.swa_shadow)
         self.radix = radix_cls(
             self.page_size,
-            self.allocator,
+            radix_alloc,
             disable=server_args.disable_radix_cache,
             on_evict=on_evict,
         )
@@ -375,6 +397,9 @@ class ScheduleCore:
             return False
         self.radix.reset()
         self.allocator.clear()
+        if self.hybrid_swa:
+            self.swa_shadow.map.clear()
+            self.swa_allocator.clear()
         self.slots.clear()
         self._resident = None
         if self.kv_events is not None:
@@ -647,6 +672,7 @@ class ScheduleCore:
                     req.prefill_progress,
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
+                    swa_page_ids=req.swa_pages if self.hybrid_swa else None,
                 )
             )
             req.prefill_progress += q
@@ -684,11 +710,13 @@ class ScheduleCore:
             # to produce logits. Back off one page if fully cached.
             cached = min(mr.length, req._fill_len - 1)
             cached = (cached // self.page_size) * self.page_size
+            cached = self._swa_clamp_match(mr, cached)
             npages_cached = cached // self.page_size
             req.cached_len = cached
             req.cached_report = cached
             req.prefill_progress = cached
             req.pages = list(mr.pages[:npages_cached])
+            self._swa_adopt(req, mr, npages_cached)
             req.last_node = mr.node
             self.radix.inc_lock(mr.node)
             req.req_slot = slot
@@ -702,6 +730,7 @@ class ScheduleCore:
                     self.radix.dec_lock(mr.node)
                     self.slots.free(slot)
                     req.req_slot = None
+                    self._swa_release(req, False, 0, 0, 0)
                     req.pages = []
                     break
             is_final = target >= req._fill_len
@@ -719,6 +748,7 @@ class ScheduleCore:
                     cached,
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
+                    swa_page_ids=req.swa_pages if self.hybrid_swa else None,
                 )
             )
             req.prefill_progress = target
@@ -760,14 +790,14 @@ class ScheduleCore:
         admitted = []
         for req in batch:
             need_pages = cdiv(len(req.input_ids), self.page_size)
-            pages = self.allocator.alloc(need_pages)
-            if pages is None:
+            if not self._extend_pages(req, len(req.input_ids)):
                 self._evict_for(need_pages)
-                pages = self.allocator.alloc(need_pages)
-                if pages is None:
+                if not self._extend_pages(req, len(req.input_ids)):
                     break
-            req.pages = pages
-            seq_inputs.append(SeqInput(req.input_ids, 0, pages, req_slot=-1))
+            seq_inputs.append(SeqInput(
+                req.input_ids, 0, req.pages, req_slot=-1,
+                swa_page_ids=req.swa_pages if self.hybrid_swa else None,
+            ))
             admitted.append(req)
         if not admitted:
             return False
@@ -783,6 +813,7 @@ class ScheduleCore:
             req.finish_reason = FinishReason("stop")
             self.allocator.free(req.pages)
             req.pages = []
+            self._swa_release(req, False, 0, 0, 0)
             self._early_outputs.append(
                 StepOutput(
                     rid=req.rid,
@@ -866,7 +897,8 @@ class ScheduleCore:
                         continue
             rows.append((req, drafts, prefix))
             seq_inputs.append(
-                SeqInput(inputs, prefix, req.pages, req_slot=req.req_slot)
+                SeqInput(inputs, prefix, req.pages, req_slot=req.req_slot,
+                         swa_page_ids=req.swa_pages if self.hybrid_swa else None)
             )
         if not rows:
             return False
@@ -1002,7 +1034,9 @@ class ScheduleCore:
             else:
                 seq_inputs.append(
                     SeqInput([0], pos, req.pages, req_slot=req.req_slot,
-                             pages_np=req._pages_np)
+                             pages_np=req._pages_np,
+                             swa_page_ids=(req.swa_pages if self.hybrid_swa
+                                           else None))
                 )
             rows.append(_Row(req, "decode", req._epoch, req._device_step))
             req._device_seq_len = pos + 1
@@ -1122,8 +1156,114 @@ class ScheduleCore:
         pages = self.allocator.alloc(need)
         if pages is None:
             return False
+        if self.hybrid_swa:
+            sp = self._swa_alloc(need)
+            if sp is None:
+                self.allocator.free(pages)
+                return False
+            req.swa_pages.extend(sp)
         req.pages.extend(pages)
         return True
+
+    def _swa_alloc(self, need: int):
+        sp = self.swa_allocator.alloc(need)
+        if sp is None:
+            # Shadows are droppable cache: shed unreferenced ones first.
+            self.swa_shadow.drop_unreferenced(
+                need - self.swa_allocator.available_pages()
+            )
+            sp = self.swa_allocator.alloc(need)
+        return sp
+
+    def _swa_trim(self, req: Req) -> None:
+        """Free req-owned SWA pages that fell out of the sliding window
+        (one page of margin covers the in-flight overlap step)."""
+        if not self.hybrid_swa:
+            return
+        keep_from = (
+            max(0, req._device_seq_len - self.swa_window) // self.page_size - 1
+        )
+        end = min(keep_from, len(req.swa_pages))
+        j = req._swa_trim_ptr
+        freed = []
+        while j < end:
+            if j >= req.swa_adopted and req.swa_pages[j]:
+                freed.append(req.swa_pages[j])
+                req.swa_pages[j] = 0
+            j += 1
+        req._swa_trim_ptr = max(req._swa_trim_ptr, end)
+        if freed:
+            self.swa_allocator.free(freed)
+
+    def _swa_clamp_match(self, mr, cached: int) -> int:
+        """Usable radix match for hybrid-SWA models: the window before the
+        match point must be fully shadowed, else no reuse (the page-granular
+        analog of tombstone-limited matching, swa_radix_cache.py)."""
+        if not self.hybrid_swa or cached <= 0:
+            return cached
+        ps = self.page_size
+        lo = max(0, cached - self.swa_window) // ps
+        hi = cdiv(cached, ps)
+        for j in range(lo, hi):
+            if self.swa_shadow.lookup(mr.pages[j]) is None:
+                return 0
+        return cached
+
+    def _swa_adopt(self, req: Req, mr, npages_cached: int) -> None:
+        """Fill req.swa_pages for the matched prefix from tree shadows
+        (pinning them); slots before the window carry 0 (trash, masked)."""
+        if not self.hybrid_swa:
+            return
+        ps = self.page_size
+        cached = npages_cached * ps
+        lo = max(0, cached - self.swa_window) // ps
+        req.swa_pages = [0] * npages_cached
+        req.swa_adopted = npages_cached
+        req.swa_adopted_full_pages = []
+        req._swa_trim_ptr = 0
+        for j in range(lo, npages_cached):
+            fp = mr.pages[j]
+            sp = self.swa_shadow.adopt(fp)
+            if sp is not None:
+                req.swa_pages[j] = sp
+                req.swa_adopted_full_pages.append(fp)
+
+    def _swa_release(self, req: Req, cache: bool, dup_from: int,
+                     dup_to: int, aligned: int) -> None:
+        """Release a request's SWA pages: unpin adopted shadows, hand the
+        trailing window of a cached insert to the shadow registry, free the
+        rest. Slots in [dup_from, dup_to) hold the req's duplicate full
+        pages (the tree kept pre-existing ones), so their shadow key would
+        dangle — skip them. Everywhere else req.pages[j] IS the tree page
+        (rewritten by _cache_unfinished / owned-then-inserted)."""
+        if not self.hybrid_swa:
+            return
+        ps = self.page_size
+        for fp in req.swa_adopted_full_pages:
+            self.swa_shadow.release(fp)
+        handoff = set()
+        if cache and aligned > 0:
+            win_lo = max(0, aligned - self.swa_window) // ps
+            handoff = {
+                j
+                for j in range(win_lo, aligned // ps)
+                if not (dup_from <= j < dup_to)
+            }
+        freed = []
+        for j in range(req.swa_adopted, len(req.swa_pages)):
+            sp = req.swa_pages[j]
+            if not sp:
+                continue
+            if j in handoff:
+                self.swa_shadow.register(req.pages[j], sp)
+            else:
+                freed.append(sp)
+        if freed:
+            self.swa_allocator.free(freed)
+        req.swa_pages = []
+        req.swa_adopted = 0
+        req.swa_adopted_full_pages = []
+        req._swa_trim_ptr = 0
 
     def _evict_for(self, num_pages: int) -> int:
         if num_pages <= 0:
@@ -1171,13 +1311,16 @@ class ScheduleCore:
                 # free our duplicates in [cached_len, matched) and the tail
                 dup = req.pages[own_start : matched // ps]
                 tail = req.pages[npages:]
+                self._swa_release(req, True, own_start, matched // ps, aligned)
                 if dup:
                     self.allocator.free(dup)
                 if tail:
                     self.allocator.free(tail)
             else:
+                self._swa_release(req, False, 0, 0, 0)
                 self.allocator.free(req.pages[own_start:])
         else:
+            self._swa_release(req, False, 0, 0, 0)
             self.allocator.free(req.pages[own_start:])
         req.pages = []
         if req.req_slot is not None:
@@ -1224,6 +1367,7 @@ class ScheduleCore:
                 self.runner.override_next_tokens([req.req_slot], [token])
             req.output_ids.append(token)
             self.num_generated_tokens += 1
+            self._swa_trim(req)
             if req.grammar is not None:
                 req.grammar.accept_token(token)
                 if getattr(req, "_structag", None) and (
@@ -1365,6 +1509,11 @@ class ScheduleCore:
         from sglang_tpu.mem.hicache import copy_pages
         import jax.numpy as jnp
 
+        if self.hybrid_swa:
+            raise NotImplementedError(
+                "PD disaggregation does not ship SWA-pool KV yet; start the "
+                "decode engine with --disable-swa-kv-pool"
+            )
         ps = self.page_size
         fill = len(handoff.token_ids)
         npages = cdiv(fill + 1, ps)

@@ -387,6 +387,18 @@ class HttpServer:
             await resp.prepare(request)
             sent_len: Dict[int, int] = {}
             first: Dict[int, bool] = {}
+            # Streaming tool-call parse: per-choice incremental detectors
+            # (ref serving_chat.py:1443 tool-call deltas).
+            tool_parsers: Dict[int, object] = {}
+            had_calls: Dict[int, bool] = {}
+
+            def _get_parser(idx):
+                if idx not in tool_parsers:
+                    tool_parsers[idx] = self.openai.make_stream_tool_parser(
+                        body
+                    )
+                return tool_parsers[idx]
+
             try:
                 async for out in self.tm.generate_request(gri):
                     idx = out.get("index", 0)
@@ -394,6 +406,23 @@ class HttpServer:
                     sent_len[idx] = len(out["text"])
                     fr = out["meta_info"]["finish_reason"]
                     is_first = first.get(idx, True)
+                    parser = _get_parser(idx)
+                    calls = []
+                    if parser is not None and (delta or fr):
+                        delta, calls = parser.parse_stream_chunk(delta)
+                        if fr is not None:
+                            delta += parser.finish_stream()
+                    for call in calls:
+                        had_calls[idx] = True
+                        await resp.write(
+                            _sse(
+                                self.openai.chat_stream_tool_chunk(
+                                    body, call, created, cid, index=idx
+                                )
+                            )
+                        )
+                    if fr is not None and had_calls.get(idx):
+                        fr = dict(fr, type="tool_calls")
                     if delta or fr or is_first:
                         await resp.write(
                             _sse(

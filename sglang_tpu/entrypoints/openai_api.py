@@ -68,9 +68,12 @@ def _usage(meta: Dict[str, Any]) -> Dict[str, Any]:
 def _finish_reason_str(fr: Optional[dict]) -> Optional[str]:
     if fr is None:
         return None
-    return {"stop": "stop", "length": "length", "abort": "abort"}.get(
-        fr.get("type"), "stop"
-    )
+    return {
+        "stop": "stop",
+        "length": "length",
+        "abort": "abort",
+        "tool_calls": "tool_calls",
+    }.get(fr.get("type"), "stop")
 
 
 class OpenAIServing:
@@ -291,6 +294,45 @@ class OpenAIServing:
                 }
             ],
         }
+
+    def chat_stream_tool_chunk(
+        self, body: Dict, call, created: int, cid: str, index: int = 0,
+    ) -> Dict:
+        """Streaming tool-call delta (ref serving_chat.py:1443)."""
+        return {
+            "id": cid,
+            "object": "chat.completion.chunk",
+            "created": created,
+            "model": body.get("model", self.served_model),
+            "choices": [
+                {
+                    "index": index,
+                    "delta": {
+                        "tool_calls": [
+                            {
+                                "index": call.tool_index,
+                                "id": f"call_{uuid.uuid4().hex[:24]}",
+                                "type": "function",
+                                "function": {
+                                    "name": call.name,
+                                    "arguments": call.parameters,
+                                },
+                            }
+                        ]
+                    },
+                    "finish_reason": None,
+                }
+            ],
+        }
+
+    def make_stream_tool_parser(self, body: Dict):
+        """Per-request streaming tool-call parser, or None."""
+        tools = body.get("tools")
+        if not tools or not self.tool_call_parser:
+            return None
+        from sglang_tpu.function_call.parser import FunctionCallParser
+
+        return FunctionCallParser(tools, self.tool_call_parser)
 
     def models_response(self) -> Dict:
         return {

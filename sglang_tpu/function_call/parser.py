@@ -79,13 +79,121 @@ def _find_json_objects(text: str) -> List[Tuple[int, int, Any]]:
     return out
 
 
+def _balanced_end(text: str, start: int) -> int:
+    """End index (exclusive) of the balanced JSON value at `start`, or -1
+    if incomplete."""
+    depth = 0
+    in_str = False
+    esc = False
+    for j in range(start, len(text)):
+        c = text[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return -1
+
+
+def _partial_suffix_len(text: str, token: str) -> int:
+    """Length of the longest proper suffix of text that is a prefix of
+    token (holdback so a split marker isn't emitted as normal text)."""
+    m = min(len(text), len(token) - 1)
+    for k in range(m, 0, -1):
+        if token.startswith(text[-k:]):
+            return k
+    return 0
+
+
 class BaseDetector:
     name = "base"
     bot_token = ""
     eot_token = ""
 
+    def __init__(self):
+        self._sbuf = ""  # streaming: unconsumed text
+        self._n_stream_calls = 0
+
     def has_tool_call(self, text: str) -> bool:
         return bool(self.bot_token) and self.bot_token in text
+
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        """Incremental SSE parse (ref base_format_detector.py
+        parse_streaming_increment / serving_chat.py:1443): returns normal
+        text that is safe to emit now plus any tool calls that COMPLETED
+        with this increment. Marker-split text is held back until resolved.
+        """
+        self._sbuf += delta
+        normal_parts: List[str] = []
+        calls: List[ToolCallItem] = []
+        while True:
+            buf = self._sbuf
+            pos = buf.find(self.bot_token) if self.bot_token else -1
+            if pos < 0:
+                hold = _partial_suffix_len(buf, self.bot_token) if self.bot_token else 0
+                emit = buf[: len(buf) - hold]
+                normal_parts.append(emit)
+                self._sbuf = buf[len(buf) - hold:]
+                break
+            normal_parts.append(buf[:pos])
+            body_start = pos + len(self.bot_token)
+            done, consumed_end, call_items = self._stream_complete_call(
+                buf, body_start, tools
+            )
+            if not done:
+                self._sbuf = buf[pos:]
+                break
+            for item in call_items:
+                item.tool_index = self._n_stream_calls
+                self._n_stream_calls += 1
+                calls.append(item)
+            self._sbuf = buf[consumed_end:]
+        return ParseResult("".join(normal_parts), calls)
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        """Try to complete ONE call whose marker starts the body at
+        body_start. Returns (done, consumed_end, calls)."""
+        if self.eot_token:
+            end = buf.find(self.eot_token, body_start)
+            if end < 0:
+                return False, 0, []
+            obj = _try_json(buf[body_start:end].strip())
+            item = self._extract(obj, tools) if obj else None
+            return True, end + len(self.eot_token), [item] if item else []
+        # no end marker: wait for a balanced JSON value
+        k = body_start
+        while k < len(buf) and buf[k] not in "{[":
+            k += 1
+        if k >= len(buf):
+            return False, 0, []
+        end = _balanced_end(buf, k)
+        if end < 0:
+            return False, 0, []
+        obj = _try_json(buf[k:end])
+        items = []
+        if obj is not None:
+            objs = obj if isinstance(obj, list) else [obj]
+            for o in objs:
+                it = self._extract(o, tools)
+                if it:
+                    items.append(it)
+        return True, end, items
+
+    def finish_streaming(self, tools) -> ParseResult:
+        """Flush held-back text at end of stream."""
+        rest, self._sbuf = self._sbuf, ""
+        return ParseResult(rest, [])
 
     def _extract(self, obj: Any, tools) -> Optional[ToolCallItem]:
         if not isinstance(obj, dict):
@@ -113,6 +221,28 @@ class Llama3Detector(BaseDetector):
             return True
         stripped = text.lstrip()
         return stripped.startswith("{") and '"name"' in stripped[:200]
+
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        # Llama3 may emit bare {"name":...} with no marker: once the stream
+        # starts with "{", hold it and wait for balanced JSON.
+        self._sbuf += delta
+        buf = self._sbuf
+        if self.bot_token not in buf and buf.lstrip().startswith("{"):
+            k = buf.find("{")
+            end = _balanced_end(buf, k)
+            if end < 0:
+                return ParseResult("", [])
+            obj = _try_json(buf[k:end])
+            item = self._extract(obj, tools) if obj else None
+            self._sbuf = buf[end:].lstrip("; \n")
+            if item:
+                item.tool_index = self._n_stream_calls
+                self._n_stream_calls += 1
+                return ParseResult("", [item])
+            out, self._sbuf = buf[:end], self._sbuf
+            return ParseResult(out, [])
+        self._sbuf = ""
+        return super().parse_streaming_increment(buf, tools)
 
     def detect_and_parse(self, text: str, tools) -> ParseResult:
         body = text.split(self.bot_token, 1)
@@ -188,6 +318,42 @@ class JsonDetector(BaseDetector):
     def has_tool_call(self, text: str) -> bool:
         return bool(_find_json_objects(text))
 
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        self._sbuf += delta
+        normal_parts: List[str] = []
+        calls: List[ToolCallItem] = []
+        while True:
+            buf = self._sbuf
+            k = min(
+                (i for i in (buf.find("{"), buf.find("[")) if i >= 0),
+                default=-1,
+            )
+            if k < 0:
+                normal_parts.append(buf)
+                self._sbuf = ""
+                break
+            normal_parts.append(buf[:k])
+            end = _balanced_end(buf, k)
+            if end < 0:
+                self._sbuf = buf[k:]
+                break
+            obj = _try_json(buf[k:end])
+            items = []
+            if obj is not None:
+                for o in obj if isinstance(obj, list) else [obj]:
+                    it = self._extract(o, tools)
+                    if it:
+                        items.append(it)
+            if items:
+                for it in items:
+                    it.tool_index = self._n_stream_calls
+                    self._n_stream_calls += 1
+                    calls.append(it)
+            else:
+                normal_parts.append(buf[k:end])
+            self._sbuf = buf[end:]
+        return ParseResult("".join(normal_parts), calls)
+
     def detect_and_parse(self, text: str, tools) -> ParseResult:
         calls = []
         spans = []
@@ -237,3 +403,15 @@ class FunctionCallParser:
     def parse_non_stream(self, text: str) -> Tuple[str, List[ToolCallItem]]:
         res = self.detector.detect_and_parse(text, self.tools)
         return res.normal_text, res.calls
+
+    def parse_stream_chunk(
+        self, delta: str
+    ) -> Tuple[str, List[ToolCallItem]]:
+        """Feed one SSE delta; returns (normal text safe to emit now,
+        tool calls completed by this delta)."""
+        res = self.detector.parse_streaming_increment(delta, self.tools)
+        return res.normal_text, res.calls
+
+    def finish_stream(self) -> str:
+        """End of stream: any held-back text that never became a call."""
+        return self.detector.finish_streaming(self.tools).normal_text

@@ -124,8 +124,14 @@ class Scheduler:
                 send_pyobj(self.to_detok, ReleaseMemoryResp(True))
         elif isinstance(msg, ResumeMemoryReq):
             self.runner.resume_memory(msg.tags)
-            self.core.allocator.clear()
+            # reset the tree BEFORE clearing the allocator: reset frees node
+            # pages into the free list, so the other order would leave
+            # duplicate entries (double-allocation -> KV corruption).
             self.core.radix.reset()
+            self.core.allocator.clear()
+            if self.core.hybrid_swa:
+                self.core.swa_shadow.map.clear()
+                self.core.swa_allocator.clear()
             send_pyobj(self.to_detok, ResumeMemoryResp(True))
         elif isinstance(msg, UpdateWeightsReq):
             try:

@@ -46,6 +46,91 @@ class PageAllocator:
         self.free_pages = list(range(self.num_pages - 1, 0, -1))
 
 
+class SwaShadowRegistry:
+    """Tree-retained SWA KV for radix reuse (the page-granular analog of
+    the reference's SWA tombstones, srt/mem_cache/swa_radix_cache.py).
+
+    When a request releases into the radix tree, the SWA pages covering the
+    TRAILING WINDOW of the inserted prefix are handed here, keyed by the
+    tree-owned full-pool page id. A later admission whose match point's
+    window is fully shadowed can reuse the prefix for sliding layers too;
+    anything else clamps to 0 (correct, just uncached). Entries die with
+    their full page (freed via the radix allocator shim) or are dropped
+    LRU-style under SWA-pool pressure (refcount 0 only — adopted shadows
+    are pinned by running requests).
+    """
+
+    def __init__(self, swa_allocator: PageAllocator):
+        from collections import OrderedDict
+
+        self.swa_allocator = swa_allocator
+        self.map: "OrderedDict[int, list]" = OrderedDict()  # full -> [swa, rc]
+
+    def register(self, full_page: int, swa_page: int) -> None:
+        old = self.map.pop(full_page, None)
+        if old is not None and old[1] == 0 and old[0] != swa_page:
+            self.swa_allocator.free([old[0]])
+        self.map[full_page] = [swa_page, 0]
+
+    def lookup(self, full_page: int) -> Optional[int]:
+        e = self.map.get(full_page)
+        return e[0] if e is not None else None
+
+    def adopt(self, full_page: int) -> Optional[int]:
+        e = self.map.get(full_page)
+        if e is None:
+            return None
+        e[1] += 1
+        self.map.move_to_end(full_page)
+        return e[0]
+
+    def release(self, full_page: int) -> None:
+        e = self.map.get(full_page)
+        if e is not None and e[1] > 0:
+            e[1] -= 1
+
+    def on_full_pages_freed(self, pages) -> None:
+        for p in pages:
+            e = self.map.pop(p, None)
+            if e is not None:
+                self.swa_allocator.free([e[0]])
+
+    def drop_unreferenced(self, num_pages: int) -> int:
+        """Free up to num_pages SWA pages by dropping rc==0 shadows (oldest
+        first). Dropping a shadow only disables future reuse."""
+        freed = 0
+        for full in list(self.map.keys()):
+            if freed >= num_pages:
+                break
+            e = self.map[full]
+            if e[1] == 0:
+                self.swa_allocator.free([e[0]])
+                del self.map[full]
+                freed += 1
+        return freed
+
+    def clear(self) -> None:
+        for e in self.map.values():
+            self.swa_allocator.free([e[0]])
+        self.map.clear()
+
+
+class RadixAllocatorShim:
+    """Wraps the full-pool allocator handed to the radix tree so that
+    freeing a tree page also releases its SWA shadow."""
+
+    def __init__(self, inner: PageAllocator, shadow: SwaShadowRegistry):
+        self._inner = inner
+        self._shadow = shadow
+
+    def free(self, pages) -> None:
+        self._shadow.on_full_pages_freed(pages)
+        self._inner.free(pages)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 class ReqSlotPool:
     """Stable integer slot per running request (for device-resident state
     such as the next-token buffer used by the overlap schedule)."""

@@ -40,6 +40,22 @@ class KVPoolConfig:
     page_size: int
     num_pages: int
     dtype: jnp.dtype
+    # Hybrid SWA pool (ref srt/mem_cache/memory_pool.py SWAKVPool +
+    # allocator/swa.py): sliding-window layers get their own, much smaller
+    # page pool — out-of-window KV is freed instead of held forever.
+    # layer_windows[i] > 0 marks layer i as sliding; swa_num_pages sizes
+    # the shared SWA pool (0 = no hybrid pool, all layers full-size).
+    layer_windows: Tuple[int, ...] = ()
+    swa_num_pages: int = 0
+
+    def layer_num_pages(self, layer_id: int) -> int:
+        if (
+            self.swa_num_pages
+            and layer_id < len(self.layer_windows)
+            and self.layer_windows[layer_id] > 0
+        ):
+            return self.swa_num_pages
+        return self.num_pages
 
     @property
     def num_slots(self) -> int:
@@ -52,12 +68,12 @@ class KVPoolConfig:
     def bytes_total(self) -> int:
         import numpy as np
 
-        return (
-            self.num_layers
-            * 2
-            * self.num_slots
-            * self.folded_dim
-            * np.dtype(self.dtype).itemsize
+        page_bytes = (
+            2 * self.page_size * self.folded_dim * np.dtype(self.dtype).itemsize
+        )
+        return sum(
+            self.layer_num_pages(l) * page_bytes
+            for l in range(self.num_layers)
         )
 
 
@@ -73,18 +89,18 @@ class KVCachePool:
         )
         spec = P(None, None, None, AXIS_TP if shard_heads else None)
         self.layer_spec = spec
-        shape = (
-            config.num_pages,
-            config.page_size,
-            2,
-            config.folded_dim,
-        )
+        shapes = [
+            (
+                config.layer_num_pages(l),
+                config.page_size,
+                2,
+                config.folded_dim,
+            )
+            for l in range(config.num_layers)
+        ]
 
         def alloc():
-            return tuple(
-                jnp.zeros(shape, config.dtype)
-                for _ in range(config.num_layers)
-            )
+            return tuple(jnp.zeros(s, config.dtype) for s in shapes)
 
         if mesh_ctx is not None:
             sharding = NamedSharding(mesh_ctx.mesh, spec)

@@ -36,6 +36,9 @@ class SeqInput:
     # decode only: position = prefix_len (the single new token's position)
     req_slot: int = -1  # device slot; -1 -> trash slot (no state publish)
     pages_np: Optional[np.ndarray] = None  # cached ndarray of page_ids
+    # Hybrid SWA pool: per-slot page ids into the SWA pool (0 = freed/
+    # out-of-window slot, reads masked). Same slot layout as page_ids.
+    swa_page_ids: Optional[Sequence[int]] = None
 
 
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
@@ -94,6 +97,9 @@ def build_forward_batch(
     prefix_lens = np.zeros(B, np.int32)
     block_seq = np.full(NB, max(n - 1, 0), np.int32)
     block_q_off = np.zeros(NB, np.int32)
+    hybrid_swa = any(s.swa_page_ids is not None for s in seqs)
+    swa_page_table = np.zeros((B, P), np.int32) if hybrid_swa else None
+    swa_out_cache_loc = np.zeros(T, np.int32) if hybrid_swa else None
 
     for i, s in enumerate(seqs):
         off = seg_offsets[i]
@@ -113,6 +119,13 @@ def build_forward_batch(
             pos = s.prefix_len + j
             page = s.page_ids[pos // page_size]
             out_cache_loc[off + j] = page * page_size + pos % page_size
+        if hybrid_swa:
+            sw = s.swa_page_ids if s.swa_page_ids is not None else s.page_ids
+            swa_page_table[i, : len(sw)] = sw
+            for j in range(q):
+                pos = s.prefix_len + j
+                page = sw[pos // page_size]
+                swa_out_cache_loc[off + j] = page * page_size + pos % page_size
         logits_indices[i] = off + q - 1
         req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
         if not mode.is_decode():
@@ -158,6 +171,12 @@ def build_forward_batch(
         prefix_lens=jnp.asarray(prefix_lens),
         shared_pages=shared_pages_dev,
         shared_len=shared_len_dev,
+        swa_page_table=(
+            jnp.asarray(swa_page_table) if hybrid_swa else None
+        ),
+        swa_out_cache_loc=(
+            jnp.asarray(swa_out_cache_loc) if hybrid_swa else None
+        ),
         mode=mode,
         extend_align=align,
     )

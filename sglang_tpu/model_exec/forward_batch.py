@@ -76,6 +76,11 @@ class ForwardBatch:
     # flashinfer_backend.py). None = disabled.
     shared_pages: Optional[jax.Array] = None  # [S] int32 page ids
     shared_len: Optional[jax.Array] = None  # [] int32 tokens in shared part
+    # Hybrid SWA pool (ref srt/mem_cache/allocator/swa.py): sliding-window
+    # layers read/write their own smaller pool through these tables; slots
+    # whose KV fell out of the window point at the trash page (masked).
+    swa_page_table: Optional[jax.Array] = None  # [B, max_pages] int32
+    swa_out_cache_loc: Optional[jax.Array] = None  # [T] int32
 
     # --- static fields ---
     mode: ForwardMode = dataclasses.field(

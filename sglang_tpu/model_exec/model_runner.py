@@ -200,6 +200,22 @@ class ModelRunner:
         kv_dtype = c.dtype if sa.kv_cache_dtype == "auto" else jnp.dtype(
             sa.kv_cache_dtype
         )
+        layer_windows = self._layer_windows()
+        swa_num_pages = 0
+        if any(w > 0 for w in layer_windows) and not sa.disable_swa_kv_pool:
+            # Hybrid SWA pool (ref allocator/swa.py): size the sliding-layer
+            # pool for max_running live windows (+ write margin), one
+            # in-flight prefill chunk, and a tree-shadow budget for prefix
+            # reuse. Never bigger than the full pool.
+            ps = sa.page_size
+            win = max(layer_windows)
+            per_req = cdiv(win, ps) + 3
+            want = (
+                sa.max_running_requests * per_req * 2  # live + shadows
+                + cdiv(sa.chunked_prefill_size, ps)
+                + 2
+            )
+            swa_num_pages = min(want, num_pages)
         cfg = KVPoolConfig(
             num_layers=c.num_hidden_layers,
             num_kv_heads=c.num_key_value_heads,
@@ -207,14 +223,30 @@ class ModelRunner:
             page_size=sa.page_size,
             num_pages=num_pages,
             dtype=kv_dtype,
+            layer_windows=layer_windows,
+            swa_num_pages=swa_num_pages,
         )
         self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
         self.max_total_tokens = (num_pages - 1) * sa.page_size
         logger.info(
-            "KV pool: %d pages x %d tokens (%.2f GiB total)",
+            "KV pool: %d pages x %d tokens (swa pool: %s pages, %d sliding "
+            "layers) = %.2f GiB total",
             num_pages,
             sa.page_size,
+            swa_num_pages or "off",
+            sum(1 for w in layer_windows if w > 0),
             cfg.bytes_total() / (1 << 30),
+        )
+
+    def _layer_windows(self):
+        """Per-layer sliding windows from the constructed model (0 = full
+        attention). Models expose `attn.window` per decoder layer."""
+        layers = getattr(self.model, "decoder_layers", None)
+        if not layers:
+            return ()
+        return tuple(
+            int(getattr(getattr(l, "attn", None), "window", 0) or 0)
+            for l in layers
         )
 
     def _profile_max_tokens(self) -> int:
@@ -381,10 +413,18 @@ class ModelRunner:
         page = jnp.take_along_axis(
             fb.page_table, (pos // ps)[:, None], axis=1
         )[:, 0]
+        swa_loc = None
+        if fb.swa_page_table is not None:
+            # Hybrid SWA pool: sliding layers write through their own table.
+            swa_page = jnp.take_along_axis(
+                fb.swa_page_table, (pos // ps)[:, None], axis=1
+            )[:, 0]
+            swa_loc = swa_page * ps + pos % ps
         fb = dataclasses.replace(
             fb,
             positions=rope_pos,
             out_cache_loc=page * ps + pos % ps,  # pads: page 0 -> trash row
+            swa_out_cache_loc=swa_loc,
             seq_lens=pos + active.astype(jnp.int32),
         )
         kv, next_buf, penalty_buf, tokens, chosen_lp, tv, ti, _ = (

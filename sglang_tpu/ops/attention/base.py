@@ -48,6 +48,20 @@ class AttentionBackend:
         scale: float | None = None,  # per-layer scale override
         sinks=None,  # [nq] learned per-head sink logits (GPT-OSS style)
     ) -> Tuple[jax.Array, tuple]:
+        if window and window > 0 and fb.swa_page_table is not None:
+            # Hybrid SWA pool: sliding layers address their own smaller
+            # pool through the swa tables (freed slots point at the trash
+            # page; the window mask never admits them). Cascade shared
+            # pages index the FULL pool — never valid here.
+            import dataclasses as _dc
+
+            fb = _dc.replace(
+                fb,
+                page_table=fb.swa_page_table,
+                out_cache_loc=fb.swa_out_cache_loc,
+                shared_pages=None,
+                shared_len=None,
+            )
         kv_layer = self.write_kv(kv[layer_id], k, v, fb)
         if fb.mode.is_decode():
             out = self.forward_decode(q, kv_layer, fb, window=window,

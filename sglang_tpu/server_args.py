@@ -66,6 +66,7 @@ class ServerArgs:
     # Cascade (shared-prefix) decode attention: gather a batch-wide common
     # radix prefix once instead of per row.
     disable_cascade_attn: bool = False
+    disable_swa_kv_pool: bool = False  # hybrid pool for sliding-window layers
     # KV cache event publishing for external cache-aware routers
     # (JSON: {"endpoint": "tcp://*:5557", "topic": "kv-events"}).
     kv_events_config: Optional[str] = None

@@ -61,6 +61,67 @@ def test_unknown_tool_rejected():
     assert calls == []
 
 
+def _stream_all(parser, text, step=3):
+    """Feed text in small chunks; collect emitted normal text + calls."""
+    normal, calls = "", []
+    for i in range(0, len(text), step):
+        n, c = parser.parse_stream_chunk(text[i : i + step])
+        normal += n
+        calls.extend(c)
+    normal += parser.finish_stream()
+    return normal, calls
+
+
+def test_qwen25_streaming_tool_call():
+    p = FunctionCallParser(TOOLS, "qwen25")
+    text = (
+        'Sure.\n<tool_call>\n{"name": "search", '
+        '"arguments": {"q": "tpu"}}\n</tool_call> done'
+    )
+    normal, calls = _stream_all(p, text, step=2)
+    assert normal == "Sure.\n done"
+    assert len(calls) == 1
+    assert calls[0].name == "search"
+    assert json.loads(calls[0].parameters) == {"q": "tpu"}
+    assert calls[0].tool_index == 0
+
+
+def test_qwen25_streaming_two_calls_indices():
+    p = FunctionCallParser(TOOLS, "qwen25")
+    text = (
+        '<tool_call>{"name": "search", "arguments": {}}</tool_call>'
+        '<tool_call>{"name": "get_weather", "arguments": {"c": 1}}</tool_call>'
+    )
+    normal, calls = _stream_all(p, text, step=5)
+    assert normal == ""
+    assert [c.tool_index for c in calls] == [0, 1]
+    assert [c.name for c in calls] == ["search", "get_weather"]
+
+
+def test_llama3_streaming_bare_json():
+    p = FunctionCallParser(TOOLS, "llama3")
+    text = '{"name": "get_weather", "parameters": {"city": "Oslo"}}'
+    normal, calls = _stream_all(p, text, step=4)
+    assert normal == ""
+    assert len(calls) == 1 and calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Oslo"}
+
+
+def test_mistral_streaming():
+    p = FunctionCallParser(TOOLS, "mistral")
+    text = 'ok [TOOL_CALLS] [{"name": "search", "arguments": {"q": "x"}}]'
+    normal, calls = _stream_all(p, text, step=3)
+    assert normal.strip() == "ok"
+    assert len(calls) == 1 and calls[0].name == "search"
+
+
+def test_streaming_no_tool_plain_text():
+    p = FunctionCallParser(TOOLS, "qwen25")
+    normal, calls = _stream_all(p, "just a plain answer < not a tag", step=4)
+    assert normal == "just a plain answer < not a tag"
+    assert calls == []
+
+
 def test_reasoning_non_stream():
     p = ReasoningParser("qwen3")
     r = p.parse_non_stream("<think>step 1... step 2</think>The answer is 4.")
