@@ -260,9 +260,11 @@ class ScheduleCore:
 
             self._pd_gather = jax.jit(
                 lambda kv, pages: jnp.stack(
-                    [layer[pages] for layer in kv], axis=1
+                    [jnp.stack([kl[pages], vl[pages]], axis=1)
+                     for kl, vl in kv],
+                    axis=1,
                 )
-            )
+            )  # [K, L, 2(kv), ps, 2, FH]
 
         # Mock-model oracle mode (ref test/mock_model/utils.py:17-33 —
         # --sampling-backend token_oracle): the next token is a scripted
@@ -1530,10 +1532,15 @@ class ScheduleCore:
         pairs[0::2] = np.arange(K)
         pairs[1::2] = pages[:K]
         for l in range(len(kv)):
-            kv[l] = copy_pages(
-                kv[l], jnp.asarray(handoff.kv_pages[:, l]),
+            kl = copy_pages(
+                kv[l][0], jnp.asarray(handoff.kv_pages[:, l, 0]),
                 jnp.asarray(pairs), n=K,
             )
+            vl = copy_pages(
+                kv[l][1], jnp.asarray(handoff.kv_pages[:, l, 1]),
+                jnp.asarray(pairs), n=K,
+            )
+            kv[l] = (kl, vl)
         self.runner.kv_pool.swap(tuple(kv))
 
         req = Req(rid or handoff.room, handoff.token_ids, sampling_params)

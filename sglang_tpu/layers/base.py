@@ -28,9 +28,45 @@ class ParamSpec:
     spec: P = P()
     # Optional per-param initializer used by dummy (random-weight) loading.
     init_scale: float = 0.02
+    # Weight quantization (see sglang_tpu/quantization): when set, the
+    # loader materializes this param as the quantized tensor plus a
+    # companion "<name>/qscale" float32 (per-channel, reduced over
+    # quant_axes). shape/dtype above describe the LOGICAL (unquantized)
+    # tensor; checkpoints are assembled in float then quantized.
+    quant_method: Any = None  # Optional[str]
+    quant_axes: Tuple[int, ...] = (0,)
 
 
 SpecTree = Dict[str, ParamSpec]
+
+
+def materialize_param(name: str, spec: ParamSpec, arr, mesh_ctx=None) -> Dict[str, Any]:
+    """Turn one assembled float buffer into device param entries,
+    quantizing when the spec asks for it."""
+    import numpy as np
+
+    out: Dict[str, Any] = {}
+
+    def put(a, pspec):
+        if mesh_ctx is not None:
+            return jax.device_put(
+                a, jax.sharding.NamedSharding(mesh_ctx.mesh, pspec)
+            )
+        return jnp.asarray(a)
+
+    if spec.quant_method:
+        from sglang_tpu.quantization import quantize_np, scale_spec
+
+        qw, scale = quantize_np(
+            np.asarray(arr, np.float32), spec.quant_method, spec.quant_axes
+        )
+        out[name] = put(qw, spec.spec)
+        out[name + "/qscale"] = put(
+            scale, scale_spec(spec.spec, spec.quant_axes, len(spec.shape))
+        )
+    else:
+        out[name] = put(np.asarray(arr).astype(spec.dtype), spec.spec)
+    return out
 
 
 def join(*parts: str) -> str:
@@ -49,9 +85,15 @@ def init_dummy_params(
         key = jax.random.fold_in(
             jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
         )
-        arr = (
-            jax.random.normal(key, spec.shape, jnp.float32) * spec.init_scale
-        ).astype(spec.dtype)
+        arr = jax.random.normal(key, spec.shape, jnp.float32) * spec.init_scale
+        if spec.quant_method:
+            import numpy as np
+
+            params.update(
+                materialize_param(name, spec, np.asarray(arr), mesh_ctx)
+            )
+            continue
+        arr = arr.astype(spec.dtype)
         if mesh_ctx is not None:
             arr = jax.device_put(
                 arr, jax.sharding.NamedSharding(mesh_ctx.mesh, spec.spec)

@@ -9,6 +9,12 @@ inserts the psum/all_gather over ICI.
 Fused projections are laid out with an explicit fusion axis
 ([hidden, n_fused, out_per_part]) so each fused part shards evenly over tp
 — a reshape-free einsum keeps the sharding intact.
+
+Quantization (--quantization int8|fp8|w8a8_int8): each layer captures the
+process-global quant method at construction and emits its weight ParamSpec
+with quant_method set; the loader stores int8/fp8 weights + per-channel
+scales and the call path runs the fused dequant (or int8 MXU) matmul
+(sglang_tpu/quantization). Ref: srt/layers/quantization/{fp8,w8a8_int8}.py.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from jax.sharding import PartitionSpec as P
 
 from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 from sglang_tpu.parallel.mesh import AXIS_TP
+from sglang_tpu.quantization import dequant_matmul, get_quant_method
 
 
 class ColumnParallelLinear:
@@ -33,11 +40,13 @@ class ColumnParallelLinear:
             dtype,
             bias,
         )
+        self.quant = get_quant_method()
 
     def specs(self, prefix: str) -> SpecTree:
         s = {
             join(prefix, "weight"): ParamSpec(
-                (self.in_size, self.out_size), self.dtype, P(None, AXIS_TP)
+                (self.in_size, self.out_size), self.dtype, P(None, AXIS_TP),
+                quant_method=self.quant, quant_axes=(0,),
             )
         }
         if self.bias:
@@ -47,9 +56,13 @@ class ColumnParallelLinear:
         return s
 
     def __call__(self, params: Params, prefix: str, x: jax.Array) -> jax.Array:
-        y = jnp.dot(
-            x, params[join(prefix, "weight")], preferred_element_type=x.dtype
-        )
+        w = params[join(prefix, "weight")]
+        if self.quant:
+            y = dequant_matmul(
+                x, w, params[join(prefix, "weight/qscale")], self.quant
+            )
+        else:
+            y = jnp.dot(x, w, preferred_element_type=x.dtype)
         if self.bias:
             y = y + params[join(prefix, "bias")]
         return y
@@ -65,11 +78,13 @@ class RowParallelLinear:
             dtype,
             bias,
         )
+        self.quant = get_quant_method()
 
     def specs(self, prefix: str) -> SpecTree:
         s = {
             join(prefix, "weight"): ParamSpec(
-                (self.in_size, self.out_size), self.dtype, P(AXIS_TP, None)
+                (self.in_size, self.out_size), self.dtype, P(AXIS_TP, None),
+                quant_method=self.quant, quant_axes=(0,),
             )
         }
         if self.bias:
@@ -77,9 +92,13 @@ class RowParallelLinear:
         return s
 
     def __call__(self, params: Params, prefix: str, x: jax.Array) -> jax.Array:
-        y = jnp.dot(
-            x, params[join(prefix, "weight")], preferred_element_type=x.dtype
-        )
+        w = params[join(prefix, "weight")]
+        if self.quant:
+            y = dequant_matmul(
+                x, w, params[join(prefix, "weight/qscale")], self.quant
+            )
+        else:
+            y = jnp.dot(x, w, preferred_element_type=x.dtype)
         if self.bias:
             y = y + params[join(prefix, "bias")]
         return y
@@ -97,6 +116,7 @@ class FusedColumnLinear:
     ):
         self.in_size, self.n_fused, self.out_each = in_size, n_fused, out_each
         self.dtype, self.bias = dtype, bias
+        self.quant = get_quant_method()
 
     def specs(self, prefix: str) -> SpecTree:
         s = {
@@ -104,6 +124,7 @@ class FusedColumnLinear:
                 (self.in_size, self.n_fused, self.out_each),
                 self.dtype,
                 P(None, None, AXIS_TP),
+                quant_method=self.quant, quant_axes=(0,),
             )
         }
         if self.bias:
@@ -114,12 +135,17 @@ class FusedColumnLinear:
 
     def __call__(self, params: Params, prefix: str, x: jax.Array) -> jax.Array:
         # [T, in] x [in, n, out] -> [T, n, out]
-        y = jax.lax.dot_general(
-            x,
-            params[join(prefix, "weight")],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-        )
+        w = params[join(prefix, "weight")]
+        dn = (((1,), (0,)), ((), ()))
+        if self.quant:
+            y = dequant_matmul(
+                x, w, params[join(prefix, "weight/qscale")], self.quant,
+                dimension_numbers=dn,
+            )
+        else:
+            y = jax.lax.dot_general(
+                x, w, dimension_numbers=dn, preferred_element_type=x.dtype
+            )
         if self.bias:
             y = y + params[join(prefix, "bias")]
         return y

@@ -55,6 +55,13 @@ class FusedMoE:
         self.ep_size = ctx.ep_size if (
             ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
         ) else 1
+        from sglang_tpu.quantization import get_quant_method
+
+        # Expert weights quantize per (expert, out-channel); the dequant
+        # multiply fuses into the ragged_dot operand read. w8a8's dynamic
+        # activation path doesn't compose with ragged_dot (int8 grouped
+        # GEMM unsupported) — it degrades to weight-only here.
+        self.quant = get_quant_method()
 
     def specs(self, prefix: str) -> SpecTree:
         E, H, I = self.num_experts, self.hidden_size, self.intermediate_size
@@ -68,10 +75,26 @@ class FusedMoE:
             dn_spec = P(None, AXIS_TP, None)
         return {
             join(prefix, "router"): ParamSpec((H, E), self.dtype, P()),
-            join(prefix, "w_gate_up"): ParamSpec((E, H, 2, I), self.dtype,
-                                                 gu_spec),
-            join(prefix, "w_down"): ParamSpec((E, I, H), self.dtype, dn_spec),
+            join(prefix, "w_gate_up"): ParamSpec(
+                (E, H, 2, I), self.dtype, gu_spec,
+                quant_method=self.quant, quant_axes=(1,),
+            ),
+            join(prefix, "w_down"): ParamSpec(
+                (E, I, H), self.dtype, dn_spec,
+                quant_method=self.quant, quant_axes=(1,),
+            ),
         }
+
+    def _expert_weights(self, params: Params, prefix: str, dtype):
+        """(w_gate_up, w_down), dequantized when quantization is on."""
+        w_gu = params[join(prefix, "w_gate_up")]
+        w_dn = params[join(prefix, "w_down")]
+        if self.quant:
+            s_gu = params[join(prefix, "w_gate_up/qscale")]  # [E, 2, I]
+            s_dn = params[join(prefix, "w_down/qscale")]  # [E, H]
+            w_gu = w_gu.astype(dtype) * s_gu[:, None].astype(dtype)
+            w_dn = w_dn.astype(dtype) * s_dn[:, None].astype(dtype)
+        return w_gu, w_dn
 
     def __call__(self, params: Params, prefix: str, x: jax.Array,
                  lora=None) -> jax.Array:
@@ -120,8 +143,7 @@ class FusedMoE:
         x_sorted = x[token_of]  # [T*K, H]
         group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
-        w_gu = params[join(prefix, "w_gate_up")]  # [E, H, 2, I]
-        w_dn = params[join(prefix, "w_down")]  # [E, I, H]
+        w_gu, w_dn = self._expert_weights(params, prefix, x.dtype)
         w_sorted = flat_weight[order][:, None]
 
         if self.ep_size > 1:

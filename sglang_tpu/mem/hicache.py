@@ -11,7 +11,7 @@ managers/cache_controller.py:230 (HiCacheController). TPU-native shape:
   pages (full-page DMA — the tile-legal granularity).
 
 The host tree reuses RadixCache with a "host page" allocator whose pages
-are rows of a numpy arena [host_pages, L, ps, 2, F].
+are rows of a numpy arena [host_pages, L, 2(kv), ps, 2, F/2].
 """
 
 from __future__ import annotations
@@ -139,14 +139,18 @@ class HiCacheController:
                  max_host_pages: Optional[int] = None):
         self.kv_pool = kv_pool
         cfg = kv_pool.config
-        page_shape = (cfg.page_size, 2, cfg.folded_dim)
+        # Host page = both split-pool pages: [2(kv), ps, 2, FH].
+        page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)
         self.host = HostKVTier(
             cfg.num_layers, page_shape, cfg.page_size, n_host, cfg.dtype
         )
         self._gather = jax.jit(
-            lambda kv, pages: jnp.stack([layer[pages] for layer in kv], axis=1)
-        )  # -> [K, L, ps, 2, F]
+            lambda kv, pages: jnp.stack(
+                [jnp.stack([kl[pages], vl[pages]], axis=1) for kl, vl in kv],
+                axis=1,
+            )
+        )  # -> [K, L, 2, ps, 2, FH]
         self.num_stored = 0
         self.num_restored = 0
 
@@ -164,7 +168,7 @@ class HiCacheController:
         host_pages = [self.host.free.pop() for _ in range(k)]
         staged = np.asarray(
             self._gather(self.kv_pool.kv, jnp.asarray(device_pages, jnp.int32))
-        )  # [K, L, ps, 2, F]
+        )  # [K, L, 2, ps, 2, FH]
         self.host.arena[host_pages] = staged
         for j, hp in enumerate(host_pages):
             key = tuple(full_prefix[: (start + j + 1) * ps])
@@ -189,16 +193,16 @@ class HiCacheController:
         assert len(host_pages) == len(device_pages)
         if not host_pages:
             return
-        staged = self.host.arena[host_pages]  # [K, L, ps, 2, F]
+        staged = self.host.arena[host_pages]  # [K, L, 2, ps, 2, FH]
         kv = list(self.kv_pool.kv)
         K = len(host_pages)
+        pairs = np.empty(2 * K, np.int32)
+        pairs[0::2] = np.arange(K)
+        pairs[1::2] = device_pages
+        jp = jnp.asarray(pairs)
         for l in range(self.host.num_layers):
-            layer_pages = jnp.asarray(staged[:, l])
-            pairs = np.empty(2 * K, np.int32)
-            pairs[0::2] = np.arange(K)
-            pairs[1::2] = device_pages
-            kv[l] = copy_pages(
-                kv[l], layer_pages, jnp.asarray(pairs), n=K
-            )
+            kl = copy_pages(kv[l][0], jnp.asarray(staged[:, l, 0]), jp, n=K)
+            vl = copy_pages(kv[l][1], jnp.asarray(staged[:, l, 1]), jp, n=K)
+            kv[l] = (kl, vl)
         self.kv_pool.swap(tuple(kv))
         self.num_restored += K

@@ -1,18 +1,28 @@
 """Paged KV cache pool on device.
 
 Ref: srt/mem_cache/memory_pool.py (KVCache ABC :1609, MHATokenToKVPool
-:1740). TPU-native design:
+:1740). TPU-native design (round-2 "split pool" layout):
 
-- A TUPLE of per-layer jax.Arrays `[num_pages, page_size, 2, nk*hd]`
-  ("pair layout": a token's K and V are adjacent sublanes, so the
-  Pallas write kernel scatters one [2, F] DMA per token in place, and the
-  attention kernels fetch K+V of a page with one [ps, 2, F] DMA).
-  Per-layer arrays (not one stacked array) let each layer's write alias
-  the pool in/out through pallas without slicing a donated superbuffer.
-- The whole tuple is threaded through the jitted step with donation, so
-  updates are in-place — the JAX equivalent of torch in-place writes that
-  is safe under jit.
-- Sharded over the "tp" mesh axis on the folded head dim (F = nk*hd).
+- Each layer owns a PAIR of jax.Arrays (k, v), each shaped
+  `[num_pages, page_size, 2, F/2]` where F = nk*hd (folded heads). The
+  trailing `(2, F/2)` split of a token's row exists ONLY to give the
+  Pallas write kernel a tile-legal DMA unit (Mosaic rejects single-sublane
+  bf16 copies; a [2, F/2] unit is one physical sublane-pair, like the old
+  pair layout's [2, F]). Attention gathers read through a FREE flat
+  reshape `[NP, ps, F]`.
+- Why split K and V into separate arrays: the round-1 pair layout
+  ([NP, ps, 2, F], K/V interleaved per token) forced XLA to materialize a
+  strided extraction copy of every gathered byte before the attention
+  einsums — measured 42 GB/s effective vs 80 GB/s for split pools on v5e
+  (1.9x on the whole decode step). With split pools each gathered byte is
+  consumed by exactly one einsum (K by scores, V by output) with no
+  relayout.
+- The whole structure is threaded through the jitted step with donation,
+  so updates are in-place — the JAX equivalent of torch in-place writes
+  that is safe under jit.
+- Sharded over the "tp" mesh axis on the trailing F/2 dim. Globally the
+  (2, F/2) split of the head dim is an identity reshape, so blocked-head
+  consumers (see xla_backend) shard cleanly.
 - Page granularity lives in the ALLOCATOR; kernels address pages, writes
   address token slots (slot = page * page_size + offset).
 
@@ -47,6 +57,14 @@ class KVPoolConfig:
     # the shared SWA pool (0 = no hybrid pool, all layers full-size).
     layer_windows: Tuple[int, ...] = ()
     swa_num_pages: int = 0
+    # MLA latent pool (ref srt/mem_cache/memory_pool.py MLATokenToKVPool
+    # :3910): instead of per-head K/V, each token caches ONE row of
+    # mla_dim = kv_lora_rank + qk_rope_head_dim (the normed latent plus the
+    # roped shared k_pe). The per-layer entry is then (latent, None) — a
+    # single array [NP, ps, 2, mla_dim/2] — and attention runs MQA-style
+    # over it (models/deepseek_v2.py absorbed path). ~8x less KV than the
+    # naive decompressed form for DeepSeek-V2/V3.
+    mla_dim: int = 0
 
     def layer_num_pages(self, layer_id: int) -> int:
         if (
@@ -65,49 +83,76 @@ class KVPoolConfig:
     def folded_dim(self) -> int:
         return self.num_kv_heads * self.head_dim
 
+    @property
+    def half_dim(self) -> int:
+        """Lanes of the write-legal (2, F/2) row split."""
+        f = self.mla_dim or self.folded_dim
+        assert f % 2 == 0
+        return f // 2
+
     def bytes_total(self) -> int:
         import numpy as np
 
-        page_bytes = (
-            2 * self.page_size * self.folded_dim * np.dtype(self.dtype).itemsize
-        )
+        itemsize = np.dtype(self.dtype).itemsize
+        if self.mla_dim:
+            page_bytes = self.page_size * self.mla_dim * itemsize
+        else:
+            page_bytes = 2 * self.page_size * self.folded_dim * itemsize
         return sum(
             self.layer_num_pages(l) * page_bytes
             for l in range(self.num_layers)
         )
 
 
+def kv_flat(arr: jax.Array) -> jax.Array:
+    """[NP, ps, 2, F/2] -> [NP, ps, F] free reshape for gather consumers."""
+    np_, ps, two, fh = arr.shape
+    return arr.reshape(np_, ps, two * fh)
+
+
 class KVCachePool:
-    """Owns the per-layer device arrays + host-side page bookkeeping."""
+    """Owns the per-layer (k, v) device arrays + host-side bookkeeping.
+
+    `self.kv` is a tuple over layers of (k, v) pairs."""
 
     def __init__(self, config: KVPoolConfig, mesh_ctx: Optional[MeshContext] = None):
         self.config = config
+        # Blocked-halved head sharding (see pallas_backend docstring): the
+        # trailing F/2 dim shards cleanly onto head boundaries only when
+        # nk % (2*tp) == 0; otherwise replicate (correct, costs memory).
         shard_heads = (
             mesh_ctx is not None
             and mesh_ctx.tp_size > 1
-            and config.num_kv_heads % mesh_ctx.tp_size == 0
+            and not config.mla_dim  # latent rows are shared across heads
+            and config.num_kv_heads % (2 * mesh_ctx.tp_size) == 0
         )
         spec = P(None, None, None, AXIS_TP if shard_heads else None)
         self.layer_spec = spec
+        fh = config.half_dim
         shapes = [
-            (
-                config.layer_num_pages(l),
-                config.page_size,
-                2,
-                config.folded_dim,
-            )
+            (config.layer_num_pages(l), config.page_size, 2, fh)
             for l in range(config.num_layers)
         ]
 
+        mla = bool(config.mla_dim)
+
         def alloc():
-            return tuple(jnp.zeros(s, config.dtype) for s in shapes)
+            if mla:
+                return tuple(
+                    (jnp.zeros(s, config.dtype), None) for s in shapes
+                )
+            return tuple(
+                (jnp.zeros(s, config.dtype), jnp.zeros(s, config.dtype))
+                for s in shapes
+            )
 
         if mesh_ctx is not None:
             sharding = NamedSharding(mesh_ctx.mesh, spec)
+            per_layer = (sharding, None) if mla else (sharding, sharding)
             self.kv = jax.jit(
                 alloc,
                 out_shardings=tuple(
-                    sharding for _ in range(config.num_layers)
+                    per_layer for _ in range(config.num_layers)
                 ),
             )()
         else:
@@ -119,15 +164,21 @@ class KVCachePool:
 
 
 def write_kv_xla(
-    kv_layer: jax.Array,  # [NP, ps, 2, F]
+    kv_layer: Tuple[jax.Array, jax.Array],  # ([NP, ps, 2, FH], same for v)
     k: jax.Array,  # [T, nk, hd]
     v: jax.Array,
     out_cache_loc: jax.Array,
     page_size: int,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """XLA-scatter fallback (CPU tests; TPU uses the Pallas write kernel)."""
+    kp, vp = kv_layer
     T = k.shape[0]
-    rows = jnp.stack([k.reshape(T, -1), v.reshape(T, -1)], axis=1)
+    fh = kp.shape[-1]
     pages = out_cache_loc // page_size
     offs = out_cache_loc % page_size
-    return kv_layer.at[pages, offs].set(rows.astype(kv_layer.dtype))
+    krows = k.reshape(T, 2, fh).astype(kp.dtype)
+    vrows = v.reshape(T, 2, fh).astype(vp.dtype)
+    return (
+        kp.at[pages, offs].set(krows),
+        vp.at[pages, offs].set(vrows),
+    )

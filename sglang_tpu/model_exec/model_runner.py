@@ -100,6 +100,13 @@ class ModelRunner:
         self.mesh_ctx = mesh_ctx
         set_mesh_context(mesh_ctx)
 
+        from sglang_tpu.quantization import set_quant_method
+
+        # Must be set BEFORE model construction: layers capture the method
+        # when emitting their param specs (ref --quantization,
+        # srt/layers/quantization/base_config.py).
+        set_quant_method(server_args.quantization)
+
         model_cls = get_model_class(model_config.architectures)
         self.model = model_cls(model_config)
         self.specs = self.model.param_specs()

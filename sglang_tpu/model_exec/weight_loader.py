@@ -113,9 +113,10 @@ def load_model_weights(
         if pname not in buffers:
             missing.append(pname)
             continue
-        arr = buffers.pop(pname).astype(spec.dtype)
-        params[pname] = jax.device_put(
-            arr, NamedSharding(mesh_ctx.mesh, spec.spec)
+        from sglang_tpu.layers.base import materialize_param
+
+        params.update(
+            materialize_param(pname, spec, buffers.pop(pname), mesh_ctx)
         )
     if missing:
         raise ValueError(f"missing weights for params: {missing[:8]}... "
@@ -169,13 +170,24 @@ def update_params_from_named_tensors(
             if pname not in touched:
                 # start from the current device value (partial slot updates);
                 # np.asarray of a device buffer is read-only — copy.
-                touched[pname] = np.array(params[pname], dtype=np.float32,
-                                          copy=True)
+                spec = specs[pname]
+                if spec.quant_method:
+                    # Dequantize the stored int8/fp8 weight back to float so
+                    # slot updates compose, then requantize on materialize.
+                    qw = np.array(params[pname], dtype=np.float32, copy=True)
+                    scale = np.asarray(params[pname + "/qscale"], np.float32)
+                    touched[pname] = qw * np.expand_dims(
+                        scale, spec.quant_axes
+                    )
+                else:
+                    touched[pname] = np.array(params[pname], dtype=np.float32,
+                                              copy=True)
             _write_slot(touched[pname], slot, arr)
     new_params = dict(params)
     for pname, buf in touched.items():
-        spec = specs[pname]
-        new_params[pname] = jax.device_put(
-            buf.astype(spec.dtype), NamedSharding(mesh_ctx.mesh, spec.spec)
+        from sglang_tpu.layers.base import materialize_param
+
+        new_params.update(
+            materialize_param(pname, specs[pname], buf, mesh_ctx)
         )
     return new_params

@@ -5,7 +5,8 @@ forward_extend/forward_decode) and attention_registry.py:31. Our backends
 are pure functions over (q, k, v, kv_layer, ForwardBatch) called INSIDE the
 jitted model program, so there is no init_forward_metadata host step and no
 CUDA-graph state — bucketed jit handles that. The KV pool is a tuple of
-per-layer pair-layout arrays [NP, ps, 2, nk*hd] (see mem/kv_pool.py).
+per-layer (k, v) pairs, each [NP, ps, 2, F/2] (see mem/kv_pool.py for the
+split-pool layout rationale).
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ class AttentionBackend:
         k: jax.Array,  # [T, nk, hd] new keys
         v: jax.Array,  # [T, nk, hd] new values
         layer_id: int,
-        kv,  # tuple of per-layer pools [NP, ps, 2, F]
+        kv,  # tuple of per-layer (k, v) pools, each [NP, ps, 2, F/2]
         fb: ForwardBatch,
         window: int = 0,  # sliding-window size (0 = full attention)
         logit_cap: float = 0.0,  # tanh soft-capping (0 = off)
@@ -81,6 +82,48 @@ class AttentionBackend:
         raise NotImplementedError
 
     def forward_extend(self, q, kv_layer, fb, **kw):
+        raise NotImplementedError
+
+    # ---- MLA (absorbed multi-head latent attention) ----
+    # Ref: srt/models/deepseek_v2.py absorbed decode + MLATokenToKVPool
+    # (srt/mem_cache/memory_pool.py:3910). The pool row is the normed
+    # latent ++ roped shared k_pe (mla_dim wide); attention is MQA-style:
+    # every q head attends the SAME latent rows; the caller absorbs W_UK
+    # into q and W_UV out of the result (exact — associativity only).
+
+    def mla(
+        self,
+        q: jax.Array,  # [T, nh, D] = absorbed-nope ++ roped-pe, D = mla_dim
+        rows: jax.Array,  # [T, D] latent rows to cache
+        layer_id: int,
+        kv,
+        fb: ForwardBatch,
+        v_dim: int,  # leading slice of the row that acts as V (kv_lora_rank)
+        scale: float,
+    ):
+        latent = self.write_mla(kv[layer_id][0], rows, fb)
+        if fb.mode.is_decode():
+            out = self.forward_mla_decode(q, latent, fb, v_dim=v_dim,
+                                          scale=scale)
+        else:
+            out = self.forward_mla_extend(q, latent, fb, v_dim=v_dim,
+                                          scale=scale)
+        kv = kv[:layer_id] + ((latent, None),) + kv[layer_id + 1:]
+        return out, kv
+
+    def write_mla(self, latent, rows, fb: ForwardBatch):
+        T = rows.shape[0]
+        fh = latent.shape[-1]
+        pages = fb.out_cache_loc // self.page_size
+        offs = fb.out_cache_loc % self.page_size
+        return latent.at[pages, offs].set(
+            rows.reshape(T, 2, fh).astype(latent.dtype)
+        )
+
+    def forward_mla_decode(self, q, latent, fb, *, v_dim, scale):
+        raise NotImplementedError
+
+    def forward_mla_extend(self, q, latent, fb, *, v_dim, scale):
         raise NotImplementedError
 
 

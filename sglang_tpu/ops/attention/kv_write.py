@@ -1,12 +1,17 @@
-"""Pallas KV-write kernel: scatter new tokens' K/V rows into the page pool.
+"""Pallas KV-write kernel: scatter new tokens' K/V rows into split pools.
 
 Replaces the XLA scatter (which on this TPU toolchain lowers to a
 catastrophically slow serialized loop and forces pool copies around the
-attention custom calls — measured ~45ms/step for a 1B model). Each token's
-K and V are adjacent sublanes in the pair-layout pool [NP, ps, 2, nk*hd],
-so one [2, F] DMA per token is tile-legal (bf16 needs sublane pairs). The
-pool is aliased in/out (in-place; no copy), and the kernel runs INSIDE the
-step jit so there is no per-call dispatch cost.
+attention custom calls — measured ~45ms/step for a 1B model). The pools
+are split (K and V separate arrays — see mem/kv_pool.py for why) and each
+token row is stored as a [2, F/2] block: Mosaic rejects single-sublane
+bf16 DMAs, but a [2, F/2] unit is one physical sublane-pair and is
+tile-legal (same trick as round 1's [2, F] pair rows, relocated inside
+the row). Both pools are aliased in/out (in-place; no copy), and the
+kernel runs INSIDE the step jit so there is no per-call dispatch cost —
+measured fully hidden under the attention gathers at bs=256 on v5e.
+
+Ref behavior: srt/mem_cache/memory_pool.py set_kv_buffer (:1740).
 """
 
 from __future__ import annotations
@@ -25,14 +30,47 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _write_kernel(locs_ref, rows_ref, kv_in, kv_out, sems, *, page_size: int,
-                  num_tokens: int):
+def _write_kernel(locs_ref, krows, vrows, k_in, v_in, k_out, v_out, sems, *,
+                  page_size: int, num_tokens: int):
+    def put(i, slot, rows, out):
+        loc = locs_ref[i]
+        page = loc // page_size
+        off = loc - page * page_size
+        return pltpu.make_async_copy(
+            rows.at[i], out.at[page, off], sems.at[slot]
+        )
+
+    def body(i, _):
+        slot = jax.lax.rem(2 * i, NSEM)
+
+        @pl.when(i >= NSEM // 2)
+        def _():
+            put(i - NSEM // 2, slot, krows, k_out).wait()
+            put(i - NSEM // 2, slot + 1, vrows, v_out).wait()
+
+        put(i, slot, krows, k_out).start()
+        put(i, slot + 1, vrows, v_out).start()
+        return 0
+
+    jax.lax.fori_loop(0, num_tokens, body, 0)
+
+    def drain(i, _):
+        slot = jax.lax.rem(2 * i, NSEM)
+        put(i, slot, krows, k_out).wait()
+        put(i, slot + 1, vrows, v_out).wait()
+        return 0
+
+    jax.lax.fori_loop(max(num_tokens - NSEM // 2, 0), num_tokens, drain, 0)
+
+
+def _write_one_kernel(locs_ref, rows, p_in, p_out, sems, *, page_size: int,
+                      num_tokens: int):
     def put(i, slot):
         loc = locs_ref[i]
         page = loc // page_size
         off = loc - page * page_size
         return pltpu.make_async_copy(
-            rows_ref.at[i], kv_out.at[page, off], sems.at[slot]
+            rows.at[i], p_out.at[page, off], sems.at[slot]
         )
 
     def body(i, _):
@@ -55,22 +93,56 @@ def _write_kernel(locs_ref, rows_ref, kv_in, kv_out, sems, *, page_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
-def write_kv_pages(
-    kv_layer: jax.Array,  # [NP, ps, 2, F] (aliased in place)
-    rows: jax.Array,  # [T, 2, F] stacked (k, v) per token
-    locs: jax.Array,  # [T] int32 token slots (page*ps + off)
+def write_rows_pages(
+    pool: jax.Array,  # [NP, ps, 2, FH] (aliased in place)
+    rows: jax.Array,  # [T, F] new rows (F = 2*FH)
+    locs: jax.Array,  # [T] int32 token slots
     *,
     page_size: int,
 ) -> jax.Array:
+    """Single-pool row scatter (MLA latent pool — mem/kv_pool.py mla_dim)."""
     T = rows.shape[0]
+    fh = pool.shape[-1]
+    rr = rows.reshape(T, 2, fh).astype(pool.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
+    )
+    kernel = functools.partial(
+        _write_one_kernel, page_size=page_size, num_tokens=T
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(locs, rr, pool)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def write_kv_pages(
+    k_layer: jax.Array,  # [NP, ps, 2, FH] (aliased in place)
+    v_layer: jax.Array,  # [NP, ps, 2, FH] (aliased in place)
+    krows: jax.Array,  # [T, F] new K rows (F = 2*FH)
+    vrows: jax.Array,  # [T, F]
+    locs: jax.Array,  # [T] int32 token slots (page*ps + off)
+    *,
+    page_size: int,
+) -> tuple:
+    T = krows.shape[0]
+    fh = k_layer.shape[-1]
+    kr = krows.reshape(T, 2, fh).astype(k_layer.dtype)
+    vr = vrows.reshape(T, 2, fh).astype(v_layer.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
     )
     kernel = functools.partial(
@@ -79,8 +151,11 @@ def write_kv_pages(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(kv_layer.shape, kv_layer.dtype),
-        input_output_aliases={2: 0},
+        out_shape=[
+            jax.ShapeDtypeStruct(k_layer.shape, k_layer.dtype),
+            jax.ShapeDtypeStruct(v_layer.shape, v_layer.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(locs, rows, kv_layer)
+    )(locs, kr, vr, k_layer, v_layer)

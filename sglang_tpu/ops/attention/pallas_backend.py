@@ -7,6 +7,14 @@ mesh axis — each chip computes its local q/kv heads against its local KV
 shard; no collectives are needed inside attention (heads are fully
 parallel), matching the reference's per-rank attention execution
 (srt/layers/attention/flashinfer_backend.py) the TPU-native way.
+
+Sharding note for the split pools: the pool's trailing F/2 dim is sharded
+over tp, which (because the (2, F/2) split is an identity reshape of the
+head dim globally) assigns each chip TWO contiguous head blocks — heads
+{c*m..} from the first half and {nk/2 + c*m..} from the second. Q rows
+are folded the same way ([T, 2, (nq/2)*hd] sharded on the last dim), so
+per-chip GQA head grouping stays consistent whenever nq and nk are
+divisible by 2*tp; otherwise the KV spec falls back to replicated.
 """
 
 from __future__ import annotations
@@ -29,14 +37,15 @@ from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 class PallasBackend(AttentionBackend):
     """Hybrid production backend.
 
-    - KV writes: Pallas in-place row-DMA kernel (kv_write.py).
+    - KV writes: Pallas in-place row-DMA kernel (kv_write.py), fully
+      hidden under the attention gathers (measured at bs=256 on v5e).
     - Extend (prefill): Pallas ragged paged flash kernel.
     - Decode: XLA paged gather + masked softmax. Measured on this
       device path, kernel-issued DMAs pay ~10us fixed cost each, so
       one-token-per-seq decode (many small page fetches) is 10x faster
-      through XLA's gather lowering (5.3ms vs 49ms per 16 layers at
-      bs=64/ctx=640); on bare-metal TPUs with sub-us DMA issue the
-      Pallas decode kernel ("pallas_dma" backend) is the right choice.
+      through XLA's gather lowering; on bare-metal TPUs with sub-us DMA
+      issue the Pallas decode kernel ("pallas_dma" backend) is the right
+      choice.
     """
 
     supports_cascade = True  # decode delegates to the XLA cascade path
@@ -68,33 +77,46 @@ class PallasBackend(AttentionBackend):
         except Exception:
             return 1
 
-    def _kv_spec(self, tp: int):
+    def _shardable(self, tp: int) -> bool:
         return (
-            P(None, None, None, AXIS_TP)
-            if self.num_kv_heads % tp == 0
-            else P(None, None, None, None)
+            self.num_kv_heads % (2 * tp) == 0
+            and self.num_q_heads % (2 * tp) == 0
         )
+
+    def _kv_spec(self, tp: int):
+        return P(None, None, None, AXIS_TP)
 
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
         T = k.shape[0]
-        rows = jnp.stack(
-            [k.reshape(T, -1), v.reshape(T, -1)], axis=1
-        ).astype(kv_layer.dtype)
+        krows = k.reshape(T, -1)
+        vrows = v.reshape(T, -1)
         ps = self.page_size
 
-        def local(kvl, rws, locs):
-            return write_kv_pages(kvl, rws, locs, page_size=ps)
-
         tp = self._tp_size()
-        if tp > 1:
-            local = jax.shard_map(
-                local,
+        if tp > 1 and self._shardable(tp):
+            spec = self._kv_spec(tp)
+            rows_spec = P(None, None, AXIS_TP)
+            fh = kv_layer[0].shape[-1]
+            krows = krows.reshape(T, 2, fh)
+            vrows = vrows.reshape(T, 2, fh)
+            local_rows = jax.shard_map(
+                lambda kl, vl, kr, vr, locs: write_kv_pages(
+                    kl, vl, kr.reshape(T, -1), vr.reshape(T, -1), locs,
+                    page_size=ps,
+                ),
                 mesh=get_mesh_context().mesh,
-                in_specs=(self._kv_spec(tp), P(None, None, AXIS_TP), P()),
-                out_specs=self._kv_spec(tp),
+                in_specs=(spec, spec, rows_spec, rows_spec, P()),
+                out_specs=(spec, spec),
                 check_vma=False,
             )
-        return local(kv_layer, rows, fb.out_cache_loc)
+            return local_rows(
+                kv_layer[0], kv_layer[1], krows, vrows, fb.out_cache_loc
+            )
+        # Replicated pools (or single chip): run without shard_map.
+        return write_kv_pages(
+            kv_layer[0], kv_layer[1], krows, vrows, fb.out_cache_loc,
+            page_size=ps,
+        )
 
     def _kernel_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
@@ -102,26 +124,31 @@ class PallasBackend(AttentionBackend):
         scale = scale or self.scale
         ps, hd = self.page_size, self.head_dim
 
-        def local(qs, kvs, pt, sl):
-            nk_local = kvs.shape[-1] // hd
+        def local(qs, kps, vps, pt, sl):
+            nk_local = 2 * kps.shape[-1] // hd
             return paged_decode_attention(
-                qs, kvs, pt, sl,
+                qs, kps, vps, pt, sl,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
                 window=int(window or 0), logit_cap=float(logit_cap or 0.0),
             )
 
         tp = self._tp_size()
-        if tp > 1:
-            local = jax.shard_map(
-                local,
+        if tp > 1 and self._shardable(tp):
+            B, nq, _ = q.shape
+            spec = self._kv_spec(tp)
+            # Block-halved q to match the pool's head blocks.
+            qb = q.reshape(B, 2, (nq // 2) * hd)
+            out = jax.shard_map(
+                lambda qs, kps, vps, pt, sl: local(
+                    qs.reshape(B, -1, hd), kps, vps, pt, sl
+                ).reshape(B, 2, -1),
                 mesh=get_mesh_context().mesh,
-                in_specs=(
-                    P(None, AXIS_TP, None), self._kv_spec(tp), P(), P(),
-                ),
-                out_specs=P(None, AXIS_TP, None),
+                in_specs=(P(None, None, AXIS_TP), spec, spec, P(), P()),
+                out_specs=P(None, None, AXIS_TP),
                 check_vma=False,
-            )
-        return local(q, kv_layer, fb.page_table, fb.seq_lens)
+            )(qb, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens)
+            return out.reshape(B, nq, hd)
+        return local(q, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
@@ -140,29 +167,37 @@ class PallasBackend(AttentionBackend):
         q_folded = q.reshape(T, nq * hd)
         block_q = fb.extend_align
 
-        def local(qs, kvs, pt, sl, pfl, qls, bseq, bqoff):
-            nk_local = kvs.shape[-1] // hd
+        def local(qs, kps, vps, pt, sl, pfl, qls, bseq, bqoff):
+            nk_local = 2 * kps.shape[-1] // hd
             return paged_extend_attention(
-                qs, kvs, pt, sl, pfl, qls, bseq, bqoff,
+                qs, kps, vps, pt, sl, pfl, qls, bseq, bqoff,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
                 block_q=block_q, window=int(window or 0),
                 logit_cap=float(logit_cap or 0.0),
             )
 
         tp = self._tp_size()
-        if tp > 1:
-            local = jax.shard_map(
-                local,
+        if tp > 1 and self._shardable(tp):
+            spec = self._kv_spec(tp)
+            qb = q_folded.reshape(T, 2, (nq // 2) * hd)
+            out = jax.shard_map(
+                lambda qs, kps, vps, *rest: local(
+                    qs.reshape(T, -1), kps, vps, *rest
+                ).reshape(T, 2, -1),
                 mesh=get_mesh_context().mesh,
                 in_specs=(
-                    P(None, AXIS_TP), self._kv_spec(tp),
+                    P(None, None, AXIS_TP), spec, spec,
                     P(), P(), P(), P(), P(), P(),
                 ),
-                out_specs=P(None, AXIS_TP),
+                out_specs=P(None, None, AXIS_TP),
                 check_vma=False,
+            )(
+                qb, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens,
+                fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
             )
+            return out.reshape(T, nq, hd)
         out = local(
-            q_folded, kv_layer, fb.page_table, fb.seq_lens,
+            q_folded, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens,
             fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
         )
         return out.reshape(T, nq, hd)

@@ -4,21 +4,23 @@ These replace the reference's FlashInfer/FlashAttention CUDA backends
 (srt/layers/attention/{flashinfer_backend.py,flashattention_backend.py})
 with a TPU-native design:
 
-- KV lives in an HBM page pool in pair layout [num_pages, page_size, 2,
-  nk*hd]: a token's K and V are adjacent sublanes, so the write kernel can
-  scatter per-token [2, F] rows and ONE page DMA fetches both. Each grid step
-  DMAs exactly the pages a sequence needs (dynamic trip count — no
-  padded-page bandwidth waste) through a 4-slot ring so several page
-  fetches are in flight at once: decode through this device path is DMA-
-  LATENCY bound, not bandwidth bound, and ring depth is what hides it.
+- KV lives in SPLIT HBM page pools (k, v), each [num_pages, page_size, 2,
+  F/2] with F = nk*hd (split-pool rationale + the (2, F/2) write-legal row
+  shape: mem/kv_pool.py). Each grid step DMAs exactly the pages a sequence
+  needs (dynamic trip count — no padded-page bandwidth waste) through a
+  4-slot ring PER POOL so several page fetches are in flight at once:
+  decode through this device path is DMA-LATENCY bound, not bandwidth
+  bound, and ring depth is what hides it.
 - Online (flash) softmax in float32 accumulators; bf16 page traffic.
 - GQA: q heads grouped per kv head, addressed with LANE slices of the
-  folded page (k[:, kh*hd:(kh+1)*hd]) — no reshapes/transposes of DMA'd
-  data (this Mosaic build rejects value reshapes and sub-128-lane slices
-  of tiled memrefs; lane slices and integer middle-index reads are fine).
+  fetched page. A page arrives as [ps, 2, F/2]; head kh's lanes live in
+  half (kh*hd)//(F/2) at column (kh*hd)%(F/2) — an integer middle index +
+  lane slice, both legal on this Mosaic build (which rejects value
+  reshapes and sub-128-lane slices of tiled memrefs). Heads that straddle
+  the half boundary (odd nk / tiny F) take a lane-concat fallback.
 
-Layout notes: a fused page DMA moves 2*page_size*nk*hd*2B contiguous bytes
-(128KB at ps=64, nk=8, hd=64).
+Layout notes: a K page DMA moves page_size*F*2B contiguous bytes
+(64KB at ps=64, nk=8, hd=64); K and V pages ride separate ring slots.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-NBUF = 4  # DMA ring depth
+NBUF = 4  # DMA ring depth (per pool)
 
 
 def _interpret() -> bool:
@@ -53,21 +55,42 @@ def _online_update(m, l, acc, scores, v_slice):
     return m_new, l_new, acc_new
 
 
-def _make_dma_helpers(page_table_ref, kv_pages_hbm, kv_buf, sems):
-    """Fused K+V page DMA into a NBUF-slot ring."""
+def _make_dma_helpers(page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf,
+                      sems):
+    """Paired K+V page DMAs into NBUF-slot rings (2 sems per ring slot)."""
 
     def start_dma(b, p, slot):
         page = page_table_ref[b, p]
         pltpu.make_async_copy(
-            kv_pages_hbm.at[page], kv_buf.at[slot], sems.at[slot]
+            k_pages_hbm.at[page], k_buf.at[slot], sems.at[2 * slot]
+        ).start()
+        pltpu.make_async_copy(
+            v_pages_hbm.at[page], v_buf.at[slot], sems.at[2 * slot + 1]
         ).start()
 
     def wait_dma(slot):
         pltpu.make_async_copy(
-            kv_pages_hbm.at[0], kv_buf.at[slot], sems.at[slot]
+            k_pages_hbm.at[0], k_buf.at[slot], sems.at[2 * slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_pages_hbm.at[0], v_buf.at[slot], sems.at[2 * slot + 1]
         ).wait()
 
     return start_dma, wait_dma
+
+
+def _head_slice(buf_page, kh: int, hd: int, fh: int):
+    """Head kh's [ps, hd] lanes from a fetched [ps, 2, F/2] page."""
+    start = kh * hd
+    if start // fh == (start + hd - 1) // fh:
+        half = start // fh
+        col = start % fh
+        return buf_page[:, half, col:col + hd]
+    # Straddles the half boundary (odd nk or hd > F/2): lane-concat.
+    first = fh - start % fh
+    a = buf_page[:, start // fh, start % fh:]
+    b = buf_page[:, start // fh + 1, :hd - first]
+    return jnp.concatenate([a, b], axis=-1)
 
 
 def _run_paged_flash(
@@ -75,12 +98,13 @@ def _run_paged_flash(
     num_pages,
     start_dma,
     wait_dma,
-    kv_buf,
-    make_scores,  # fn(k_page_f32 [ps, F], p) -> list of per-head masked scores
+    k_buf,
+    v_buf,
+    make_scores,  # fn(k_page [ps, 2, FH] f32, p) -> per-head masked scores
     num_heads_out: int,
     rows: int,
     head_dim: int,
-    hd_slice,  # fn(v [ps, F], h) -> [ps, hd]
+    hd_slice,  # fn(v [ps, 2, FH], h) -> [ps, hd]
 ):
     """Shared DMA-ring flash-attention loop. Returns (ms, ls, accs) tuples."""
 
@@ -93,9 +117,8 @@ def _run_paged_flash(
         ms, ls, accs = carry
         slot = jax.lax.rem(p, NBUF)
         wait_dma(slot)
-        kvp = kv_buf[slot]  # [ps, 2, F]
-        k = kvp[:, 0, :].astype(jnp.float32)
-        v = kvp[:, 1, :]
+        k = k_buf[slot].astype(jnp.float32)  # [ps, 2, FH]
+        v = v_buf[slot]  # [ps, 2, FH]
 
         scores_per_head = make_scores(k, p)
 
@@ -129,12 +152,14 @@ def _decode_kernel(
     seq_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [1, nq, hd] VMEM block
-    kv_pages_hbm,  # [NP, ps, 2, nk*hd] ANY (HBM)
+    k_pages_hbm,  # [NP, ps, 2, FH] ANY (HBM)
+    v_pages_hbm,  # [NP, ps, 2, FH] ANY (HBM)
     # outputs
     o_ref,  # [1, nq, hd] VMEM block
     # scratch
-    kv_buf,  # [NBUF, 2, ps, nk*hd] VMEM
-    sems,  # DMA sems [NBUF]
+    k_buf,  # [NBUF, ps, 2, FH] VMEM
+    v_buf,  # [NBUF, ps, 2, FH] VMEM
+    sems,  # DMA sems [2*NBUF]
     *,
     scale: float,
     page_size: int,
@@ -149,9 +174,10 @@ def _decode_kernel(
     nq = q_ref.shape[1]
     group = nq // num_kv_heads
     hd = head_dim
+    fh = k_pages_hbm.shape[-1]
 
     start_dma, wait_dma = _make_dma_helpers(
-        page_table_ref, kv_pages_hbm, kv_buf, sems
+        page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf, sems
     )
     q = q_ref[0].astype(jnp.float32) * scale  # [nq, hd]
 
@@ -165,7 +191,7 @@ def _decode_kernel(
         out = []
         for kh in range(num_kv_heads):
             q_kh = q[kh * group : (kh + 1) * group, :]  # [group, hd]
-            k_kh = k[:, kh * hd : (kh + 1) * hd]  # [ps, hd]
+            k_kh = _head_slice(k, kh, hd, fh)  # [ps, hd]
             scores = jax.lax.dot_general(
                 q_kh, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -177,10 +203,10 @@ def _decode_kernel(
         return out
 
     def hd_slice(v, kh):
-        return v[:, kh * hd : (kh + 1) * hd]
+        return _head_slice(v, kh, hd, fh)
 
     ms, ls, accs = _run_paged_flash(
-        b, num_pages, start_dma, wait_dma, kv_buf, make_scores,
+        b, num_pages, start_dma, wait_dma, k_buf, v_buf, make_scores,
         num_kv_heads, group, hd, hd_slice,
     )
     for kh in range(num_kv_heads):
@@ -195,7 +221,8 @@ def _decode_kernel(
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    kv_pages: jax.Array,  # [NP, ps, 2, nk*hd]
+    k_pages: jax.Array,  # [NP, ps, 2, FH]
+    v_pages: jax.Array,  # [NP, ps, 2, FH]
     page_table: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32
     *,
@@ -206,8 +233,8 @@ def paged_decode_attention(
     logit_cap: float = 0.0,
 ) -> jax.Array:
     B, nq, hd = q.shape
-    _, ps, _, F = kv_pages.shape
-    assert F == num_kv_heads * hd
+    _, ps, _, fh = k_pages.shape
+    assert 2 * fh == num_kv_heads * hd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -216,13 +243,15 @@ def paged_decode_attention(
                 (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ps, 2, F), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((NBUF, ps, 2, fh), k_pages.dtype),
+            pltpu.VMEM((NBUF, ps, 2, fh), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2 * NBUF,)),
         ],
     )
     kernel = functools.partial(
@@ -242,11 +271,11 @@ def paged_decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(page_table, seq_lens, q, kv_pages)
+    )(page_table, seq_lens, q, k_pages, v_pages)
 
 
 # --------------------------------------------------------------------------
-# Ragged prefill (extend): block-mapped q stream against the page pool.
+# Ragged prefill (extend): block-mapped q stream against the page pools.
 # The token stream is laid out with each sequence's segment aligned to the
 # q-block size (EXTEND_ALIGN in batch_builder), so every q block belongs to
 # exactly one sequence — block_seq/block_q_off (scalar-prefetched) give the
@@ -264,11 +293,13 @@ def _extend_kernel(
     block_q_off_ref,  # [NB] block's first-token offset within its seq
     # inputs
     q_ref,  # [BQ, nq*hd] VMEM block (heads folded into lanes)
-    kv_pages_hbm,  # [NP, ps, 2, nk*hd]
+    k_pages_hbm,  # [NP, ps, 2, FH]
+    v_pages_hbm,  # [NP, ps, 2, FH]
     # outputs
     o_ref,  # [BQ, nq*hd]
     # scratch
-    kv_buf,
+    k_buf,
+    v_buf,
     sems,
     *,
     scale: float,
@@ -288,6 +319,7 @@ def _extend_kernel(
     hd = head_dim
     nq = q_ref.shape[1] // hd
     group = nq // num_kv_heads
+    fh = k_pages_hbm.shape[-1]
     block_active = q_start < q_len
 
     # Highest absolute position in this q block (clamped to the seq).
@@ -297,7 +329,7 @@ def _extend_kernel(
     )
 
     start_dma, wait_dma = _make_dma_helpers(
-        page_table_ref, kv_pages_hbm, kv_buf, sems
+        page_table_ref, k_pages_hbm, v_pages_hbm, k_buf, v_buf, sems
     )
     q = q_ref[...].astype(jnp.float32) * scale  # [BQ, nq*hd]
     row_pos = (
@@ -318,7 +350,7 @@ def _extend_kernel(
         for h in range(nheads):
             kh = h // group
             q_h = q[:, h * hd : (h + 1) * hd]  # [BQ, hd]
-            k_kh = k[:, kh * hd : (kh + 1) * hd]  # [ps, hd]
+            k_kh = _head_slice(k, kh, hd, fh)  # [ps, hd]
             scores = jax.lax.dot_general(
                 q_h, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -330,11 +362,10 @@ def _extend_kernel(
         return out
 
     def hd_slice(v, h):
-        kh = h // group
-        return v[:, kh * hd : (kh + 1) * hd]
+        return _head_slice(v, h // group, hd, fh)
 
     ms, ls, accs = _run_paged_flash(
-        b, num_pages, start_dma, wait_dma, kv_buf, make_scores,
+        b, num_pages, start_dma, wait_dma, k_buf, v_buf, make_scores,
         nheads, block_q, hd, hd_slice,
     )
     for h in range(nheads):
@@ -349,7 +380,8 @@ def _extend_kernel(
 )
 def paged_extend_attention(
     q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segs)
-    kv_pages: jax.Array,  # [NP, ps, 2, nk*hd]
+    k_pages: jax.Array,  # [NP, ps, 2, FH]
+    v_pages: jax.Array,  # [NP, ps, 2, FH]
     page_table: jax.Array,  # [B, P]
     seq_lens: jax.Array,  # [B]
     prefix_lens: jax.Array,  # [B]
@@ -365,7 +397,8 @@ def paged_extend_attention(
     logit_cap: float = 0.0,
 ) -> jax.Array:
     T, Fq = q.shape
-    _, ps, _, F = kv_pages.shape
+    _, ps, _, fh = k_pages.shape
+    F = 2 * fh
     hd = F // num_kv_heads
     assert T % block_q == 0 and Fq % hd == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,6 +411,7 @@ def paged_extend_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block_q, Fq),
@@ -385,8 +419,9 @@ def paged_extend_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ps, 2, F), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((NBUF, ps, 2, fh), k_pages.dtype),
+            pltpu.VMEM((NBUF, ps, 2, fh), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2 * NBUF,)),
         ],
     )
     kernel = functools.partial(
@@ -415,5 +450,6 @@ def paged_extend_attention(
         block_seq,
         block_q_off,
         q,
-        kv_pages,
+        k_pages,
+        v_pages,
     )

@@ -1,10 +1,17 @@
 """Pure-XLA paged attention (reference fallback; runs on CPU/TPU anywhere).
 
 Ref behavior: srt/layers/attention/torch_native_backend.py. Used for
-correctness tests and as the baseline the Pallas kernels are checked
-against. Gathers the paged KV into dense [.., max_ctx, ..] form — O(ctx)
-memory per token, so only for modest context in tests; the Pallas backend
-is the production path.
+correctness tests, as the baseline the Pallas kernels are checked against,
+AND as the production DECODE path on virtualized v5e (see pallas_backend).
+
+The KV pool per layer is a (k, v) pair of [NP, ps, 2, F/2] arrays (split
+pools — mem/kv_pool.py). Decode gathers whole pages DIRECTLY from the 4-D
+arrays and reshapes the (2, F/2) row split away post-gather (free):
+measured ~71 GB/s effective on v5e, pool-size-stable, vs 42 GB/s for the
+round-1 interleaved pair layout (whose k/v extraction forced XLA to copy
+every gathered byte). A pre-gather flat reshape of the pool measures
+faster still (80 GB/s) on small pools but XLA materializes it as a full
+pool copy once the pool is big — do NOT reintroduce it.
 """
 
 from __future__ import annotations
@@ -32,13 +39,13 @@ class XlaNativeBackend(AttentionBackend):
     supports_cascade = True
 
     def _gather_ctx(self, kv_layer, slots):
-        """kv_layer [NP, ps, 2, F]; slots [..., C] -> k, v [..., C, nk, hd]."""
+        """kv_layer (k, v) pair; slots [..., C] -> k, v [..., C, nk, hd]."""
         nk, hd = self.num_kv_heads, self.head_dim
+        kp, vp = kv_layer
         pages = slots // self.page_size
         offs = slots % self.page_size
-        rows = kv_layer[pages, offs]  # [..., C, 2, F]
-        k = rows[..., 0, :].reshape(rows.shape[:-2] + (nk, hd))
-        v = rows[..., 1, :].reshape(rows.shape[:-2] + (nk, hd))
+        k = kp[pages, offs].reshape(slots.shape + (nk, hd))
+        v = vp[pages, offs].reshape(slots.shape + (nk, hd))
         return k, v
 
     def _gather_pages(self, kv_layer, page_table):
@@ -47,12 +54,11 @@ class XlaNativeBackend(AttentionBackend):
         Whole-page slices gather far better than per-token rows (bigger
         contiguous reads)."""
         nk, hd = self.num_kv_heads, self.head_dim
+        kp, vp = kv_layer
         B, P = page_table.shape
-        rows = kv_layer[page_table]  # [B, P, ps, 2, F]
         C = P * self.page_size
-        rows = rows.reshape(B, C, 2, nk * hd)
-        k = rows[:, :, 0, :].reshape(B, C, nk, hd)
-        v = rows[:, :, 1, :].reshape(B, C, nk, hd)
+        k = kp[page_table].reshape(B, C, nk, hd)
+        v = vp[page_table].reshape(B, C, nk, hd)
         return k, v
 
     @staticmethod
@@ -88,10 +94,10 @@ class XlaNativeBackend(AttentionBackend):
             # and attended as a single dense matmul, then merged with the
             # per-row suffix via a joint softmax (mergeable LSE form).
             ps = self.page_size
+            kp, vp = kv_layer
             Cs = fb.shared_pages.shape[0] * ps
-            srows = kv_layer[fb.shared_pages].reshape(Cs, 2, nk * hd)
-            k_s = srows[:, 0, :].reshape(Cs, nk, hd)
-            v_s = srows[:, 1, :].reshape(Cs, nk, hd)
+            k_s = kp[fb.shared_pages].reshape(Cs, nk, hd)
+            v_s = vp[fb.shared_pages].reshape(Cs, nk, hd)
             ss = jnp.einsum(
                 "bkgd,ckd->bkgc", qf, k_s, preferred_element_type=jnp.float32
             ) * (scale or self.scale)

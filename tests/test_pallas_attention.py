@@ -54,9 +54,8 @@ def test_decode_kernel_matches_reference():
     out = np.asarray(
         paged_decode_attention(
             jnp.asarray(q),
-            jnp.asarray(
-                np.stack([k_pages, v_pages], axis=2).reshape(NP, ps, 2, nk * hd)
-            ),
+            jnp.asarray(k_pages.reshape(NP, ps, 2, nk * hd // 2)),
+            jnp.asarray(v_pages.reshape(NP, ps, 2, nk * hd // 2)),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
             scale=scale,
@@ -113,9 +112,8 @@ def test_extend_kernel_matches_reference():
     out = np.asarray(
         paged_extend_attention(
             jnp.asarray(q.reshape(T, nq * hd)),
-            jnp.asarray(
-                np.stack([k_pages, v_pages], axis=2).reshape(NP, ps, 2, nk * hd)
-            ),
+            jnp.asarray(k_pages.reshape(NP, ps, 2, nk * hd // 2)),
+            jnp.asarray(v_pages.reshape(NP, ps, 2, nk * hd // 2)),
             jnp.asarray(page_table),
             jnp.asarray(seq_lens),
             jnp.asarray(prefix_lens),

@@ -58,7 +58,7 @@ def test_hybrid_pool_engages_and_matches_shared_pool(tiny_gemma2_dir):
     assert any(w > 0 for w in kvc.layer_windows)
     for l, w in enumerate(kvc.layer_windows):
         expect = kvc.swa_num_pages if w > 0 else kvc.num_pages
-        assert runner_h.kv_pool.kv[l].shape[0] == expect
+        assert runner_h.kv_pool.kv[l][0].shape[0] == expect
 
     # step manually so we can observe in-flight trimming
     from sglang_tpu.core.req import Req
