@@ -254,6 +254,10 @@ class ScheduleCore:
         if self.pd_mode == "prefill":
             from sglang_tpu.disaggregation.fake import FakeKVSender
 
+            if runner.kv_pool.config.mla_dim:
+                raise NotImplementedError(
+                    "PD disaggregation does not ship MLA latent pools yet"
+                )
             self.kv_sender = FakeKVSender()
             import jax
             import jax.numpy as jnp

@@ -139,6 +139,11 @@ class HiCacheController:
                  max_host_pages: Optional[int] = None):
         self.kv_pool = kv_pool
         cfg = kv_pool.config
+        if cfg.mla_dim:
+            raise NotImplementedError(
+                "HiCache host tier does not mirror MLA latent pools yet; "
+                "run MLA models without --hicache-ratio"
+            )
         # Host page = both split-pool pages: [2(kv), ps, 2, FH].
         page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)

@@ -232,6 +232,7 @@ class ModelRunner:
             dtype=kv_dtype,
             layer_windows=layer_windows,
             swa_num_pages=swa_num_pages,
+            mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
         )
         self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
         self.max_total_tokens = (num_pages - 1) * sa.page_size
@@ -267,12 +268,10 @@ class ModelRunner:
             # CPU or unsupported: small default for tests.
             return 65536
         budget = int(limit * self.server_args.mem_fraction_static) - used
+        mla_dim = int(getattr(self.model, "mla_dim", 0) or 0)
+        row = mla_dim or 2 * c.num_key_value_heads * c.head_dim
         per_token = (
-            c.num_hidden_layers
-            * 2
-            * c.num_key_value_heads
-            * c.head_dim
-            * np.dtype(self.kv_dtype_np()).itemsize
+            c.num_hidden_layers * row * np.dtype(self.kv_dtype_np()).itemsize
         )
         # KV is sharded over tp on heads: budget is per-chip, so scale.
         shard = (

@@ -1,13 +1,16 @@
 """DeepSeek-V2 family: MLA attention + shared/routed-expert MoE.
 
 Behavioral reference: srt/models/deepseek_v2.py (and HF
-modeling_deepseek_v2 for exact numerics). Round-1 implementation notes:
+modeling_deepseek_v2 for exact numerics). Implementation notes:
 
-- MLA runs in the "naive" (decompressed) form: per-head K = [k_nope | k_pe]
-  and V are materialized from the latent and stored in the standard paged
-  pool (V rows padded to qk_head_dim so the pair layout holds). The
-  latent-cache absorbed-matmul decode path (kv_lora_rank-sized KV) is the
-  round-2 optimization; this form is numerically identical.
+- MLA runs in the ABSORBED form end-to-end (ref absorbed decode,
+  srt/models/deepseek_v2.py + MLATokenToKVPool memory_pool.py:3910): the
+  cache holds ONE row per token — the normed latent (kv_lora_rank) ++ the
+  roped shared k_pe — and attention is MQA-style over it. W_UK is absorbed
+  into q (q_nope @ W_UK lands q in latent space) and W_UV is applied to
+  the latent-space output. Numerically identical to the naive decompressed
+  form (pure associativity), with kv_lora+rope bytes per token instead of
+  2*nh*qk_head_dim — ~8-14x less KV traffic and storage.
 - Rope is DeepSeek's INTERLEAVED complex convention (consecutive pairs),
   not neox half-split.
 - MoE: greedy or group_limited_greedy top-k over softmax scores, scaled by
@@ -123,6 +126,8 @@ class DeepseekV2Attention:
 
     def __call__(self, params, p, x, fb: ForwardBatch, kv, attn_backend,
                  lora=None):
+        from sglang_tpu.quantization import full_weight
+
         T = x.shape[0]
         if self.q_lora_rank:
             q = self.q_a(params, join(p, "q_a"), x)
@@ -134,28 +139,37 @@ class DeepseekV2Attention:
         q_nope, q_pe = q[..., : self.nope], q[..., self.nope:]
 
         ckv = self.kv_a(params, join(p, "kv_a"), x)
-        c_latent = ckv[:, : self.kv_lora_rank]
+        c_latent = self.kv_a_norm(
+            params, join(p, "kv_a_norm"), ckv[:, : self.kv_lora_rank]
+        )
         k_pe = ckv[:, self.kv_lora_rank:].reshape(T, 1, self.rope)
-        kvb = self.kv_b(
-            params, join(p, "kv_b"),
-            self.kv_a_norm(params, join(p, "kv_a_norm"), c_latent),
-        ).reshape(T, self.nh, self.nope + self.v_hd)
-        k_nope, v = kvb[..., : self.nope], kvb[..., self.nope:]
 
         cos = self.cos[fb.positions]
         sin = self.sin[fb.positions]
         q_pe = _apply_interleaved_rope(q_pe, cos, sin)
-        k_pe = _apply_interleaved_rope(k_pe, cos, sin)
-        k_pe = jnp.broadcast_to(k_pe, (T, self.nh, self.rope))
+        k_pe = _apply_interleaved_rope(k_pe, cos, sin)[:, 0, :]  # [T, rope]
 
-        k = jnp.concatenate([k_nope, k_pe], axis=-1)  # [T, nh, qk_hd]
-        # pad V rows to qk_hd so the pair-layout pool holds them
-        v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, self.qk_hd - self.v_hd)))
-        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
-        out, kv = attn_backend(
-            q_full, k, v_pad, self.layer_id, kv, fb, scale=self.scale
-        )
-        out = out[..., : self.v_hd].reshape(T, self.nh * self.v_hd)
+        # Absorb W_UK into q: scores over the latent equal the naive
+        # q_nope . k_nope because k_nope = c_latent @ W_UK per head.
+        w_b = full_weight(
+            params, join(p, "kv_b", "weight"), x.dtype
+        ).reshape(self.kv_lora_rank, self.nh, self.nope + self.v_hd)
+        w_uk = w_b[..., : self.nope]  # [c, nh, nope]
+        w_uv = w_b[..., self.nope:]  # [c, nh, v_hd]
+        q_abs = jnp.einsum(
+            "thd,chd->thc", q_nope, w_uk, preferred_element_type=q_nope.dtype
+        )  # [T, nh, kv_lora_rank]
+        q_m = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, nh, c+rope]
+        rows = jnp.concatenate([c_latent, k_pe], axis=-1)  # [T, c+rope]
+
+        out_lat, kv = attn_backend.mla(
+            q_m, rows, self.layer_id, kv, fb,
+            v_dim=self.kv_lora_rank, scale=self.scale,
+        )  # [T, nh, kv_lora_rank]
+        out = jnp.einsum(
+            "thc,chd->thd", out_lat, w_uv,
+            preferred_element_type=out_lat.dtype,
+        ).reshape(T, self.nh * self.v_hd)
         out = self.o_proj(params, join(p, "o_proj"), out)
         return out, kv
 
@@ -272,6 +286,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def __init__(self, config: ModelConfig):
         self.config = config
         c = config
+        hf = c.hf_config
+        # Latent KV pool row width (ModelRunner sizes the pool from this;
+        # ref MLATokenToKVPool memory_pool.py:3910).
+        self.mla_dim = hf.kv_lora_rank + hf.qk_rope_head_dim
         self.embed = VocabEmbedding(c.vocab_size, c.hidden_size, c.dtype)
         self.decoder_layers = [
             DeepseekV2DecoderLayer(c, i) for i in range(c.num_hidden_layers)

@@ -118,6 +118,40 @@ class PallasBackend(AttentionBackend):
             page_size=ps,
         )
 
+    # ---- MLA (latent pool) ----
+
+    def write_mla(self, latent, rows, fb: ForwardBatch):
+        from sglang_tpu.ops.attention.kv_write import write_rows_pages
+
+        return write_rows_pages(
+            latent, rows, fb.out_cache_loc, page_size=self.page_size
+        )
+
+    def forward_mla_decode(self, q, latent, fb: ForwardBatch, *, v_dim,
+                           scale):
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend.forward_mla_decode(
+            self, q, latent, fb, v_dim=v_dim, scale=scale
+        )
+
+    def forward_mla_extend(self, q, latent, fb: ForwardBatch, *, v_dim,
+                           scale):
+        """MQA-over-latent through the ragged paged kernel (nk=1). The
+        latent page rides BOTH DMA rings for now (k and v read the same
+        page — 2x fetch; a dedicated single-ring MLA kernel is the
+        follow-up); output dims past v_dim are the k_pe lanes, discarded.
+        TP runs replicated (the latent is shared across heads)."""
+        T, nh, D = q.shape
+        out = paged_extend_attention(
+            q.reshape(T, nh * D), latent, latent,
+            fb.page_table, fb.seq_lens, fb.prefix_lens, fb.q_lens,
+            fb.block_seq, fb.block_q_off,
+            scale=scale, page_size=self.page_size, num_kv_heads=1,
+            block_q=fb.extend_align,
+        )
+        return out.reshape(T, nh, D)[..., :v_dim]
+
     def _kernel_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
         assert sinks is None, "pallas_dma decode does not support sinks yet"

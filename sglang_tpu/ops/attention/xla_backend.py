@@ -141,6 +141,77 @@ class XlaNativeBackend(AttentionBackend):
         )
         return out.reshape(B, nq, hd).astype(q.dtype)
 
+    # ---- MLA: MQA over latent rows (see base.py mla()) ----
+
+    def forward_mla_decode(self, q, latent, fb: ForwardBatch, *, v_dim,
+                           scale):
+        B, nh, D = q.shape
+        pt = fb.page_table
+        P = pt.shape[1]
+        C = P * self.page_size
+        rows = latent[pt].reshape(B, C, D)  # [B, C, D]
+        qf = q.astype(jnp.bfloat16) if rows.dtype == jnp.bfloat16 else q
+        scores = jnp.einsum(
+            "bhd,bcd->bhc", qf, rows, preferred_element_type=jnp.float32
+        ) * scale
+        ctx = jnp.arange(C, dtype=jnp.int32)
+        mask = ctx[None, :] < fb.seq_lens[:, None]
+        scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+
+        if fb.shared_pages is not None:
+            # Cascade over the shared prefix (one gather for the batch).
+            Cs = fb.shared_pages.shape[0] * self.page_size
+            rows_s = latent[fb.shared_pages].reshape(Cs, D)
+            ss = jnp.einsum(
+                "bhd,cd->bhc", qf, rows_s,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            ctx_s = jnp.arange(Cs, dtype=jnp.int32)
+            ss = jnp.where((ctx_s < fb.shared_len)[None, None, :], ss,
+                           NEG_INF)
+            m = jnp.maximum(jnp.max(ss, axis=-1), jnp.max(scores, axis=-1))
+            m = m[..., None]
+            p_s = jnp.exp(ss - m)
+            p_x = jnp.exp(scores - m)
+            denom = jnp.sum(p_s, axis=-1) + jnp.sum(p_x, axis=-1)
+            o_s = jnp.einsum(
+                "bhc,cv->bhv", p_s.astype(rows.dtype), rows_s[:, :v_dim],
+                preferred_element_type=jnp.float32,
+            )
+            o_x = jnp.einsum(
+                "bhc,bcv->bhv", p_x.astype(rows.dtype), rows[:, :, :v_dim],
+                preferred_element_type=jnp.float32,
+            )
+            out = (o_s + o_x) / jnp.maximum(denom[..., None], 1e-20)
+            return out.astype(q.dtype)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhc,bcv->bhv", probs.astype(rows.dtype), rows[:, :, :v_dim],
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
+
+    def forward_mla_extend(self, q, latent, fb: ForwardBatch, *, v_dim,
+                           scale):
+        T, nh, D = q.shape
+        slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
+        tok_slots = slots[fb.seq_ids]  # [T, C]
+        pages = tok_slots // self.page_size
+        offs = tok_slots % self.page_size
+        rows = latent[pages, offs].reshape(T, -1, D)  # [T, C, D]
+        scores = jnp.einsum(
+            "thd,tcd->thc", q.astype(jnp.float32), rows.astype(jnp.float32)
+        ) * scale
+        ctx = jnp.arange(rows.shape[1], dtype=jnp.int32)
+        mask = ctx[None, :] <= fb.positions[:, None]  # [T, C]
+        scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "thc,tcv->thv", probs, rows[:, :, :v_dim].astype(jnp.float32)
+        )
+        return out.astype(q.dtype)
+
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
         T, nq, hd = q.shape

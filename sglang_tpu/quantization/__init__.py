@@ -84,6 +84,16 @@ def quantize_np(
     return qw, np.squeeze(scale, axis=axes)
 
 
+def full_weight(params, name: str, dtype, axes: Tuple[int, ...] = (0,)):
+    """Read a (possibly quantized) weight back as a dense array — for
+    paths that consume the raw matrix (e.g. MLA W_UK/W_UV absorption)."""
+    w = params[name]
+    s = params.get(name + "/qscale")
+    if s is None:
+        return w
+    return w.astype(dtype) * jnp.expand_dims(s, axes).astype(dtype)
+
+
 def dequant_matmul(
     x: jax.Array,
     qweight: jax.Array,

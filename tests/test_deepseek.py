@@ -108,3 +108,42 @@ def test_deepseek_v2_yarn_parity(tiny_dsv2_dir, tmp_path):
     ours = _our_greedy(str(dst), prompt, 8)
     assert len(ref) >= 4
     assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
+
+
+def test_mla_latent_pool_shape_and_pallas_parity(tiny_dsv2_dir):
+    """The MLA pool stores ONE latent row per token (kv_lora+rope wide),
+    and the pallas backend (kernel write + ragged extend, interpret mode)
+    matches the xla_native path token-for-token."""
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    prompt = [5, 9, 33, 70, 2, 41, 8, 19, 77, 23, 64, 12]
+
+    outs = {}
+    for backend in ("xla_native", "pallas"):
+        args = ServerArgs(
+            model_path=tiny_dsv2_dir,
+            dtype="float32",
+            attention_backend=backend,
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        runner = ModelRunner(args)
+        cfg = runner.kv_pool.config
+        assert cfg.mla_dim == 32 + 8  # kv_lora_rank + qk_rope_head_dim
+        latent, none_v = runner.kv_pool.kv[0]
+        assert none_v is None
+        assert latent.shape[2:] == (2, cfg.mla_dim // 2)
+        core = ScheduleCore(args, runner)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8,
+                            ignore_eos=True)
+        sp.normalize()
+        req = Req(f"mla-{backend}", list(prompt), sp)
+        core.add_request(req)
+        while core.has_work():
+            core.step()
+        outs[backend] = req.output_ids
+    assert outs["pallas"] == outs["xla_native"]
