@@ -90,7 +90,16 @@ class ModelConfig:
         context_length: Optional[int] = None,
         model_path: str = "",
     ) -> "ModelConfig":
-        g = lambda k, d=None: getattr(hf_config, k, d)
+        # VLM composite configs (LLaVA, Qwen2-VL, ...) keep the LM fields
+        # under text_config; read those while hf_config stays the TOP
+        # config so model classes can reach vision_config etc.
+        src = hf_config
+        text = getattr(hf_config, "text_config", None)
+        if text is not None and getattr(
+            hf_config, "num_hidden_layers", None
+        ) is None:
+            src = text
+        g = lambda k, d=None: getattr(src, k, d)
         num_heads = g("num_attention_heads")
         hidden = g("hidden_size")
         head_dim = g("head_dim") or hidden // num_heads
@@ -102,7 +111,9 @@ class ModelConfig:
             num_kv = num_heads
         max_pos = g("max_position_embeddings", 8192)
         return cls(
-            architectures=list(g("architectures", []) or []),
+            architectures=list(
+                getattr(hf_config, "architectures", []) or []
+            ),
             vocab_size=g("vocab_size"),
             hidden_size=hidden,
             num_hidden_layers=g("num_hidden_layers"),

@@ -90,6 +90,11 @@ class Req:
         self.mm_embeds = None
         self.mm_positions = None
         self.mm_hashes = None
+        # M-ROPE (Qwen2-VL): [3, len(input_ids)] positions for the prompt
+        # and the decode-position delta (models/qwen2_vl.py
+        # compute_mrope_positions). None/0 for text-only requests.
+        self.mrope_positions = None
+        self.mrope_delta = 0
         self._input_cache_ids: Optional[List[int]] = None
 
         self.status = ReqStatus.WAITING

@@ -199,6 +199,15 @@ class ScheduleCore:
             and runner.model_config.sliding_window is None
         )
 
+        # ViT embedding cache keyed by image content hash (ref
+        # srt/mem_cache/multimodal_cache.py): a repeated image skips the
+        # vision encoder entirely.
+        from collections import OrderedDict as _OD
+
+        self.mm_embed_cache: "_OD[int, np.ndarray]" = _OD()
+        self.mm_cache_hits = 0
+        self.mm_cache_max = 64
+
         self.eos_token_ids = set()
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -679,6 +688,9 @@ class ScheduleCore:
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
                     swa_page_ids=req.swa_pages if self.hybrid_swa else None,
+                    **self._mrope_args(
+                        req, req.prefill_progress, req.prefill_progress + q
+                    ),
                 )
             )
             req.prefill_progress += q
@@ -755,6 +767,7 @@ class ScheduleCore:
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
                     swa_page_ids=req.swa_pages if self.hybrid_swa else None,
+                    **self._mrope_args(req, cached, target),
                 )
             )
             req.prefill_progress = target
@@ -904,7 +917,8 @@ class ScheduleCore:
             rows.append((req, drafts, prefix))
             seq_inputs.append(
                 SeqInput(inputs, prefix, req.pages, req_slot=req.req_slot,
-                         swa_page_ids=req.swa_pages if self.hybrid_swa else None)
+                         swa_page_ids=req.swa_pages if self.hybrid_swa else None,
+                         **self._mrope_args(req, prefix, prefix + len(inputs)))
             )
         if not rows:
             return False
@@ -1035,14 +1049,16 @@ class ScheduleCore:
                 seq_inputs.append(
                     SeqInput([0], pos - shared_tokens, req.pages[s:],
                              req_slot=req.req_slot,
-                             pages_np=req._pages_np[s:])
+                             pages_np=req._pages_np[s:],
+                             mrope_delta=req.mrope_delta)
                 )
             else:
                 seq_inputs.append(
                     SeqInput([0], pos, req.pages, req_slot=req.req_slot,
                              pages_np=req._pages_np,
                              swa_page_ids=(req.swa_pages if self.hybrid_swa
-                                           else None))
+                                           else None),
+                             mrope_delta=req.mrope_delta)
                 )
             rows.append(_Row(req, "decode", req._epoch, req._device_step))
             req._device_seq_len = pos + 1
@@ -1485,6 +1501,71 @@ class ScheduleCore:
         req._device_step = len(req.output_ids)
         self.running.remove(req)
         self.waiting.insert(0, req)
+
+
+
+    def attach_mm_inputs(self, req: Req, mm_inputs) -> None:
+        """Encode images (ViT under jit, mm-hash cached) and attach the
+        embedding-injection fields + mrope positions to the request."""
+        model = self.runner.model
+        hidden = self.runner.model_config.hidden_size
+        positions: List[int] = []
+        embeds: List[np.ndarray] = []
+        hashes: List[int] = []
+        grids = []
+        for mi in mm_inputs:
+            h = mi["mm_hash"]
+            emb = self.mm_embed_cache.get(h)
+            if emb is None:
+                emb = np.asarray(
+                    model.encode_images(
+                        self.runner.params,
+                        mi["pixel_values"],
+                        grid_thw=mi.get("grid_thw"),
+                    ),
+                    np.float32,
+                ).reshape(-1, hidden)
+                self.mm_embed_cache[h] = emb
+                while len(self.mm_embed_cache) > self.mm_cache_max:
+                    self.mm_embed_cache.popitem(last=False)
+            else:
+                self.mm_embed_cache.move_to_end(h)
+                self.mm_cache_hits += 1
+            off = mi["offset"]
+            n = mi["num_tokens"]
+            for j in range(n):
+                positions.append(off + j)
+                embeds.append(emb[j])
+                hashes.append(h)
+            if mi.get("grid_thw") is not None:
+                grids.append(tuple(mi["grid_thw"]))
+        req.mm_positions = positions
+        req.mm_embeds = embeds
+        req.mm_hashes = hashes
+        if getattr(model, "needs_mrope", False) and grids:
+            from sglang_tpu.models.qwen2_vl import compute_mrope_positions
+
+            req.mrope_positions, req.mrope_delta = compute_mrope_positions(
+                req.input_ids, model.image_token_id, grids,
+                merge=model.mm_merge,
+            )
+
+    def _mrope_args(self, req, a: int, b: int) -> dict:
+        """SeqInput mrope kwargs for new tokens [a, b) of req (Qwen2-VL;
+        generated tokens past the prompt fall back to position+delta)."""
+        mp = req.mrope_positions
+        if mp is None:
+            return {"mrope_delta": req.mrope_delta} if req.mrope_delta else {}
+        L = mp.shape[1]
+        if b <= L:
+            return {"mrope_positions": mp[:, a:b],
+                    "mrope_delta": req.mrope_delta}
+        out = np.empty((3, b - a), np.int32)
+        head = max(L - a, 0)
+        if head:
+            out[:, :head] = mp[:, a:L]
+        out[:, head:] = np.arange(max(a, L), b, dtype=np.int32) + req.mrope_delta
+        return {"mrope_positions": out, "mrope_delta": req.mrope_delta}
 
     def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
         """Ship the finished prefill's KV pages to the decode fleet."""

@@ -123,7 +123,26 @@ class Engine:
                 t.start()
                 if i == 0:
                     time.sleep(0.05)  # binder (detok) first
-        self._run_coro(self.tokenizer_manager.wait_ready())
+        # Poll readiness so a crashed scheduler/detokenizer surfaces as an
+        # immediate error instead of a silent wait (the managers run as
+        # daemon threads/processes; a dead one can never become ready).
+        deadline = time.monotonic() + 600
+        while True:
+            try:
+                self._run_coro(self.tokenizer_manager.wait_ready(timeout=2))
+                break
+            except (asyncio.TimeoutError, TimeoutError):
+                dead = [
+                    getattr(w, "name", str(w))
+                    for w in self._workers
+                    if not w.is_alive()
+                ]
+                if dead:
+                    raise RuntimeError(
+                        f"manager worker(s) died during startup: {dead}"
+                    ) from None
+                if time.monotonic() > deadline:
+                    raise
         atexit.register(self.shutdown)
 
     @staticmethod
@@ -133,6 +152,13 @@ class Engine:
         tm = TokenizerManager(server_args, port_args)
         tm.start()
         return tm
+
+    def scheduler_core(self):
+        """The in-process ScheduleCore (single-process mode only)."""
+        from sglang_tpu.managers.scheduler import LOCAL_SCHEDULERS
+
+        sched = LOCAL_SCHEDULERS.get(self.port_args.scheduler_ipc)
+        return sched.core if sched is not None else None
 
     # ---------------------------------------------------------------- utils
     def _run_coro(self, coro):
@@ -151,6 +177,7 @@ class Engine:
         session_params: Optional[Dict] = None,
         input_embeds=None,
         lora_path: Optional[str] = None,
+        image_data=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -163,6 +190,7 @@ class Engine:
             session_params=session_params,
             input_embeds=input_embeds,
             lora_path=lora_path,
+            image_data=image_data,
         )
         if stream:
             return self._stream_sync(gri)
@@ -210,6 +238,7 @@ class Engine:
         top_logprobs_num: int = 0,
         stream: bool = False,
         rid: Optional[str] = None,
+        image_data=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -219,6 +248,7 @@ class Engine:
             top_logprobs_num=top_logprobs_num,
             stream=stream,
             rid=rid,
+            image_data=image_data,
         )
         if stream:
             return self.tokenizer_manager.generate_request(gri)

@@ -172,6 +172,29 @@ class OpenAIServing:
         tokenizer = self.tm.tokenizer
         if tokenizer is None:
             raise ValueError("chat API requires a tokenizer")
+        # Multimodal content parts: pull image_url payloads out and flatten
+        # the message content to text (the chat template's image token
+        # stands in for each image; TokenizerManager expands it).
+        # Ref: serving_chat.py multimodal content handling.
+        image_data = []
+        norm_messages = []
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                texts = []
+                for part in content:
+                    ptype = part.get("type")
+                    if ptype == "image_url":
+                        url = part["image_url"]
+                        if isinstance(url, dict):
+                            url = url["url"]
+                        image_data.append(url)
+                        texts.append("<image>")
+                    elif ptype == "text":
+                        texts.append(part.get("text", ""))
+                m = dict(m, content="".join(texts))
+            norm_messages.append(m)
+        messages = norm_messages
         tools = body.get("tools")
         try:
             kwargs = {}
@@ -197,6 +220,7 @@ class OpenAIServing:
             stream=bool(body.get("stream", False)),
             return_logprob=bool(body.get("logprobs")),
             top_logprobs_num=top_lp,
+            image_data=image_data or None,
         )
 
     def chat_response(self, body: Dict, outs, created: int) -> Dict:

@@ -181,3 +181,34 @@ def _apply_neox(x: jax.Array, cos, sin, rotary_dim: int) -> jax.Array:
     if rotary_dim == x.shape[-1]:
         return out
     return jnp.concatenate([out, x[..., rotary_dim:]], axis=-1)
+
+
+class MRotaryEmbedding(RotaryEmbedding):
+    """Multimodal 3-D rope (Qwen2-VL; ref HF apply_multimodal_rotary_pos_emb
+    + srt rotary mrope). The rotary half-dims are partitioned into
+    mrope_section = [t, h, w] blocks; each block reads its cos/sin at the
+    corresponding position component. With all components equal (pure
+    text / decode) this reduces exactly to 1-D neox rope.
+    """
+
+    def __init__(self, head_dim, rotary_dim, max_position, rope_theta,
+                 rope_scaling):
+        super().__init__(head_dim, rotary_dim, max_position, rope_theta,
+                         rope_scaling)
+        section = rope_scaling["mrope_section"]  # sums to rotary_dim/2
+        sec_idx = []
+        for s, n in enumerate(section):
+            sec_idx.extend([s] * n)
+        self.sec_onehot = jax.nn.one_hot(
+            jnp.asarray(sec_idx, jnp.int32), len(section), dtype=jnp.float32
+        ).T  # [3, rot/2]
+
+    def call_mrope(self, mrope_positions: jax.Array, q, k):
+        """mrope_positions [3, T]."""
+        cos3 = self.cos_table[mrope_positions]  # [3, T, rot/2]
+        sin3 = self.sin_table[mrope_positions]
+        cos = jnp.einsum("std,sd->td", cos3, self.sec_onehot)[:, None, :]
+        sin = jnp.einsum("std,sd->td", sin3, self.sec_onehot)[:, None, :]
+        q = _apply_neox(q, cos, sin, self.rotary_dim)
+        k = _apply_neox(k, cos, sin, self.rotary_dim)
+        return q, k

@@ -40,6 +40,8 @@ class IncrementalDecoder:
 
     def step(self, new_tokens: List[int]) -> str:
         self.tokens.extend(new_tokens)
+        if self.tokenizer is None:  # skip_tokenizer_init: ids only
+            return ""
         prefix_text = self._decode(self.tokens[self.prefix_offset : self.read_offset])
         full_text = self._decode(self.tokens[self.prefix_offset :])
         if len(full_text) > len(prefix_text) and not full_text.endswith("�"):
@@ -145,7 +147,7 @@ def run_detokenizer(server_args, port_args, tokenizer=None):
     """Event loop (process or thread target)."""
     from sglang_tpu.tokenizer import get_tokenizer
 
-    if tokenizer is None:
+    if tokenizer is None and not server_args.skip_tokenizer_init:
         tokenizer = get_tokenizer(server_args.tokenizer_path)
     core = DetokenizerCore(tokenizer)
     recv = make_socket(port_args.detokenizer_ipc, zmq.PULL, bind=True)

@@ -106,6 +106,11 @@ class TokenizedGenerateReqInput:
     priority: int = 0
     is_embedding: bool = False
     input_embeds: Optional[Any] = None  # np [T, H]
+    # Multimodal images: list of dicts {pixel_values (np), grid_thw,
+    # mm_hash, offset (first placeholder token index), num_tokens}
+    # produced by TokenizerManager's processor; the scheduler runs the
+    # ViT at admission (cached by mm_hash). Ref: srt/multimodal.
+    mm_inputs: Optional[Any] = None
 
 
 @dataclasses.dataclass

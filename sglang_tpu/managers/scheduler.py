@@ -80,6 +80,9 @@ class Scheduler:
             if embeds is not None:
                 req.mm_positions = list(range(len(embeds)))
                 req.mm_embeds = embeds
+            mm_inputs = getattr(msg, "mm_inputs", None)
+            if mm_inputs:
+                self.core.attach_mm_inputs(req, mm_inputs)
             self._req_meta[msg.rid] = (
                 sp.skip_special_tokens,
                 sp.spaces_between_special_tokens,
@@ -232,6 +235,11 @@ class Scheduler:
                 poller.poll(timeout=2)
 
 
+# In-process scheduler registry (single-process mode): lets the Engine
+# expose ScheduleCore for introspection (tests, /get_server_info).
+LOCAL_SCHEDULERS = {}
+
+
 def run_scheduler(server_args: ServerArgs, port_args, ready_event=None):
     """Process/thread target."""
     from sglang_tpu.utils import assert_jax_platform
@@ -239,6 +247,7 @@ def run_scheduler(server_args: ServerArgs, port_args, ready_event=None):
     assert_jax_platform()
     try:
         sched = Scheduler(server_args, port_args)
+        LOCAL_SCHEDULERS[port_args.scheduler_ipc] = sched
     except Exception:
         logger.exception("scheduler init failed")
         if ready_event is not None:

@@ -102,6 +102,68 @@ class TokenizerManager:
         )
         self.scheduler_info: Dict[str, Any] = {}
         self._handle_task: Optional[asyncio.Task] = None
+        # Multimodal processor (lazy; ref srt/multimodal/processors).
+        self._mm_processor = None
+        self._mm_cfg = None
+
+    def _get_mm(self):
+        if self._mm_cfg is None:
+            from transformers import AutoConfig
+
+            from sglang_tpu.multimodal.processors import get_mm_processor
+
+            cfg = AutoConfig.from_pretrained(
+                self.server_args.model_path,
+                trust_remote_code=self.server_args.trust_remote_code,
+            )
+            proc = get_mm_processor(
+                list(getattr(cfg, "architectures", []) or []), cfg
+            )
+            self._mm_cfg = (cfg, proc)
+        return self._mm_cfg
+
+    def _process_images(self, gri, input_ids):
+        """Expand image placeholders and build mm_inputs payloads.
+
+        The chat template leaves ONE image token per image; each expands to
+        the processor's per-image token count. Ref: srt/multimodal/
+        processors/base_processor.py placeholder expansion."""
+        from sglang_tpu.multimodal.processors import load_image
+
+        cfg, proc = self._get_mm()
+        if proc is None:
+            raise ValueError(
+                f"model {self.server_args.model_path} has no image processor"
+            )
+        img_tok = getattr(cfg, "image_token_id",
+                          getattr(cfg, "image_token_index", None))
+        images = gri.image_data
+        if not isinstance(images, list):
+            images = [images]
+        processed = [proc(load_image(d)) for d in images]
+        out_ids: List[int] = []
+        mm_inputs = []
+        img_i = 0
+        for tok in input_ids:
+            if tok == img_tok and img_i < len(processed):
+                pr = processed[img_i]
+                img_i += 1
+                mm_inputs.append(dict(
+                    pixel_values=pr.pixel_values,
+                    grid_thw=pr.grid_thw,
+                    mm_hash=pr.mm_hash,
+                    offset=len(out_ids),
+                    num_tokens=pr.num_tokens,
+                ))
+                out_ids.extend([img_tok] * pr.num_tokens)
+            else:
+                out_ids.append(tok)
+        if img_i != len(processed):
+            raise ValueError(
+                f"{len(processed)} images but only {img_i} image tokens in "
+                "the prompt"
+            )
+        return out_ids, mm_inputs
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> None:
@@ -185,6 +247,9 @@ class TokenizerManager:
         sp = SamplingParams(**sp_dict)
         sp.normalize()
         input_ids = self._tokenize(gri)
+        mm_inputs = None
+        if getattr(gri, "image_data", None) is not None:
+            input_ids, mm_inputs = self._process_images(gri, input_ids)
         ctx_limit = self.server_args.context_length
         if ctx_limit and len(input_ids) >= ctx_limit:
             raise ValueError(
@@ -205,6 +270,7 @@ class TokenizerManager:
                 np.asarray(gri.input_embeds, np.float32)
                 if getattr(gri, "input_embeds", None) is not None else None
             ),
+            mm_inputs=mm_inputs,
         )
 
     async def generate_request(

@@ -39,6 +39,10 @@ class SeqInput:
     # Hybrid SWA pool: per-slot page ids into the SWA pool (0 = freed/
     # out-of-window slot, reads masked). Same slot layout as page_ids.
     swa_page_ids: Optional[Sequence[int]] = None
+    # M-ROPE (Qwen2-VL): per-new-token 3-D positions [3, q] for extend and
+    # the decode position delta (see models/qwen2_vl.compute_mrope_positions).
+    mrope_positions: Optional[np.ndarray] = None
+    mrope_delta: int = 0
 
 
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
@@ -100,6 +104,11 @@ def build_forward_batch(
     hybrid_swa = any(s.swa_page_ids is not None for s in seqs)
     swa_page_table = np.zeros((B, P), np.int32) if hybrid_swa else None
     swa_out_cache_loc = np.zeros(T, np.int32) if hybrid_swa else None
+    mrope = any(s.mrope_positions is not None or s.mrope_delta for s in seqs)
+    mrope_positions = (
+        np.zeros((3, T), np.int32) if (mrope and not mode.is_decode()) else None
+    )
+    mrope_delta = np.zeros(B, np.int32) if (mrope and mode.is_decode()) else None
 
     for i, s in enumerate(seqs):
         off = seg_offsets[i]
@@ -128,6 +137,16 @@ def build_forward_batch(
                 swa_out_cache_loc[off + j] = page * page_size + pos % page_size
         logits_indices[i] = off + q - 1
         req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
+        if mrope_positions is not None:
+            if s.mrope_positions is not None:
+                mrope_positions[:, off : off + q] = s.mrope_positions
+            else:
+                # all components coincide past the last image
+                mrope_positions[:, off : off + q] = (
+                    positions[off : off + q] + s.mrope_delta
+                )
+        if mrope_delta is not None:
+            mrope_delta[i] = s.mrope_delta
         if not mode.is_decode():
             nb = round_up(q, align) // align
             b0 = off // align
@@ -176,6 +195,13 @@ def build_forward_batch(
         ),
         swa_out_cache_loc=(
             jnp.asarray(swa_out_cache_loc) if hybrid_swa else None
+        ),
+        mrope_positions=(
+            jnp.asarray(mrope_positions) if mrope_positions is not None
+            else None
+        ),
+        mrope_delta=(
+            jnp.asarray(mrope_delta) if mrope_delta is not None else None
         ),
         mode=mode,
         extend_align=align,

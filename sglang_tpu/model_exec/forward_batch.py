@@ -81,6 +81,13 @@ class ForwardBatch:
     # whose KV fell out of the window point at the trash page (masked).
     swa_page_table: Optional[jax.Array] = None  # [B, max_pages] int32
     swa_out_cache_loc: Optional[jax.Array] = None  # [T] int32
+    # M-ROPE (Qwen2-VL; ref HF get_rope_index + srt/layers/rotary mrope):
+    # extend batches of mrope models carry full 3-component positions
+    # [3, T] (t/h/w — equal rows for text); decode derives the 1-D position
+    # as fb.positions + mrope_delta[row] (all components coincide past the
+    # last image).
+    mrope_positions: Optional[jax.Array] = None  # [3, T] int32 (extend)
+    mrope_delta: Optional[jax.Array] = None  # [B] int32 (decode)
 
     # --- static fields ---
     mode: ForwardMode = dataclasses.field(

@@ -55,6 +55,10 @@ class LlamaAttention:
             RMSNorm(self.hd, c.rms_norm_eps, dt) if config.qk_norm else None
         )
 
+    def apply_rotary(self, fb: ForwardBatch, q, k):
+        """Hook for rope variants (Qwen2-VL mrope overrides)."""
+        return self.rotary(fb.positions, q, k)
+
     def specs(self, p: str) -> SpecTree:
         s = {}
         s.update(self.q_proj.specs(join(p, "q_proj")))
@@ -82,7 +86,7 @@ class LlamaAttention:
         if self.qk_norm:
             q = self.qk_norm(params, join(p, "q_norm"), q)
             k = self.qk_norm(params, join(p, "k_norm"), k)
-        q, k = self.rotary(fb.positions, q, k)
+        q, k = self.apply_rotary(fb, q, k)
         out, kv = attn_backend(q, k, v, self.layer_id, kv, fb)
         out_flat = out.reshape(T, -1)
         out = self.o_proj(params, join(p, "o_proj"), out_flat)
