@@ -45,6 +45,8 @@ def main():
         rope_theta=500000.0,
         dtype=jnp.bfloat16,
     )
+    import os
+
     args = ServerArgs(
         model_path="__bench_dummy__",
         load_format="dummy",
@@ -53,6 +55,7 @@ def main():
         max_total_tokens=262144,
         chunked_prefill_size=8192,
         random_seed=0,
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
     )
     runner = ModelRunner(args, model_config=config)
     core = ScheduleCore(args, runner)

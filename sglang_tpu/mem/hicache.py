@@ -144,11 +144,16 @@ class HiCacheController:
                 "HiCache host tier does not mirror MLA latent pools yet; "
                 "run MLA models without --hicache-ratio"
             )
-        # Host page = both split-pool pages: [2(kv), ps, 2, FH].
-        page_shape = (2, cfg.page_size, 2, cfg.half_dim)
+        # Host page = both split-pool pages (storage-native layout; for
+        # quantized pools that is the int32-packed row form).
+        if cfg.quant:
+            page_shape = (2, cfg.page_size, cfg.folded_dim // 4)
+        else:
+            page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)
         self.host = HostKVTier(
-            cfg.num_layers, page_shape, cfg.page_size, n_host, cfg.dtype
+            cfg.num_layers, page_shape, cfg.page_size, n_host,
+            cfg.storage_dtype,
         )
         self._gather = jax.jit(
             lambda kv, pages: jnp.stack(

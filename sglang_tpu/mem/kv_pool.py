@@ -65,6 +65,12 @@ class KVPoolConfig:
     # over it (models/deepseek_v2.py absorbed path). ~8x less KV than the
     # naive decompressed form for DeepSeek-V2/V3.
     mla_dim: int = 0
+    # fp8 KV quantization (ref --kv-cache-dtype fp8_e5m2|fp8_e4m3,
+    # srt/layers/quantization/kv_cache.py). When set, per-layer arrays are
+    # int32-packed f8 rows `[NP, ps, F/4]` (ops/quant_kv.py for the byte
+    # layout and why int32 transport); `dtype` above is then the COMPUTE
+    # dtype attention dequantizes into, not the storage dtype.
+    quant: Optional[str] = None  # "fp8_e5m2" | "fp8_e4m3"
 
     def layer_num_pages(self, layer_id: int) -> int:
         if (
@@ -74,6 +80,11 @@ class KVPoolConfig:
         ):
             return self.swa_num_pages
         return self.num_pages
+
+    @property
+    def storage_dtype(self):
+        """Device array dtype (int32 transport when quantized)."""
+        return jnp.int32 if self.quant else self.dtype
 
     @property
     def num_slots(self) -> int:
@@ -93,7 +104,7 @@ class KVPoolConfig:
     def bytes_total(self) -> int:
         import numpy as np
 
-        itemsize = np.dtype(self.dtype).itemsize
+        itemsize = 1 if self.quant else np.dtype(self.dtype).itemsize
         if self.mla_dim:
             page_bytes = self.page_size * self.mla_dim * itemsize
         else:
@@ -126,23 +137,38 @@ class KVCachePool:
             and not config.mla_dim  # latent rows are shared across heads
             and config.num_kv_heads % (2 * mesh_ctx.tp_size) == 0
         )
+        if config.quant:
+            # int32-packed f8 rows: [NP, ps, F/4] (ops/quant_kv.py). No head
+            # sharding yet in quant mode — replicate (correct, costs memory).
+            shard_heads = False
         spec = P(None, None, None, AXIS_TP if shard_heads else None)
         self.layer_spec = spec
-        fh = config.half_dim
-        shapes = [
-            (config.layer_num_pages(l), config.page_size, 2, fh)
-            for l in range(config.num_layers)
-        ]
+        if config.quant:
+            lanes = (config.mla_dim or config.folded_dim) // 4
+            shapes = [
+                (config.layer_num_pages(l), config.page_size, lanes)
+                for l in range(config.num_layers)
+            ]
+            store_dtype = jnp.int32
+            spec = P(None, None, None)
+            self.layer_spec = spec
+        else:
+            fh = config.half_dim
+            shapes = [
+                (config.layer_num_pages(l), config.page_size, 2, fh)
+                for l in range(config.num_layers)
+            ]
+            store_dtype = config.dtype
 
         mla = bool(config.mla_dim)
 
         def alloc():
             if mla:
                 return tuple(
-                    (jnp.zeros(s, config.dtype), None) for s in shapes
+                    (jnp.zeros(s, store_dtype), None) for s in shapes
                 )
             return tuple(
-                (jnp.zeros(s, config.dtype), jnp.zeros(s, config.dtype))
+                (jnp.zeros(s, store_dtype), jnp.zeros(s, store_dtype))
                 for s in shapes
             )
 

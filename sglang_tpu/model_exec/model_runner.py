@@ -132,6 +132,8 @@ class ModelRunner:
             model_config.num_key_value_heads,
             model_config.head_dim,
             server_args.page_size,
+            kv_quant=self.kv_quant_format(),
+            compute_dtype=model_config.dtype,
         )
         logger.info("attention backend: %s", backend_name)
 
@@ -204,9 +206,11 @@ class ModelRunner:
         else:
             num_tokens = self._profile_max_tokens()
         num_pages = max(2, cdiv(num_tokens, sa.page_size) + 1)
-        kv_dtype = c.dtype if sa.kv_cache_dtype == "auto" else jnp.dtype(
-            sa.kv_cache_dtype
-        )
+        kv_quant = self.kv_quant_format()
+        if kv_quant or sa.kv_cache_dtype == "auto":
+            kv_dtype = c.dtype  # compute dtype (dequant target when quant)
+        else:
+            kv_dtype = jnp.dtype(sa.kv_cache_dtype)
         layer_windows = self._layer_windows()
         swa_num_pages = 0
         if any(w > 0 for w in layer_windows) and not sa.disable_swa_kv_pool:
@@ -233,6 +237,7 @@ class ModelRunner:
             layer_windows=layer_windows,
             swa_num_pages=swa_num_pages,
             mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
+            quant=kv_quant,
         )
         self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
         self.max_total_tokens = (num_pages - 1) * sa.page_size
@@ -303,9 +308,22 @@ class ModelRunner:
                 self.specs, self.server_args.random_seed, self.mesh_ctx
             )
 
+    def kv_quant_format(self):
+        """fp8 KV storage format or None (ref --kv-cache-dtype fp8_e5m2,
+        srt/layers/quantization/kv_cache.py; our int32-packed transport is
+        ops/quant_kv.py)."""
+        d = self.server_args.kv_cache_dtype
+        if d in ("fp8", "fp8_e5m2"):
+            return "fp8_e5m2"
+        if d == "fp8_e4m3":
+            return "fp8_e4m3"
+        return None
+
     def kv_dtype_np(self):
         c = self.model_config
         sa = self.server_args
+        if self.kv_quant_format():
+            return jnp.int8  # 1 byte/value for sizing
         return c.dtype if sa.kv_cache_dtype == "auto" else jnp.dtype(sa.kv_cache_dtype)
 
     # ---- the jitted step ----

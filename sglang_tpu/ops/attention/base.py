@@ -29,12 +29,18 @@ class AttentionBackend:
     supports_cascade = False
 
     def __init__(self, num_q_heads: int, num_kv_heads: int, head_dim: int,
-                 page_size: int, scale: float | None = None):
+                 page_size: int, scale: float | None = None,
+                 kv_quant: str | None = None, compute_dtype=None):
         self.num_q_heads = num_q_heads
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.page_size = page_size
         self.scale = scale if scale is not None else head_dim**-0.5
+        # fp8 KV storage (ops/quant_kv.py): "fp8_e5m2" | "fp8_e4m3" | None.
+        self.kv_quant = kv_quant
+        import jax.numpy as jnp
+
+        self.compute_dtype = compute_dtype or jnp.bfloat16
 
     def __call__(
         self,
@@ -75,7 +81,24 @@ class AttentionBackend:
         kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
 
+    def _dequant(self, rows, num_heads=None):
+        """Packed int32 rows [..., lanes] -> [..., nh, hd] compute dtype."""
+        from sglang_tpu.ops.quant_kv import unpack_f8
+
+        return unpack_f8(rows, num_heads or self.num_kv_heads,
+                         self.kv_quant, self.compute_dtype)
+
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
+        if self.kv_quant:
+            from sglang_tpu.ops.quant_kv import pack_f8
+
+            T = k.shape[0]
+            kp, vp = kv_layer
+            pages = fb.out_cache_loc // self.page_size
+            offs = fb.out_cache_loc % self.page_size
+            kr = pack_f8(k.reshape(T, -1), self.num_kv_heads, self.kv_quant)
+            vr = pack_f8(v.reshape(T, -1), self.num_kv_heads, self.kv_quant)
+            return (kp.at[pages, offs].set(kr), vp.at[pages, offs].set(vr))
         return write_kv_xla(kv_layer, k, v, fb.out_cache_loc, self.page_size)
 
     def forward_decode(self, q, kv_layer, fb, **kw):
@@ -113,9 +136,15 @@ class AttentionBackend:
 
     def write_mla(self, latent, rows, fb: ForwardBatch):
         T = rows.shape[0]
-        fh = latent.shape[-1]
         pages = fb.out_cache_loc // self.page_size
         offs = fb.out_cache_loc % self.page_size
+        if self.kv_quant:
+            from sglang_tpu.ops.quant_kv import pack_f8
+
+            return latent.at[pages, offs].set(
+                pack_f8(rows, 1, self.kv_quant)
+            )
+        fh = latent.shape[-1]
         return latent.at[pages, offs].set(
             rows.reshape(T, 2, fh).astype(latent.dtype)
         )

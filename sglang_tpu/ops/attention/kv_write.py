@@ -100,10 +100,17 @@ def write_rows_pages(
     *,
     page_size: int,
 ) -> jax.Array:
-    """Single-pool row scatter (MLA latent pool — mem/kv_pool.py mla_dim)."""
+    """Single-pool row scatter (MLA latent pool — mem/kv_pool.py mla_dim).
+
+    3-D pools ([NP, ps, lanes] — int32-packed quantized rows) take rows
+    already in storage form [T, lanes]; 4-D pools use the (2, F/2)
+    write-legal split."""
     T = rows.shape[0]
-    fh = pool.shape[-1]
-    rr = rows.reshape(T, 2, fh).astype(pool.dtype)
+    if pool.ndim == 3:
+        rr = rows.astype(pool.dtype)
+    else:
+        fh = pool.shape[-1]
+        rr = rows.reshape(T, 2, fh).astype(pool.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -135,9 +142,13 @@ def write_kv_pages(
     page_size: int,
 ) -> tuple:
     T = krows.shape[0]
-    fh = k_layer.shape[-1]
-    kr = krows.reshape(T, 2, fh).astype(k_layer.dtype)
-    vr = vrows.reshape(T, 2, fh).astype(v_layer.dtype)
+    if k_layer.ndim == 3:  # int32-packed quantized pool: rows [T, lanes]
+        kr = krows.astype(k_layer.dtype)
+        vr = vrows.astype(v_layer.dtype)
+    else:
+        fh = k_layer.shape[-1]
+        kr = krows.reshape(T, 2, fh).astype(k_layer.dtype)
+        vr = vrows.reshape(T, 2, fh).astype(v_layer.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

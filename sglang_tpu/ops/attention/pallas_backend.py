@@ -78,6 +78,8 @@ class PallasBackend(AttentionBackend):
             return 1
 
     def _shardable(self, tp: int) -> bool:
+        if self.kv_quant:
+            return False  # quantized pools are replicated (for now)
         return (
             self.num_kv_heads % (2 * tp) == 0
             and self.num_q_heads % (2 * tp) == 0
@@ -88,9 +90,18 @@ class PallasBackend(AttentionBackend):
 
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
         T = k.shape[0]
+        ps = self.page_size
+        if self.kv_quant:
+            from sglang_tpu.ops.quant_kv import pack_f8
+
+            kr = pack_f8(k.reshape(T, -1), self.num_kv_heads, self.kv_quant)
+            vr = pack_f8(v.reshape(T, -1), self.num_kv_heads, self.kv_quant)
+            return write_kv_pages(
+                kv_layer[0], kv_layer[1], kr, vr, fb.out_cache_loc,
+                page_size=ps,
+            )
         krows = k.reshape(T, -1)
         vrows = v.reshape(T, -1)
-        ps = self.page_size
 
         tp = self._tp_size()
         if tp > 1 and self._shardable(tp):
@@ -123,6 +134,10 @@ class PallasBackend(AttentionBackend):
     def write_mla(self, latent, rows, fb: ForwardBatch):
         from sglang_tpu.ops.attention.kv_write import write_rows_pages
 
+        if self.kv_quant:
+            from sglang_tpu.ops.quant_kv import pack_f8
+
+            rows = pack_f8(rows, 1, self.kv_quant)
         return write_rows_pages(
             latent, rows, fb.out_cache_loc, page_size=self.page_size
         )
@@ -148,7 +163,7 @@ class PallasBackend(AttentionBackend):
             fb.page_table, fb.seq_lens, fb.prefix_lens, fb.q_lens,
             fb.block_seq, fb.block_q_off,
             scale=scale, page_size=self.page_size, num_kv_heads=1,
-            block_q=fb.extend_align,
+            block_q=fb.extend_align, kv_quant=self.kv_quant or "",
         )
         return out.reshape(T, nh, D)[..., :v_dim]
 
@@ -159,11 +174,15 @@ class PallasBackend(AttentionBackend):
         ps, hd = self.page_size, self.head_dim
 
         def local(qs, kps, vps, pt, sl):
-            nk_local = 2 * kps.shape[-1] // hd
+            if self.kv_quant:
+                nk_local = 4 * kps.shape[-1] // hd
+            else:
+                nk_local = 2 * kps.shape[-1] // hd
             return paged_decode_attention(
                 qs, kps, vps, pt, sl,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
                 window=int(window or 0), logit_cap=float(logit_cap or 0.0),
+                kv_quant=self.kv_quant or "",
             )
 
         tp = self._tp_size()
@@ -202,12 +221,16 @@ class PallasBackend(AttentionBackend):
         block_q = fb.extend_align
 
         def local(qs, kps, vps, pt, sl, pfl, qls, bseq, bqoff):
-            nk_local = 2 * kps.shape[-1] // hd
+            if self.kv_quant:
+                nk_local = 4 * kps.shape[-1] // hd
+            else:
+                nk_local = 2 * kps.shape[-1] // hd
             return paged_extend_attention(
                 qs, kps, vps, pt, sl, pfl, qls, bseq, bqoff,
                 scale=scale, page_size=ps, num_kv_heads=nk_local,
                 block_q=block_q, window=int(window or 0),
                 logit_cap=float(logit_cap or 0.0),
+                kv_quant=self.kv_quant or "",
             )
 
         tp = self._tp_size()

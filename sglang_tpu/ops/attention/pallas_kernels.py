@@ -93,6 +93,44 @@ def _head_slice(buf_page, kh: int, hd: int, fh: int):
     return jnp.concatenate([a, b], axis=-1)
 
 
+def _decode_f8_bytes(b, fmt: str):
+    """Unsigned byte values [rows, L] int32 -> EXACT f32 (integer bit
+    assembly + bitcast; Mosaic here cannot express f8 loads, so quantized
+    pages arrive as int32 lanes and each byte is decoded on the VPU — see
+    ops/quant_kv.py for the packing layout)."""
+    s = (b >> 7) & 1
+    if fmt == "fp8_e5m2":
+        e = (b >> 2) & 31
+        m = b & 3
+        bias, mbits = 15, 2
+    else:  # fp8_e4m3 (fn: no inf; e=15&m=7 NaN never produced by quant)
+        e = (b >> 3) & 15
+        m = b & 7
+        bias, mbits = 7, 3
+    # Normal numbers: rebase the exponent into the f32 field and shift the
+    # mantissa up — the decoded f32 is bit-exact.
+    bits = (s << 31) | ((e + (127 - bias)) << 23) | (m << (23 - mbits))
+    val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    # Subnormals: m * 2^(1 - bias - mbits), exact as an integer scaled by a
+    # power-of-two constant.
+    sign = jnp.where(s == 1, -1.0, 1.0)
+    subval = sign * m.astype(jnp.float32) * float(2.0 ** (1 - bias - mbits))
+    return jnp.where(e > 0, val, subval)
+
+
+def _head_slice_f8(buf_page, kh: int, hd: int, fmt: str):
+    """Head kh's decoded [ps, hd] f32 from a packed [ps, F/4]-int32 page.
+
+    Byte plane j of the head's hd/4 lanes = features [j*hd/4, (j+1)*hd/4)
+    (the quant_kv packing layout) so reassembly is a lane concat."""
+    L = hd // 4
+    x = buf_page[:, kh * L:(kh + 1) * L]  # [ps, L] int32
+    planes = [
+        _decode_f8_bytes((x >> (8 * j)) & 0xFF, fmt) for j in range(4)
+    ]
+    return jnp.concatenate(planes, axis=-1)  # [ps, hd] f32
+
+
 def _run_paged_flash(
     b,
     num_pages,
@@ -117,7 +155,7 @@ def _run_paged_flash(
         ms, ls, accs = carry
         slot = jax.lax.rem(p, NBUF)
         wait_dma(slot)
-        k = k_buf[slot].astype(jnp.float32)  # [ps, 2, FH]
+        k = k_buf[slot]  # [ps, 2, FH] (raw; make_scores handles dtype)
         v = v_buf[slot]  # [ps, 2, FH]
 
         scores_per_head = make_scores(k, p)
@@ -167,6 +205,7 @@ def _decode_kernel(
     head_dim: int,
     window: int = 0,
     logit_cap: float = 0.0,
+    kv_quant: str = "",
 ):
     b = pl.program_id(0)
     seq_len = seq_lens_ref[b]
@@ -181,6 +220,11 @@ def _decode_kernel(
     )
     q = q_ref[0].astype(jnp.float32) * scale  # [nq, hd]
 
+    def khead(k, kh):
+        if kv_quant:
+            return _head_slice_f8(k, kh, hd, kv_quant)
+        return _head_slice(k, kh, hd, fh).astype(jnp.float32)
+
     def make_scores(k, p):
         pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
@@ -191,7 +235,7 @@ def _decode_kernel(
         out = []
         for kh in range(num_kv_heads):
             q_kh = q[kh * group : (kh + 1) * group, :]  # [group, hd]
-            k_kh = _head_slice(k, kh, hd, fh)  # [ps, hd]
+            k_kh = khead(k, kh)  # [ps, hd]
             scores = jax.lax.dot_general(
                 q_kh, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -203,6 +247,8 @@ def _decode_kernel(
         return out
 
     def hd_slice(v, kh):
+        if kv_quant:
+            return _head_slice_f8(v, kh, hd, kv_quant).astype(jnp.bfloat16)
         return _head_slice(v, kh, hd, fh)
 
     ms, ls, accs = _run_paged_flash(
@@ -217,12 +263,12 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_kv_heads", "window",
-                     "logit_cap"),
+                     "logit_cap", "kv_quant"),
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    k_pages: jax.Array,  # [NP, ps, 2, FH]
-    v_pages: jax.Array,  # [NP, ps, 2, FH]
+    k_pages: jax.Array,  # [NP, ps, 2, FH] (or [NP, ps, F/4] i32 quantized)
+    v_pages: jax.Array,
     page_table: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32
     *,
@@ -231,10 +277,17 @@ def paged_decode_attention(
     num_kv_heads: int,
     window: int = 0,
     logit_cap: float = 0.0,
+    kv_quant: str = "",
 ) -> jax.Array:
     B, nq, hd = q.shape
-    _, ps, _, fh = k_pages.shape
-    assert 2 * fh == num_kv_heads * hd
+    if kv_quant:
+        _, ps, lanes = k_pages.shape
+        assert 4 * lanes == num_kv_heads * hd
+        buf_shape = (NBUF, ps, lanes)
+    else:
+        _, ps, _, fh = k_pages.shape
+        assert 2 * fh == num_kv_heads * hd
+        buf_shape = (NBUF, ps, 2, fh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -249,8 +302,8 @@ def paged_decode_attention(
             (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ps, 2, fh), k_pages.dtype),
-            pltpu.VMEM((NBUF, ps, 2, fh), v_pages.dtype),
+            pltpu.VMEM(buf_shape, k_pages.dtype),
+            pltpu.VMEM(buf_shape, v_pages.dtype),
             pltpu.SemaphoreType.DMA((2 * NBUF,)),
         ],
     )
@@ -262,6 +315,7 @@ def paged_decode_attention(
         head_dim=hd,
         window=window,
         logit_cap=logit_cap,
+        kv_quant=kv_quant,
     )
     return pl.pallas_call(
         kernel,
@@ -309,6 +363,7 @@ def _extend_kernel(
     block_q: int,
     window: int = 0,
     logit_cap: float = 0.0,
+    kv_quant: str = "",
 ):
     i = pl.program_id(0)
     b = block_seq_ref[i]
@@ -350,7 +405,10 @@ def _extend_kernel(
         for h in range(nheads):
             kh = h // group
             q_h = q[:, h * hd : (h + 1) * hd]  # [BQ, hd]
-            k_kh = _head_slice(k, kh, hd, fh)  # [ps, hd]
+            if kv_quant:
+                k_kh = _head_slice_f8(k, kh, hd, kv_quant)
+            else:
+                k_kh = _head_slice(k, kh, hd, fh).astype(jnp.float32)
             scores = jax.lax.dot_general(
                 q_h, k_kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -362,6 +420,10 @@ def _extend_kernel(
         return out
 
     def hd_slice(v, h):
+        if kv_quant:
+            return _head_slice_f8(v, h // group, hd, kv_quant).astype(
+                jnp.bfloat16
+            )
         return _head_slice(v, h // group, hd, fh)
 
     ms, ls, accs = _run_paged_flash(
@@ -376,12 +438,12 @@ def _extend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "block_q", "num_kv_heads",
-                     "window", "logit_cap"),
+                     "window", "logit_cap", "kv_quant"),
 )
 def paged_extend_attention(
     q: jax.Array,  # [T, nq*hd] folded (T multiple of block_q; aligned segs)
-    k_pages: jax.Array,  # [NP, ps, 2, FH]
-    v_pages: jax.Array,  # [NP, ps, 2, FH]
+    k_pages: jax.Array,  # [NP, ps, 2, FH] (or [NP, ps, F/4] i32 quantized)
+    v_pages: jax.Array,
     page_table: jax.Array,  # [B, P]
     seq_lens: jax.Array,  # [B]
     prefix_lens: jax.Array,  # [B]
@@ -395,10 +457,17 @@ def paged_extend_attention(
     block_q: int = 64,
     window: int = 0,
     logit_cap: float = 0.0,
+    kv_quant: str = "",
 ) -> jax.Array:
     T, Fq = q.shape
-    _, ps, _, fh = k_pages.shape
-    F = 2 * fh
+    if kv_quant:
+        _, ps, lanes = k_pages.shape
+        F = 4 * lanes
+        buf_shape = (NBUF, ps, lanes)
+    else:
+        _, ps, _, fh = k_pages.shape
+        F = 2 * fh
+        buf_shape = (NBUF, ps, 2, fh)
     hd = F // num_kv_heads
     assert T % block_q == 0 and Fq % hd == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -419,8 +488,8 @@ def paged_extend_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ps, 2, fh), k_pages.dtype),
-            pltpu.VMEM((NBUF, ps, 2, fh), v_pages.dtype),
+            pltpu.VMEM(buf_shape, k_pages.dtype),
+            pltpu.VMEM(buf_shape, v_pages.dtype),
             pltpu.SemaphoreType.DMA((2 * NBUF,)),
         ],
     )
@@ -433,6 +502,7 @@ def paged_extend_attention(
         block_q=block_q,
         window=window,
         logit_cap=logit_cap,
+        kv_quant=kv_quant,
     )
     return pl.pallas_call(
         kernel,

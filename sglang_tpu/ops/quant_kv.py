@@ -1,0 +1,70 @@
+"""fp8 KV-cache packing (int32 transport rows).
+
+Ref behavior: srt/layers/quantization/kv_cache.py + --kv-cache-dtype
+(fp8_e5m2 / fp8_e4m3, scale-free). TPU-native storage design:
+
+This Mosaic toolchain cannot DMA sub-int32 element types (f8/int8 pool
+slices fail to compile) and requires 128-lane-aligned memref slices, so
+quantized pools store each token row as INT32 LANES holding 4 packed fp8
+bytes each: pool `[num_pages, page_size, F/4] int32` (F = nk*hd folded
+features). The same Pallas row-DMA write kernel then scatters rows as
+[F/4]-lane int32 copies, and page DMAs move exactly half the bf16 bytes.
+
+Byte-plane layout (chosen so the Pallas kernels can decode without lane
+shuffles): within each head's hd features, feature f lives at int32 lane
+f % (hd/4), byte f // (hd/4). A kernel unpacking byte plane j of a head's
+lanes therefore gets features [j*hd/4, (j+1)*hd/4) — reassembly is a lane
+CONCAT (legal in Mosaic) instead of an interleave (not expressible).
+
+e5m2 decode inside kernels is pure arithmetic ((1-2s)*2^(e-15)*(1+m/4));
+e4m3 analogous with bias 7. XLA paths (decode attention, cascade, MLA)
+bitcast through the real f8 dtypes instead — exact same values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+F8_DTYPES = {
+    "fp8_e5m2": jnp.float8_e5m2,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+}
+
+
+def quant_lanes(folded_dim: int) -> int:
+    """int32 lanes per packed row."""
+    assert folded_dim % 4 == 0, "quantized KV needs nk*hd % 4 == 0"
+    return folded_dim // 4
+
+
+def pack_f8(x: jax.Array, num_heads: int, fmt: str) -> jax.Array:
+    """[..., num_heads * hd] float -> [..., num_heads * hd/4] int32.
+
+    Feature f of head h -> lane h*(hd/4) + f % (hd/4), byte f // (hd/4).
+    """
+    f8 = F8_DTYPES[fmt]
+    lead = x.shape[:-1]
+    hd = x.shape[-1] // num_heads
+    L = hd // 4
+    b = x.reshape(lead + (num_heads, 4, L)).astype(f8)
+    b = jnp.swapaxes(b, -1, -2)  # [..., nh, L, 4]
+    packed = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b, jnp.int8), jnp.int32
+    )  # [..., nh, L]
+    return packed.reshape(lead + (num_heads * L,))
+
+
+def unpack_f8(rows: jax.Array, num_heads: int, fmt: str,
+              out_dtype=jnp.bfloat16) -> jax.Array:
+    """[..., num_heads * hd/4] int32 -> [..., num_heads, hd] out_dtype."""
+    f8 = F8_DTYPES[fmt]
+    lead = rows.shape[:-1]
+    L = rows.shape[-1] // num_heads
+    hd = 4 * L
+    by = jax.lax.bitcast_convert_type(
+        rows.reshape(lead + (num_heads, L)), jnp.int8
+    )  # [..., nh, L, 4]
+    vals = jax.lax.bitcast_convert_type(by, f8)  # same shape
+    vals = jnp.swapaxes(vals, -1, -2)  # [..., nh, 4, L]
+    return vals.reshape(lead + (num_heads, hd)).astype(out_dtype)
