@@ -882,6 +882,15 @@ class ScheduleCore:
             # full sampler (temperature/penalties/grammar/bias/min-new) must
             # decode through the normal path; mixed batches skip spec.
             return False
+        if (
+            self.draft_worker is not None
+            and getattr(self.draft_worker, "is_tree", False)
+            and not self.hybrid_swa  # compaction can't map SWA slots yet
+            and self.runner.model_config.sliding_window is None
+            # tree-verify attention has no window/sink terms yet
+            and not getattr(self.runner.model, "has_attention_sinks", False)
+        ):
+            return self._run_tree_verify_step(eligible)
         if self.draft_worker is not None:
             spec_reqs = [r for r in eligible if can_spec[r.rid]]
             draft_lists = (
@@ -984,6 +993,141 @@ class ScheduleCore:
             # EAGLE: catch the draft head's KV up over the accepted
             # positions using the target's features from this verify pass.
             self.draft_worker.observe_and_extend(observe_entries, hidden_dev)
+        return True
+
+    # ---- speculative tree verify (EAGLE top-k) ----
+    def _run_tree_verify_step(self, eligible) -> bool:
+        """One tree-verify round: top-k tree drafts -> ONE tree-masked
+        target extend over R nodes per request -> greedy tree-walk
+        acceptance -> KV compaction of the accepted path -> emission.
+
+        Ref: eagle_worker_v2.py:489 (draft) / :1492 (verify) recast as
+        data-driven tree masks on a fixed node count R (the jitted verify
+        program is shared across rounds; the tree shape is data).
+        """
+        from sglang_tpu.speculative.tree import (
+            accept_tree_greedy,
+            chain_draft,
+        )
+
+        worker = self.draft_worker
+        R = worker.tree_size
+        drafts = worker.propose_tree(eligible)
+        rows = []
+        seq_inputs = []
+        for req, tree in zip(eligible, drafts):
+            if tree is None:
+                tree = chain_draft([req.all_ids[-1]])
+            tree = tree.padded(R)
+            prefix = req._device_seq_len
+            if not self._extend_pages(req, prefix + R):
+                self._evict_for(
+                    cdiv(prefix + R, self.page_size) - len(req.pages)
+                )
+                if not self._extend_pages(req, prefix + R):
+                    self._retract_one()
+                    if req.status != ReqStatus.RUNNING:
+                        continue
+                    if not self._extend_pages(req, prefix + R):
+                        continue
+            rows.append((req, tree, prefix))
+            seq_inputs.append(
+                SeqInput(
+                    tree.tokens, prefix, req.pages, req_slot=req.req_slot,
+                    custom_positions=(prefix + tree.depths).astype(np.int32),
+                    tree_mask=tree.ancestor_mask(),
+                )
+            )
+        if not rows:
+            return False
+        fb = build_forward_batch(
+            seq_inputs, self.page_size, ForwardMode.EXTEND,
+            trash_slot=self.runner.trash_slot, align=16,
+        )
+        tokens_dev, logprobs_dev, hidden_dev = self.runner.forward_verify(fb)
+        tokens = np.asarray(tokens_dev)
+        logprobs = np.asarray(logprobs_dev)
+        seg = np.asarray(fb.cu_q_lens)
+
+        # Pass 1: acceptance + KV compaction moves (moves must land before
+        # any page is cached into the radix tree by a finishing request).
+        ps = self.page_size
+        accepted = []
+        move_src: List[int] = []
+        move_dst: List[int] = []
+        for i, (req, tree, prefix) in enumerate(rows):
+            start = int(seg[i])
+            emit, path = accept_tree_greedy(tree, tokens[start:start + R])
+            budget = req.sampling_params.max_new_tokens - req._device_step
+            if len(emit) > budget:
+                emit = emit[:budget]
+                path = path[: max(budget - 1, 0)]
+            accepted.append((emit, path, start))
+            for j, node in enumerate(path):
+                if node == j + 1:
+                    continue  # already in place (chain-prefix of the tree)
+                src_pos = prefix + node
+                dst_pos = prefix + 1 + j
+                move_src.append(
+                    req.pages[src_pos // ps] * ps + src_pos % ps
+                )
+                move_dst.append(
+                    req.pages[dst_pos // ps] * ps + dst_pos % ps
+                )
+        if move_src:
+            self.runner.move_kv_rows(
+                np.asarray(move_src, np.int32), np.asarray(move_dst, np.int32)
+            )
+
+        # Pass 2: emission, finish handling, draft catch-up.
+        slots, next_tokens = [], []
+        observe_entries = []
+        for (req, tree, prefix), (emit, path, start) in zip(rows, accepted):
+            n_accept = len(path)
+            self.num_spec_steps += 1
+            self.num_spec_accepted += n_accept
+            req._device_seq_len = prefix + 1 + n_accept
+            src_nodes = [0] + path  # emit[j] was produced at src_nodes[j]
+            finished = False
+            for j, tok in enumerate(emit):
+                req.output_ids.append(tok)
+                self.num_generated_tokens += 1
+                lp = float(logprobs[start + src_nodes[j]])
+                if req.return_logprob:
+                    req.output_logprobs.append(lp)
+                fr = req.check_finished(tok)
+                if fr is None and (req.sampling_params.stop
+                                   or req.sampling_params.stop_regex):
+                    fr = self._check_stop_strings(req)
+                self._early_outputs.append(
+                    StepOutput(
+                        rid=req.rid,
+                        new_token=tok,
+                        finish_reason=fr.to_json() if fr else None,
+                        logprob=lp if req.return_logprob else None,
+                        completion_tokens=len(req.output_ids),
+                        cached_tokens=req.cached_report,
+                        prompt_tokens=len(req.input_ids),
+                    )
+                )
+                if fr is not None:
+                    self._finish_req(req, fr)
+                    finished = True
+                    break
+            req._device_step = len(req.output_ids)
+            req.spec_accepted_tokens += n_accept
+            if not finished and emit:
+                slots.append(req.req_slot)
+                next_tokens.append(emit[-1])
+                observe_entries.append(
+                    (req, prefix,
+                     np.asarray([start + n for n in src_nodes], np.int32),
+                     1 + n_accept)
+                )
+        if slots:
+            self.runner.override_next_tokens(slots, next_tokens)
+        if observe_entries and getattr(worker, "needs_hidden", False):
+            worker.observe_and_extend(observe_entries, hidden_dev)
         return True
 
     # ---- decode ----

@@ -10,13 +10,20 @@ Two parallelism modes:
   FFN hidden dim, so each chip computes every expert on its intermediate
   shard.
 - EP (--ep-size == tp_size, ref srt/layers/moe/ep_moe/): experts are
-  partitioned over the same devices. Each shard runs ONE grouped GEMM over
-  the globally expert-sorted token stream, with zero-weight "before"/
-  "after" padding groups absorbing the rows routed to other shards (their
-  outputs are exactly zero), then a psum over the axis combines shard
-  results — dropless and exact with no host-side dispatch. A ragged
-  all-to-all dispatch (send each token only to its experts' shard) is the
-  planned bandwidth optimization.
+  partitioned over the same devices. Two dispatch modes:
+  * padded (default off-axis fallback): each shard runs ONE grouped GEMM
+    over the globally expert-sorted token stream with zero-weight
+    "before"/"after" padding groups absorbing other shards' rows, then a
+    psum combines — dropless and exact with no dispatch traffic but every
+    shard READS the full stream.
+  * ragged all-to-all (--moe-a2a-backend ragged; ref
+    srt/layers/moe/token_dispatcher/ + DeepEP): the token stream is
+    sharded over the axis, each shard sorts its slice by expert, sends
+    each destination shard exactly the rows its experts own via
+    jax.lax.ragged_all_to_all, runs the local grouped GEMM over ONLY the
+    received rows (1/ep of the stream when balanced), and returns results
+    through the reverse ragged a2a — dropless, exact, and the per-shard
+    GEMM read volume drops ep-fold.
 
 Numerics match HF Mixtral/Qwen2MoE: softmax over top-k (Mixtral
 renormalizes over the selected k; Qwen2MoE optionally normalizes), f32
@@ -33,6 +40,52 @@ from jax.sharding import PartitionSpec as P
 
 from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
+
+# Module-level dispatch config (set by ModelRunner before model build,
+# like quantization.set_quant_method): "ragged" enables the ragged
+# all-to-all EP dispatch; None keeps the padded-groups formulation.
+_MOE_A2A: Optional[str] = None
+
+
+def set_moe_a2a(backend: Optional[str]) -> None:
+    global _MOE_A2A
+    if backend not in (None, "none", "ragged"):
+        raise ValueError(f"unknown --moe-a2a-backend {backend!r}")
+    _MOE_A2A = None if backend in (None, "none") else backend
+
+
+def get_moe_a2a() -> Optional[str]:
+    return _MOE_A2A
+
+
+def _ragged_a2a(operand, output, in_off, send_sz, out_off, recv_sz,
+                axis_name):
+    """jax.lax.ragged_all_to_all, with a semantically identical
+    emulation (all_gather + masked scatter) off-TPU — XLA:CPU has no
+    ragged-all-to-all thunk, and the CPU test mesh must still exercise
+    the dispatch layout math."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.ragged_all_to_all(
+            operand, output, in_off, send_sz, out_off, recv_sz,
+            axis_name=axis_name,
+        )
+    ep = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    ops = jax.lax.all_gather(operand, axis_name)  # [ep, N, ...]
+    in_offs = jax.lax.all_gather(in_off, axis_name)  # [ep, ep]
+    out_offs = jax.lax.all_gather(out_off, axis_name)
+    sends = jax.lax.all_gather(send_sz, axis_name)
+    N = operand.shape[0]
+    cap = output.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    buf = output
+    for s in range(ep):
+        src = jnp.clip(in_offs[s, me] + idx, 0, N - 1)
+        rows = ops[s][src]
+        valid = idx < sends[s, me]
+        dst = jnp.where(valid, out_offs[s, me] + idx, cap)
+        buf = buf.at[dst].set(rows, mode="drop")
+    return buf
 
 
 class FusedMoE:
@@ -135,6 +188,15 @@ class FusedMoE:
         """Dropless grouped-GEMM expert compute given routing decisions."""
         T, H = x.shape
         E, K = self.num_experts, topk_idx.shape[-1]
+        if (
+            self.ep_size > 1
+            and get_moe_a2a() == "ragged"
+            and T % self.ep_size == 0
+        ):
+            w_gu, w_dn = self._expert_weights(params, prefix, x.dtype)
+            return self._experts_ep_a2a(
+                x, topk_weights, topk_idx, w_gu, w_dn
+            ).astype(x.dtype)
         # Flatten (token, k) pairs and sort by expert for grouped GEMM.
         flat_expert = topk_idx.reshape(-1)  # [T*K]
         flat_weight = topk_weights.reshape(-1)  # [T*K]
@@ -158,6 +220,98 @@ class FusedMoE:
         out = jnp.zeros((T, H), out_sorted.dtype)
         out = out.at[token_of].add(out_sorted)
         return out.astype(x.dtype)
+
+    def _experts_ep_a2a(self, x, topk_w, topk_i, w_gu, w_dn):
+        """Ragged all-to-all EP dispatch (ref token_dispatcher/deepep.py
+        recast with jax.lax.ragged_all_to_all over the mesh axis).
+
+        Each shard owns the T/ep token slice it is responsible for, sorts
+        its (token, k) rows by expert, ships every destination shard
+        exactly the rows that shard's experts own, runs the grouped GEMM
+        over only the RECEIVED rows, and reverses the exchange. Traffic
+        per shard = its sent + received rows; GEMM reads drop ep-fold vs
+        the padded-groups formulation."""
+        E, K = self.num_experts, topk_i.shape[-1]
+        ep = self.ep_size
+        El = E // ep
+        T, H = x.shape
+        Tl = T // ep
+        TK = T * K  # worst-case recv capacity (all rows to one shard)
+        ctx = get_mesh_context()
+
+        def local(xl, ti, tw, gu, dn):
+            me = jax.lax.axis_index(AXIS_TP)
+            flat_e = ti.reshape(-1)  # [Tl*K]
+            order = jnp.argsort(flat_e)
+            tok_of = order // K
+            xs = xl[tok_of]  # [Tl*K, H] expert-sorted
+            gs_e = jnp.bincount(flat_e, length=E).astype(jnp.int32)  # [E]
+            send_sizes = gs_e.reshape(ep, El).sum(axis=1)  # [ep]
+            csum = jnp.cumsum(send_sizes)
+            input_offsets = (csum - send_sizes).astype(jnp.int32)
+            # size exchange: sizes_mat[s, d] = rows s sends to d
+            sizes_mat = jax.lax.all_gather(send_sizes, AXIS_TP)  # [ep, ep]
+            gs_mat = jax.lax.all_gather(gs_e, AXIS_TP)  # [ep, E]
+            recv_sizes = sizes_mat[:, me]  # [ep] rows from each sender
+            # where MY slice to d starts on d: senders before me, same d
+            output_offsets = (jnp.cumsum(sizes_mat, axis=0) - sizes_mat)[me]
+            buf = jnp.zeros((TK, H), xs.dtype)
+            recv = _ragged_a2a(
+                xs, buf, input_offsets, send_sizes.astype(jnp.int32),
+                output_offsets.astype(jnp.int32),
+                recv_sizes.astype(jnp.int32), AXIS_TP,
+            )  # [TK, H]: sender-major, expert-sorted within each sender
+            # Reconstruct each received row's LOCAL expert from the counts
+            # (no ids on the wire): flat group g = (sender, local expert).
+            cnts = jax.lax.dynamic_slice_in_dim(
+                gs_mat, me * El, El, axis=1
+            ).reshape(-1)  # [ep*El]
+            bounds = jnp.cumsum(cnts)
+            rix = jnp.arange(TK, dtype=jnp.int32)
+            g = jnp.searchsorted(bounds, rix, side="right")  # [TK]
+            loc_e = jnp.where(g < ep * El, g % El, El)  # El = padding group
+            order2 = jnp.argsort(loc_e)  # stable: resort by local expert
+            xs2 = recv[order2]
+            gs_local = jnp.concatenate(
+                [
+                    cnts.reshape(ep, El).sum(axis=0),
+                    (TK - bounds[-1])[None],  # padding rows -> zero expert
+                ]
+            ).astype(jnp.int32)
+            zgu = jnp.zeros((1,) + gu.shape[1:], gu.dtype)
+            zdn = jnp.zeros((1,) + dn.shape[1:], dn.dtype)
+            out2 = self._grouped_ffn(
+                xs2, gs_local,
+                jnp.concatenate([gu, zgu], axis=0),
+                jnp.concatenate([dn, zdn], axis=0),
+            )  # [TK, H]
+            inv2 = jnp.argsort(order2)
+            out_recv = out2[inv2]  # back to sender-major layout
+            # reverse exchange: return each sender its processed rows
+            in_off_mat = jax.lax.all_gather(input_offsets, AXIS_TP)
+            rcs = jnp.cumsum(recv_sizes)
+            rev_in_off = (rcs - recv_sizes).astype(jnp.int32)
+            back = _ragged_a2a(
+                out_recv, jnp.zeros((Tl * K, H), out_recv.dtype),
+                rev_in_off, recv_sizes.astype(jnp.int32),
+                in_off_mat[:, me].astype(jnp.int32),
+                send_sizes.astype(jnp.int32), AXIS_TP,
+            )  # [Tl*K, H] in my expert-sorted order
+            ws = tw.reshape(-1)[order][:, None]
+            out_tok = jnp.zeros((Tl, H), back.dtype)
+            out_tok = out_tok.at[tok_of].add(back * ws.astype(back.dtype))
+            return out_tok
+
+        return jax.shard_map(
+            local,
+            mesh=ctx.mesh,
+            in_specs=(
+                P(AXIS_TP, None), P(AXIS_TP, None), P(AXIS_TP, None),
+                P(AXIS_TP, None, None, None), P(AXIS_TP, None, None),
+            ),
+            out_specs=P(AXIS_TP, None),
+            check_vma=False,
+        )(x, topk_i, topk_w.astype(jnp.float32), w_gu, w_dn)
 
     def _experts_ep(self, x_sorted, group_sizes, w_gu, w_dn):
         """Expert-parallel grouped GEMM: each shard holds E/ep experts and

@@ -43,6 +43,14 @@ class SeqInput:
     # the decode position delta (see models/qwen2_vl.compute_mrope_positions).
     mrope_positions: Optional[np.ndarray] = None
     mrope_delta: int = 0
+    # Speculative tree verify: absolute positions for the q new tokens
+    # (prefix + node depth, NOT sequential) and the [q, Rk] ancestor-mask
+    # rows over tree slots [prefix, prefix + Rk). KV slots stay sequential
+    # from slot_base (defaults to prefix_len; draft tree levels write at
+    # prefix + first_node_id while masking over the whole tree region).
+    custom_positions: Optional[np.ndarray] = None
+    tree_mask: Optional[np.ndarray] = None
+    slot_base: Optional[int] = None
 
 
 DEFAULT_DECODE_BS_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
@@ -82,7 +90,16 @@ def build_forward_batch(
         for s in seqs:
             seg_offsets.append(off)
             off += round_up(len(s.new_token_ids), align)
-        T = bucketize(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
+        if seqs[0].tree_mask is not None:
+            # Tree verify: every seq has the same q = R; T is exactly
+            # B * round_up(R, align) so the backend can reshape the token
+            # stream to [B, Rq] (padding rows after the real seqs).
+            rq = round_up(len(seqs[0].new_token_ids), align)
+            assert all(len(s.new_token_ids) == len(seqs[0].new_token_ids)
+                       for s in seqs)
+            T = B * rq
+        else:
+            T = bucketize(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
 
     max_pages_needed = max(len(s.page_ids) for s in seqs)
     P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)
@@ -104,6 +121,12 @@ def build_forward_batch(
     hybrid_swa = any(s.swa_page_ids is not None for s in seqs)
     swa_page_table = np.zeros((B, P), np.int32) if hybrid_swa else None
     swa_out_cache_loc = np.zeros(T, np.int32) if hybrid_swa else None
+    tree = seqs[0].tree_mask is not None
+    spec_tree_mask = None
+    if tree:
+        rq = round_up(len(seqs[0].new_token_ids), align)
+        rk = seqs[0].tree_mask.shape[1]
+        spec_tree_mask = np.zeros((B, rq, rk), np.bool_)
     mrope = any(s.mrope_positions is not None or s.mrope_delta for s in seqs)
     mrope_positions = (
         np.zeros((3, T), np.int32) if (mrope and not mode.is_decode()) else None
@@ -114,7 +137,14 @@ def build_forward_batch(
         off = seg_offsets[i]
         q = len(s.new_token_ids)
         input_ids[off : off + q] = s.new_token_ids
-        positions[off : off + q] = np.arange(s.prefix_len, s.prefix_len + q)
+        if s.custom_positions is not None:
+            positions[off : off + q] = s.custom_positions
+        else:
+            positions[off : off + q] = np.arange(
+                s.prefix_len, s.prefix_len + q
+            )
+        if spec_tree_mask is not None:
+            spec_tree_mask[i, :q, :] = s.tree_mask
         seq_lens[i] = s.prefix_len + q
         q_lens[i] = q
         cu_q_lens[i] = off
@@ -124,8 +154,9 @@ def build_forward_batch(
         else:
             page_table[i, : len(s.page_ids)] = s.page_ids
         prefix_lens[i] = s.prefix_len
+        base = s.slot_base if s.slot_base is not None else s.prefix_len
         for j in range(q):
-            pos = s.prefix_len + j
+            pos = base + j
             page = s.page_ids[pos // page_size]
             out_cache_loc[off + j] = page * page_size + pos % page_size
         if hybrid_swa:
@@ -202,6 +233,10 @@ def build_forward_batch(
         ),
         mrope_delta=(
             jnp.asarray(mrope_delta) if mrope_delta is not None else None
+        ),
+        spec_tree_mask=(
+            jnp.asarray(spec_tree_mask) if spec_tree_mask is not None
+            else None
         ),
         mode=mode,
         extend_align=align,

@@ -81,6 +81,13 @@ class ForwardBatch:
     # whose KV fell out of the window point at the trash page (masked).
     swa_page_table: Optional[jax.Array] = None  # [B, max_pages] int32
     swa_out_cache_loc: Optional[jax.Array] = None  # [T] int32
+    # Speculative tree verify (ref ForwardMode.TARGET_VERIFY +
+    # eagle_worker_v2.py:1492 tree masks): [B, Rq, Rk] bool — row r of a
+    # sequence's Rq new tokens may attend tree slot c (at pool slot
+    # prefix + c) iff mask[b, r, c]. Prefix slots are always attendable;
+    # slots past prefix + Rk never are. Padding rows are all-False (they
+    # still read the prefix, output discarded).
+    spec_tree_mask: Optional[jax.Array] = None
     # M-ROPE (Qwen2-VL; ref HF get_rope_index + srt/layers/rotary mrope):
     # extend batches of mrope models carry full 3-component positions
     # [3, T] (t/h/w — equal rows for text); decode derives the 1-D position

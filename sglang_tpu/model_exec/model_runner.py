@@ -106,6 +106,9 @@ class ModelRunner:
         # when emitting their param specs (ref --quantization,
         # srt/layers/quantization/base_config.py).
         set_quant_method(server_args.quantization)
+        from sglang_tpu.layers.moe import set_moe_a2a
+
+        set_moe_a2a(server_args.moe_a2a_backend)
 
         model_cls = get_model_class(model_config.architectures)
         self.model = model_cls(model_config)
@@ -167,6 +170,7 @@ class ModelRunner:
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
         )
         self._verify = jax.jit(self._verify_impl, donate_argnums=(1,))
+        self._move_kv = jax.jit(self._move_kv_impl, donate_argnums=(0,))
         # Device-resident decode loop: fb AND sampling rng advance on device,
         # so steady-state decode launches with ZERO fresh host arrays (a
         # fresh H2D while compute is in flight costs ~12ms through the
@@ -528,6 +532,51 @@ class ModelRunner:
         )
         self.kv_pool.swap(new_kv)
         return tokens, chosen, hidden
+
+    def _move_kv_impl(self, kv, src, dst):
+        """Copy pool rows src -> dst across every layer (tree-verify
+        compaction: accepted tree nodes move into sequence order). Rows are
+        gathered first, then scattered through the Pallas row-DMA write
+        kernel, so overlapping src/dst are safe."""
+        from sglang_tpu.ops.attention.kv_write import (
+            write_kv_pages,
+            write_rows_pages,
+        )
+
+        ps = self.server_args.page_size
+        sp, so = src // ps, src % ps
+        new = []
+        for kp, vp in kv:
+            T = src.shape[0]
+            if vp is None:  # MLA latent pool
+                rows = kp[sp, so].reshape(T, -1)
+                new.append(
+                    (write_rows_pages(kp, rows, dst, page_size=ps), None)
+                )
+            else:
+                kr = kp[sp, so].reshape(T, -1)
+                vr = vp[sp, so].reshape(T, -1)
+                new.append(
+                    write_kv_pages(kp, vp, kr, vr, dst, page_size=ps)
+                )
+        return tuple(new)
+
+    def move_kv_rows(self, src: np.ndarray, dst: np.ndarray) -> None:
+        """Host entry: pads to a power-of-two bucket with trash-slot
+        self-copies so the jit program count stays bounded."""
+        m = len(src)
+        if m == 0:
+            return
+        bucket = 8
+        while bucket < m:
+            bucket *= 2
+        s = np.zeros(bucket, np.int32)
+        d = np.zeros(bucket, np.int32)  # slot 0 = trash page self-copy
+        s[:m] = src
+        d[:m] = dst
+        self.kv_pool.swap(
+            self._move_kv(self.kv_pool.kv, jnp.asarray(s), jnp.asarray(d))
+        )
 
     def _seed_penalty_row_impl(self, penalty_buf, slot, tokens, valid):
         """Rebuild one slot's output-token counts (after retraction)."""

@@ -74,6 +74,10 @@ class AttentionBackend:
             out = self.forward_decode(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
                                       sinks=sinks)
+        elif fb.spec_tree_mask is not None:
+            out = self.forward_tree_verify(q, kv_layer, fb, window=window,
+                                           logit_cap=logit_cap, scale=scale,
+                                           sinks=sinks)
         else:
             out = self.forward_extend(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
@@ -105,6 +109,9 @@ class AttentionBackend:
         raise NotImplementedError
 
     def forward_extend(self, q, kv_layer, fb, **kw):
+        raise NotImplementedError
+
+    def forward_tree_verify(self, q, kv_layer, fb, **kw):
         raise NotImplementedError
 
     # ---- MLA (absorbed multi-head latent attention) ----

@@ -55,6 +55,14 @@ class PallasBackend(AttentionBackend):
 
         return XlaNativeBackend.forward_decode(self, q, kv_layer, fb, **kw)
 
+    def forward_tree_verify(self, q, kv_layer, fb: ForwardBatch, **kw):
+        # Decode-style one-gather-per-seq path (xla_backend docstring);
+        # costs ~one decode step regardless of tree width.
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend.forward_tree_verify(self, q, kv_layer, fb,
+                                                    **kw)
+
     def _gather_ctx(self, kv_layer, slots):
         from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 

@@ -239,6 +239,44 @@ class XlaNativeBackend(AttentionBackend):
         )
         return out.astype(q.dtype)
 
+    def forward_tree_verify(self, q, kv_layer, fb: ForwardBatch, window=0,
+                            logit_cap=0.0, scale=None, sinks=None):
+        """Speculative tree verify (ref eagle_worker_v2.py:1492 recast):
+        every sequence carries Rq new tokens laid out at pool slots
+        [prefix, prefix+Rq); token r attends the WHOLE prefix plus the
+        tree slots its ancestor mask allows (fb.spec_tree_mask[b, r, c]
+        for slot prefix + c). One page gather PER SEQUENCE (decode-style),
+        so verify costs ~one decode step regardless of tree width."""
+        T, nq, hd = q.shape
+        nk = self.num_kv_heads
+        group = nq // nk
+        B, Rq, Rk = fb.spec_tree_mask.shape
+        k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
+        C = k.shape[1]
+        qf = q.reshape(B, Rq, nk, group, hd)
+        scores = jnp.einsum(
+            "brkgd,bckd->brkgc", qf, k, preferred_element_type=jnp.float32
+        ) * (scale or self.scale)
+        scores = self._softcap(scores, logit_cap)
+        ctx = jnp.arange(C, dtype=jnp.int32)[None, :]  # [1, C]
+        prefix = fb.prefix_lens[:, None]  # [B, 1]
+        in_prefix = ctx < prefix  # [B, C]
+        idx = jnp.clip(ctx - prefix, 0, Rk - 1)  # [B, C]
+        # tree-slot admissibility per (b, r, c): gather the mask along its
+        # last axis at the ctx->tree-slot index.
+        tree_ok = jnp.take_along_axis(
+            fb.spec_tree_mask, idx[:, None, :].repeat(Rq, axis=1), axis=2
+        )  # [B, Rq, C]
+        in_tree = (ctx >= prefix) & (ctx < prefix + Rk)  # [B, C]
+        mask = in_prefix[:, None, :] | (in_tree[:, None, :] & tree_ok)
+        scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "brkgc,bckd->brkgd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(T, nq, hd).astype(q.dtype)
+
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
         T, nq, hd = q.shape

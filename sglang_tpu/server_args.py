@@ -86,6 +86,10 @@ class ServerArgs:
     tp_size: int = 1
     dp_size: int = 1
     ep_size: int = 1
+    # EP token dispatch (ref --moe-a2a-backend deepep): "ragged" ships
+    # each expert shard exactly its tokens via jax.lax.ragged_all_to_all
+    # (layers/moe.py); default keeps the padded-groups formulation.
+    moe_a2a_backend: Optional[str] = None
     pp_size: int = 1
     nnodes: int = 1
     node_rank: int = 0

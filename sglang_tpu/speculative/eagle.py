@@ -59,6 +59,19 @@ class EagleWorker:
         self.target = target_runner
         self.page_size = server_args.page_size
         self.k = num_draft_tokens
+        # Top-k TREE drafting (ref eagle_worker_v2.py:489 draft, :1492
+        # verify): --speculative-eagle-topk > 1 switches propose from a
+        # depth-k chain to an EAGLE-2-style per-level beam of `topk` nodes
+        # for `speculative_num_steps` draft forwards, pruned to the best
+        # `num_draft_tokens` nodes (ancestor-closed) for the verify tree.
+        self.topk = int(getattr(server_args, "speculative_eagle_topk", 1) or 1)
+        self.steps = int(
+            getattr(server_args, "speculative_num_steps", 0)
+            or max(num_draft_tokens - 1, 1)
+        )
+        self.is_tree = self.topk > 1
+        self.tree_size = min(num_draft_tokens, 1 + self.topk * self.steps)
+        self.budget = max(self.k, 1 + self.topk * self.steps)
         path = server_args.speculative_draft_model_path
         if path and server_args.load_format != "dummy":
             hf = AutoConfig.from_pretrained(
@@ -106,23 +119,29 @@ class EagleWorker:
         self.states: Dict[str, _EagleState] = {}
         self._extend = jax.jit(
             self._extend_impl, donate_argnums=(2,),
-            static_argnames=("want_tokens",),
+            static_argnames=("want_tokens", "topk"),
         )
         self._zeros_f = jnp.zeros(cfg.hidden_size, jnp.float32)
 
     # ------------------------------------------------------------- plumbing
     def _extend_impl(self, dparams, tparams, kv, fb, aux,
-                     want_tokens: bool = True):
+                     want_tokens: bool = True, topk: int = 0):
         hidden, kv = self.model(dparams, fb, kv, self.backend, aux)
-        if not want_tokens:
+        if not want_tokens and not topk:
             return kv, None, hidden
-        logits = self.target.model.compute_logits(tparams, hidden)
-        tokens = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
-            jnp.int32
+        logits = self.target.model.compute_logits(tparams, hidden).astype(
+            jnp.float32
         )
+        if topk:
+            # top-k draft candidates + their LOGPROBS (cumulative scores
+            # drive the EAGLE-2-style per-level beam selection).
+            vals, idx = jax.lax.top_k(logits, topk)
+            lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            return kv, (vals - lse, idx.astype(jnp.int32)), hidden
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return kv, tokens, hidden
 
-    def _run_extend(self, seq_inputs, aux, want_tokens=True):
+    def _run_extend(self, seq_inputs, aux, want_tokens=True, topk=0):
         fb = build_forward_batch(
             seq_inputs, self.page_size, ForwardMode.EXTEND, align=16,
         )
@@ -132,7 +151,7 @@ class EagleWorker:
             aux = jnp.concatenate([aux, pad], axis=0)
         kv, tokens, hidden = self._extend(
             self.params, self.target.params, self.kv_pool.kv, fb, aux,
-            want_tokens=want_tokens,
+            want_tokens=want_tokens, topk=topk,
         )
         self.kv_pool.swap(kv)
         return tokens, hidden, np.asarray(fb.cu_q_lens)
@@ -154,8 +173,11 @@ class EagleWorker:
 
     # ------------------------------------------------------------ the round
     def observe_and_extend(self, entries, hidden) -> None:
-        """entries: (req, prefix, seg_off, m) — the target just computed
-        features for positions [prefix, prefix+m) at hidden[seg_off:...].
+        """entries: (req, prefix, rows_or_seg, m) — the target just computed
+        features for positions [prefix, prefix+m). rows_or_seg is either
+        the segment start (consecutive hidden rows, chain/prefill case) or
+        an np.ndarray of m explicit hidden-row indices (tree verify: the
+        accepted path's node rows, last one = the new f_last).
         Catch the draft KV up over those positions."""
         batch = []
         aux_parts = []
@@ -175,7 +197,7 @@ class EagleWorker:
                 if st.kv_len != prefix:
                     continue
             end = prefix + m
-            if not self._ensure_pages(st, end + 1 + self.k):
+            if not self._ensure_pages(st, end + 1 + self.budget):
                 self.release(req.rid)
                 continue
             tokens = req.all_ids[prefix:end]
@@ -184,15 +206,25 @@ class EagleWorker:
             f_prev = st.f_last if st.f_last is not None else self._zeros_f
             # aux rows for positions [prefix, end): f_{prefix-1}..f_{end-2}
             rows = [f_prev.astype(jnp.float32)[None]]
-            if m > 1:
-                rows.append(
-                    jax.lax.dynamic_slice_in_dim(hidden, seg, m - 1).astype(
-                        jnp.float32
+            if isinstance(seg, np.ndarray):
+                if m > 1:
+                    rows.append(
+                        hidden[jnp.asarray(seg[: m - 1], np.int32)].astype(
+                            jnp.float32
+                        )
                     )
-                )
+                f_new = hidden[int(seg[m - 1])]
+            else:
+                if m > 1:
+                    rows.append(
+                        jax.lax.dynamic_slice_in_dim(
+                            hidden, seg, m - 1
+                        ).astype(jnp.float32)
+                    )
+                f_new = hidden[seg + m - 1]
             aux_parts.append((jnp.concatenate(rows, axis=0), m))
             batch.append(SeqInput(tokens, prefix, st.pages))
-            done.append((st, end, hidden[seg + m - 1]))
+            done.append((st, end, f_new))
         if not batch:
             return
         # Assemble padded aux matching the align=16 ragged layout.
@@ -208,6 +240,180 @@ class EagleWorker:
         for st, end, f in done:
             st.kv_len = end
             st.f_last = f
+
+    def propose_tree(self, reqs) -> List[Optional["TreeDraft"]]:
+        """EAGLE top-k tree drafts (ref eagle_worker_v2.py:489).
+
+        Per draft forward, every active request extends its current
+        `topk`-node frontier level (one tree-masked ragged extend over the
+        draft head), takes top-k children of each node, and keeps the best
+        `topk` by cumulative draft logprob. After `steps` forwards the
+        node pool is pruned to `tree_size - 1` best nodes (ancestor-closed
+        because a child's score is below its parent's) and returned as a
+        TreeDraft for the target's tree verify."""
+        from sglang_tpu.speculative.tree import TreeDraft
+
+        out: List[Optional[TreeDraft]] = [None] * len(reqs)
+        active = []
+        for req in reqs:
+            st = self.states.get(req.rid)
+            if (
+                st is None
+                or st.f_last is None
+                or st.kv_len != len(req.all_ids) - 1
+                or not self._ensure_pages(st, st.kv_len + 1 + self.budget)
+            ):
+                continue
+            active.append(req)
+        if not active:
+            return out
+        K = self.topk
+        B = len(active)
+        prefix = {r.rid: self.states[r.rid].kv_len for r in active}
+
+        # per-seq node lists (index 0 = root)
+        tokens = {r.rid: [r.all_ids[-1]] for r in active}
+        parents = {r.rid: [-1] for r in active}
+        depths = {r.rid: [0] for r in active}
+        scores = {r.rid: [0.0] for r in active}
+        # ancestor masks grown incrementally: [n_nodes, n_nodes] bool
+        amask = {r.rid: np.ones((1, 1), np.bool_) for r in active}
+
+        def run_level(level, frontier_rows_aux):
+            """frontier node ids = [first_id, first_id + w); returns
+            (lp, idx, hidden, seg)."""
+            first_id = 1 + (level - 1) * K if level > 0 else 0
+            w = K if level > 0 else 1
+            seq_inputs = []
+            for r in active:
+                st = self.states[r.rid]
+                p = prefix[r.rid]
+                ids = list(range(first_id, first_id + w))
+                tk = [tokens[r.rid][i] for i in ids]
+                dep = np.asarray(
+                    [depths[r.rid][i] for i in ids], np.int32
+                )
+                rk = first_id + w
+                tm = amask[r.rid][first_id:first_id + w, :rk]
+                seq_inputs.append(
+                    SeqInput(
+                        tk, p, st.pages,
+                        custom_positions=p + dep,
+                        tree_mask=tm,
+                        slot_base=p + first_id,
+                    )
+                )
+            return self._run_extend(
+                seq_inputs, frontier_rows_aux, want_tokens=False, topk=K
+            )
+
+        # --- root forward ---
+        aux_rows = []
+        for r in active:
+            aux_rows.append(
+                self.states[r.rid].f_last.astype(jnp.float32)[None]
+            )
+            aux_rows.append(jnp.zeros((15, aux_rows[-1].shape[1]),
+                                      jnp.float32))
+        aux = jnp.concatenate(aux_rows, axis=0)
+        (lp_d, idx_d), hidden, seg = run_level(0, aux)
+        lp_np = np.asarray(lp_d)
+        idx_np = np.asarray(idx_d)
+        # node -> hidden row (in the LAST extend that computed it)
+        node_row = {r.rid: {0: int(seg[i])} for i, r in enumerate(active)}
+
+        for level in range(1, self.steps + 1):
+            # children of the previous frontier
+            for i, r in enumerate(active):
+                rid = r.rid
+                n0 = len(tokens[rid])
+                if level == 1:
+                    cand = [(float(lp_np[node_row[rid][0], j]),
+                             int(idx_np[node_row[rid][0], j]), 0)
+                            for j in range(K)]
+                else:
+                    cand = []
+                    first = 1 + (level - 2) * K
+                    for fi in range(first, first + K):
+                        rrow = node_row[rid][fi]
+                        for j in range(K):
+                            cand.append((
+                                scores[rid][fi] + float(lp_np[rrow, j]),
+                                int(idx_np[rrow, j]), fi,
+                            ))
+                    cand.sort(key=lambda c: -c[0])
+                    cand = cand[:K]
+                n_new = len(cand)
+                # grow the ancestor mask
+                old = amask[rid]
+                grown = np.zeros((n0 + n_new, n0 + n_new), np.bool_)
+                grown[:n0, :n0] = old
+                for j, (sc, tok, par) in enumerate(cand):
+                    nid = n0 + j
+                    tokens[rid].append(tok)
+                    parents[rid].append(par)
+                    depths[rid].append(depths[rid][par] + 1)
+                    scores[rid].append(sc)
+                    grown[nid] = grown[par] | (
+                        np.arange(n0 + n_new) == nid
+                    )
+                    grown[nid, nid] = True
+                amask[rid] = grown
+            if level == self.steps:
+                break
+            # extend the new frontier through the draft head
+            first_id = 1 + (level - 1) * K
+            aux_rows = []
+            idx_list = []
+            for i, r in enumerate(active):
+                rid = r.rid
+                prs = [node_row[rid][int(parents[rid][first_id + j])]
+                       for j in range(K)]
+                idx_list.extend(prs)
+                idx_list.extend([prs[-1]] * ((-K) % 16))
+            aux = hidden[jnp.asarray(idx_list, np.int32)].astype(jnp.float32)
+            (lp_d, idx_d), hidden, seg = run_level(level, aux)
+            lp_np = np.asarray(lp_d)
+            idx_np = np.asarray(idx_d)
+            for i, r in enumerate(active):
+                for j in range(K):
+                    node_row[r.rid][first_id + j] = int(seg[i]) + j
+        # --- prune to tree_size and emit TreeDrafts ---
+        keep = self.tree_size - 1
+        pos_of = {r.rid: i for i, r in enumerate(reqs)}
+        for r in active:
+            rid = r.rid
+            n = len(tokens[rid])
+            order = sorted(range(1, n), key=lambda i: -scores[rid][i])
+            chosen: set = set()
+            for i in order:
+                if len(chosen) >= keep:
+                    break
+                # ancestor closure (ties can break score monotonicity)
+                path = []
+                j = i
+                while j > 0 and j not in chosen:
+                    path.append(j)
+                    j = parents[rid][j]
+                if len(chosen) + len(path) <= keep:
+                    chosen.update(path)
+            sel = sorted(chosen)  # creation order == topological
+            remap = {0: 0}
+            for newid, old in enumerate(sel, start=1):
+                remap[old] = newid
+            out[pos_of[rid]] = TreeDraft(
+                tokens=[tokens[rid][0]] + [tokens[rid][i] for i in sel],
+                parents=np.asarray(
+                    [-1] + [remap[parents[rid][i]] for i in sel], np.int32
+                ),
+                depths=np.asarray(
+                    [0] + [depths[rid][i] for i in sel], np.int32
+                ),
+                scores=np.asarray(
+                    [0.0] + [scores[rid][i] for i in sel], np.float32
+                ),
+            )
+        return out
 
     def propose_all(self, reqs) -> List[List[int]]:
         """k chained greedy draft tokens per request (possibly empty)."""

@@ -32,7 +32,7 @@ def tiny_mixtral_dir(tmp_path_factory):
     return str(path)
 
 
-def run_greedy(model_dir, tp_size, ep_size, prompt, n_new):
+def run_greedy(model_dir, tp_size, ep_size, prompt, n_new, a2a=None):
     from sglang_tpu.core.req import Req
     from sglang_tpu.core.schedule_core import ScheduleCore
     from sglang_tpu.model_exec.model_runner import ModelRunner
@@ -48,6 +48,7 @@ def run_greedy(model_dir, tp_size, ep_size, prompt, n_new):
         max_total_tokens=1024,
         tp_size=tp_size,
         ep_size=ep_size,
+        moe_a2a_backend=a2a,
     )
     mesh_ctx = create_mesh(tp_size=tp_size, ep_size=ep_size)
     runner = ModelRunner(args, mesh_ctx=mesh_ctx)
@@ -77,6 +78,18 @@ def test_ep4_matches_single_device(tiny_mixtral_dir):
     ref = run_greedy(tiny_mixtral_dir, 1, 1, prompt, 6)
     ep4 = run_greedy(tiny_mixtral_dir, 4, 4, prompt, 6)
     assert ep4 == ref, f"ep4={ep4} ref={ref}"
+
+
+def test_ep_ragged_a2a_matches_single_device(tiny_mixtral_dir):
+    """Ragged all-to-all dispatch (each shard's GEMM reads ONLY the rows
+    its experts own) must stay exact. Ref: srt/layers/moe/token_dispatcher.
+    """
+    prompt = [3, 17, 92, 45, 6, 88, 21, 101]
+    ref = run_greedy(tiny_mixtral_dir, 1, 1, prompt, 8)
+    a2a2 = run_greedy(tiny_mixtral_dir, 2, 2, prompt, 8, a2a="ragged")
+    assert a2a2 == ref, f"a2a2={a2a2} ref={ref}"
+    a2a4 = run_greedy(tiny_mixtral_dir, 4, 4, prompt, 8, a2a="ragged")
+    assert a2a4 == ref, f"a2a4={a2a4} ref={ref}"
 
 
 def test_invalid_ep_size_rejected():
