@@ -863,9 +863,23 @@ class ScheduleCore:
             eligible.append(req)
         if not eligible:
             return False
+        tree_capable = (
+            self.draft_worker is not None
+            and getattr(self.draft_worker, "is_tree", False)
+            and not self.hybrid_swa  # compaction can't map SWA slots yet
+            and self.runner.model_config.sliding_window is None
+            # tree-verify attention has no window/sink terms yet
+            and not getattr(self.runner.model, "has_attention_sinks", False)
+        )
         can_spec = {
             r.rid: (
-                r.sampling_params.is_greedy
+                # Tree verify supports rejection-sampled (non-greedy)
+                # acceptance; chain verify is greedy-argmax only.
+                (
+                    r.sampling_params.is_greedy
+                    or (tree_capable
+                        and r.sampling_params.sampling_seed is None)
+                )
                 and r.grammar is None
                 and not r.sampling_params.needs_penalties
                 and not r.sampling_params.logit_bias
@@ -878,18 +892,11 @@ class ScheduleCore:
             for r in eligible
         }
         if not all(can_spec.values()):
-            # The verify step is biasless greedy argmax — rows that need the
-            # full sampler (temperature/penalties/grammar/bias/min-new) must
-            # decode through the normal path; mixed batches skip spec.
+            # Rows that need the full sampler machinery (penalties/
+            # grammar/bias/min-new/seeded sampling) must decode through
+            # the normal path; mixed batches skip spec.
             return False
-        if (
-            self.draft_worker is not None
-            and getattr(self.draft_worker, "is_tree", False)
-            and not self.hybrid_swa  # compaction can't map SWA slots yet
-            and self.runner.model_config.sliding_window is None
-            # tree-verify attention has no window/sink terms yet
-            and not getattr(self.runner.model, "has_attention_sinks", False)
-        ):
+        if tree_capable:
             return self._run_tree_verify_step(eligible)
         if self.draft_worker is not None:
             spec_reqs = [r for r in eligible if can_spec[r.rid]]
@@ -1044,10 +1051,62 @@ class ScheduleCore:
             seq_inputs, self.page_size, ForwardMode.EXTEND,
             trash_slot=self.runner.trash_slot, align=16,
         )
-        tokens_dev, logprobs_dev, hidden_dev = self.runner.forward_verify(fb)
-        tokens = np.asarray(tokens_dev)
-        logprobs = np.asarray(logprobs_dev)
-        seg = np.asarray(fb.cu_q_lens)
+        seg_np = None
+        any_sampled = any(
+            not req.sampling_params.is_greedy for req, _, _ in rows
+        )
+        if any_sampled:
+            # Rejection-sampled acceptance (exact for deterministic draft
+            # proposals — speculative/tree.py accept_tree_sampled).
+            from sglang_tpu.speculative.tree import (
+                accept_tree_sampled,
+                tree_children,
+            )
+
+            T = fb.padded_num_tokens
+            Kc = max(int(getattr(worker, "topk", 1) or 1), 1)
+            seg_np = np.asarray(fb.cu_q_lens)
+            cand = np.full((T, Kc), -1, np.int32)
+            temps = np.zeros(T, np.float32)
+            top_ks = np.full(T, 1 << 30, np.int32)
+            top_ps = np.ones(T, np.float32)
+            min_ps = np.zeros(T, np.float32)
+            chlists = []
+            for i, (req, tree, prefix) in enumerate(rows):
+                start = int(seg_np[i])
+                sp = req.sampling_params
+                ch = tree_children(tree)
+                chlists.append(ch)
+                for j in range(R):
+                    row = start + j
+                    temps[row] = sp.temperature
+                    top_ks[row] = sp.top_k
+                    top_ps[row] = sp.top_p
+                    min_ps[row] = sp.min_p
+                    for qi, c in enumerate(ch[j][:Kc]):
+                        cand[row, qi] = tree.tokens[c]
+            self._spec_rng_round = getattr(self, "_spec_rng_round", 0) + 1
+            p_cand_d, fb_tok_d, fb_lp_d, hidden_dev = (
+                self.runner.forward_verify_sampled(
+                    fb, cand, temps, top_ks, top_ps, min_ps,
+                    seed=(self.args.random_seed or 0) * 1000003
+                    + self._spec_rng_round,
+                )
+            )
+            p_cand = np.asarray(p_cand_d)
+            fb_tok = np.asarray(fb_tok_d)
+            fb_lp = np.asarray(fb_lp_d)
+            host_rng = np.random.default_rng(
+                (self.args.random_seed or 0) * 7919
+                + self._spec_rng_round
+            )
+        else:
+            tokens_dev, logprobs_dev, hidden_dev = (
+                self.runner.forward_verify(fb)
+            )
+            tokens = np.asarray(tokens_dev)
+            logprobs = np.asarray(logprobs_dev)
+        seg = seg_np if seg_np is not None else np.asarray(fb.cu_q_lens)
 
         # Pass 1: acceptance + KV compaction moves (moves must land before
         # any page is cached into the radix tree by a finishing request).
@@ -1057,12 +1116,27 @@ class ScheduleCore:
         move_dst: List[int] = []
         for i, (req, tree, prefix) in enumerate(rows):
             start = int(seg[i])
-            emit, path = accept_tree_greedy(tree, tokens[start:start + R])
+            if any_sampled:
+                emit, path, lps = accept_tree_sampled(
+                    tree,
+                    p_cand[start:start + R],
+                    fb_tok[start:start + R],
+                    fb_lp[start:start + R],
+                    host_rng.random,
+                )
+            else:
+                emit, path = accept_tree_greedy(tree, tokens[start:start + R])
+                src_nodes = [0] + path
+                lps = [
+                    float(logprobs[start + src_nodes[j]])
+                    for j in range(len(emit))
+                ]
             budget = req.sampling_params.max_new_tokens - req._device_step
             if len(emit) > budget:
                 emit = emit[:budget]
                 path = path[: max(budget - 1, 0)]
-            accepted.append((emit, path, start))
+                lps = lps[:budget]
+            accepted.append((emit, path, lps, start))
             for j, node in enumerate(path):
                 if node == j + 1:
                     continue  # already in place (chain-prefix of the tree)
@@ -1082,7 +1156,9 @@ class ScheduleCore:
         # Pass 2: emission, finish handling, draft catch-up.
         slots, next_tokens = [], []
         observe_entries = []
-        for (req, tree, prefix), (emit, path, start) in zip(rows, accepted):
+        for (req, tree, prefix), (emit, path, lps, start) in zip(
+            rows, accepted
+        ):
             n_accept = len(path)
             self.num_spec_steps += 1
             self.num_spec_accepted += n_accept
@@ -1092,7 +1168,7 @@ class ScheduleCore:
             for j, tok in enumerate(emit):
                 req.output_ids.append(tok)
                 self.num_generated_tokens += 1
-                lp = float(logprobs[start + src_nodes[j]])
+                lp = lps[j]
                 if req.return_logprob:
                     req.output_logprobs.append(lp)
                 fr = req.check_finished(tok)

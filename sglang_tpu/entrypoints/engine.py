@@ -268,6 +268,26 @@ class Engine:
     def flush_cache(self) -> bool:
         return self._run_coro(self.tokenizer_manager.flush_cache())
 
+    def start_expert_distribution_record(self):
+        return self._run_coro(
+            self.tokenizer_manager.expert_distribution("start")
+        )
+
+    def stop_expert_distribution_record(self):
+        return self._run_coro(
+            self.tokenizer_manager.expert_distribution("stop")
+        )
+
+    def dump_expert_distribution_record(self):
+        return self._run_coro(
+            self.tokenizer_manager.expert_distribution("dump")
+        )
+
+    def eplb_rebalance(self):
+        """Recompute expert placement from the recorded distribution
+        (sglang_tpu/eplb.py; ref srt/eplb/eplb_manager.py)."""
+        return self._run_coro(self.tokenizer_manager.eplb_rebalance())
+
     def get_server_info(self) -> Dict[str, Any]:
         return self._run_coro(self.tokenizer_manager.get_server_info())
 

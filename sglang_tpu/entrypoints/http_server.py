@@ -269,6 +269,20 @@ class HttpServer:
         ok = await self.tm.flush_cache()
         return web.json_response({"success": ok}, status=200 if ok else 400)
 
+    async def expert_distribution(self, request: web.Request) -> web.Response:
+        action = request.match_info["action"]
+        data = await self.tm.expert_distribution(action)
+        out = {"success": True}
+        if action == "dump":
+            out["expert_distribution"] = data
+        return web.json_response(out)
+
+    async def eplb_rebalance(self, request: web.Request) -> web.Response:
+        ok, message = await self.tm.eplb_rebalance()
+        return web.json_response(
+            {"success": ok, "message": message}, status=200 if ok else 400
+        )
+
     async def abort_request(self, request: web.Request) -> web.Response:
         body = await request.json()
         await self.tm.abort_request(body.get("rid", ""))
@@ -625,6 +639,11 @@ class HttpServer:
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post(
+            "/{action:(start|stop|dump)}_expert_distribution_record",
+            self.expert_distribution,
+        )
+        r.add_post("/eplb_rebalance", self.eplb_rebalance)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)

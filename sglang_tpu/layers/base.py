@@ -28,6 +28,9 @@ class ParamSpec:
     spec: P = P()
     # Optional per-param initializer used by dummy (random-weight) loading.
     init_scale: float = 0.02
+    # Constant initial value for params with NO checkpoint tensor (e.g.
+    # the EPLB log2phy placement map): used by both real and dummy loads.
+    init_value: Any = None
     # Weight quantization (see sglang_tpu/quantization): when set, the
     # loader materializes this param as the quantized tensor plus a
     # companion "<name>/qscale" float32 (per-channel, reduced over
@@ -82,6 +85,14 @@ def init_dummy_params(
     """
     params: Params = {}
     for name, spec in sorted(specs.items()):
+        if spec.init_value is not None:
+            arr = jnp.asarray(spec.init_value, spec.dtype)
+            if mesh_ctx is not None:
+                arr = jax.device_put(
+                    arr, jax.sharding.NamedSharding(mesh_ctx.mesh, spec.spec)
+                )
+            params[name] = arr
+            continue
         key = jax.random.fold_in(
             jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
         )

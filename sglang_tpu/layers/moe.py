@@ -126,6 +126,11 @@ class FusedMoE:
             # MoE-TP: shard the FFN hidden dim.
             gu_spec = P(None, None, None, AXIS_TP)
             dn_spec = P(None, AXIS_TP, None)
+        import numpy as np
+
+        from sglang_tpu.eplb import MOE_LAYER_REGISTRY
+
+        MOE_LAYER_REGISTRY[prefix] = E
         return {
             join(prefix, "router"): ParamSpec((H, E), self.dtype, P()),
             join(prefix, "w_gate_up"): ParamSpec(
@@ -135,6 +140,11 @@ class FusedMoE:
             join(prefix, "w_down"): ParamSpec(
                 (E, I, H), self.dtype, dn_spec,
                 quant_method=self.quant, quant_axes=(1,),
+            ),
+            # EPLB placement map (sglang_tpu/eplb.py): logical expert ->
+            # physical slot; identity until a rebalance rewrites it.
+            join(prefix, "eplb_log2phy"): ParamSpec(
+                (E,), jnp.int32, P(), init_value=np.arange(E, dtype=np.int32)
             ),
         }
 
@@ -164,6 +174,11 @@ class FusedMoE:
         else:
             probs = jax.nn.softmax(router_logits, axis=-1)
             topk_weights, topk_idx = jax.lax.top_k(probs, K)
+        from sglang_tpu.eplb import maybe_record
+
+        maybe_record(prefix, topk_idx, E)
+        # EPLB placement: logical -> physical expert slots.
+        topk_idx = params[join(prefix, "eplb_log2phy")][topk_idx]
         return self.compute_experts(params, prefix, x, topk_weights, topk_idx)
 
     @staticmethod

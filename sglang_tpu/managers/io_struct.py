@@ -184,6 +184,32 @@ class HealthCheckResp:
 
 
 @dataclasses.dataclass
+class ExpertDistributionReq:
+    """EPLB recording control (ref /start_expert_distribution_record +
+    srt/eplb/expert_distribution.py). action: start | stop | dump."""
+    action: str
+
+
+@dataclasses.dataclass
+class ExpertDistributionResp:
+    success: bool
+    data: Optional[Any] = None
+
+
+@dataclasses.dataclass
+class EplbRebalanceReq:
+    """Recompute expert placement from recorded loads and permute expert
+    weights (ref srt/eplb/eplb_manager.py rebalance)."""
+    pass
+
+
+@dataclasses.dataclass
+class EplbRebalanceResp:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
 class UpdateWeightsReq:
     model_path: str
     load_format: str = "auto"

@@ -23,6 +23,10 @@ from sglang_tpu.managers.io_struct import (
     ResumeMemoryReq,
     ResumeMemoryResp,
     BatchTokenOut,
+    EplbRebalanceReq,
+    EplbRebalanceResp,
+    ExpertDistributionReq,
+    ExpertDistributionResp,
     FlushCacheReq,
     FlushCacheResp,
     GetServerInfoReq,
@@ -97,6 +101,28 @@ class Scheduler:
             send_pyobj(self.to_detok, FlushCacheResp(success=ok))
         elif isinstance(msg, HealthCheckReq):
             send_pyobj(self.to_detok, HealthCheckResp(ok=True))
+        elif isinstance(msg, ExpertDistributionReq):
+            from sglang_tpu.eplb import RECORDER
+
+            data = None
+            if msg.action == "start":
+                RECORDER.start()
+                # maybe_record branches at TRACE time — drop compiled
+                # programs so recording takes effect on the next step.
+                self.runner.clear_compiled()
+            elif msg.action == "stop":
+                RECORDER.stop()
+                self.runner.clear_compiled()
+            elif msg.action == "dump":
+                data = RECORDER.dump()
+            send_pyobj(
+                self.to_detok, ExpertDistributionResp(success=True, data=data)
+            )
+        elif isinstance(msg, EplbRebalanceReq):
+            ok, message = self.runner.eplb_rebalance()
+            send_pyobj(
+                self.to_detok, EplbRebalanceResp(success=ok, message=message)
+            )
         elif isinstance(msg, GetServerInfoReq):
             send_pyobj(
                 self.to_detok,

@@ -444,6 +444,26 @@ class TokenizerManager:
         resp = await self._control_rpc(FlushCacheReq(), FlushCacheResp)
         return resp.success
 
+    async def expert_distribution(self, action: str):
+        from sglang_tpu.managers.io_struct import (
+            ExpertDistributionReq,
+            ExpertDistributionResp,
+        )
+
+        resp = await self._control_rpc(
+            ExpertDistributionReq(action=action), ExpertDistributionResp
+        )
+        return resp.data
+
+    async def eplb_rebalance(self):
+        from sglang_tpu.managers.io_struct import (
+            EplbRebalanceReq,
+            EplbRebalanceResp,
+        )
+
+        resp = await self._control_rpc(EplbRebalanceReq(), EplbRebalanceResp)
+        return resp.success, resp.message
+
     async def health(self) -> bool:
         try:
             resp = await self._control_rpc(HealthCheckReq(), HealthCheckResp, 30)

@@ -291,6 +291,58 @@ class ModelRunner:
         n = max(budget * shard // per_token, 4096)
         return int(n)
 
+    def clear_compiled(self) -> None:
+        """Drop jit caches (EPLB recording toggles change the traced
+        program; next steps recompile — served from the persistent XLA
+        cache when shapes were seen before)."""
+        for f in (self._step, self._verify, self._decode_resident,
+                  self._move_kv):
+            try:
+                f.clear_cache()
+            except Exception:  # noqa: BLE001
+                pass
+
+    def eplb_rebalance(self):
+        """Recompute expert placement from recorded loads and apply it
+        (permuted expert weights + rewritten log2phy maps). Ref:
+        srt/eplb/eplb_manager.py + expert_location_updater.py."""
+        from sglang_tpu import eplb
+
+        loads = {
+            k: np.asarray(v, np.float64)
+            for k, v in eplb.RECORDER.dump().items()
+        }
+        loads = {k: v for k, v in loads.items()
+                 if k in eplb.MOE_LAYER_REGISTRY
+                 and v.shape[0] == eplb.MOE_LAYER_REGISTRY[k]}
+        if not loads:
+            return False, "no recorded expert distribution (start recording first)"
+        ep = self.mesh_ctx.ep_size if self.mesh_ctx else 1
+        if ep <= 1:
+            return False, "ep_size <= 1; nothing to balance"
+        def cur_phy2log(k, E):
+            l2p = np.asarray(self.params[f"{k}/eplb_log2phy"])
+            p2l = np.empty(E, np.int32)
+            p2l[l2p] = np.arange(E, dtype=np.int32)
+            return p2l
+
+        before = np.mean([
+            eplb.imbalance(v, cur_phy2log(k, v.shape[0]), ep)
+            for k, v in loads.items()
+        ])
+        placements = eplb.compute_placements(loads, ep)
+        updates = eplb.rebalance_params(
+            self.params, placements, eplb.MOE_LAYER_REGISTRY
+        )
+        self.params = {**self.params, **updates}
+        after = np.mean([
+            eplb.imbalance(v, placements[k], ep) for k, v in loads.items()
+        ])
+        return True, (
+            f"rebalanced {len(placements)} layers; "
+            f"max/mean load {before:.3f} -> {after:.3f}"
+        )
+
     def release_memory(self, tags) -> None:
         """Free device memory for colocated RL training (ref
         /release_memory_occupation, torch_memory_saver analog): deleting the
@@ -492,12 +544,29 @@ class ModelRunner:
         )
 
     def _encode_impl(self, params, kv, fb: ForwardBatch):
-        """Embedding forward: pooled (last-token) hidden states, L2-normed.
+        """Embedding forward: pooled hidden states, L2-normed. Pooling
+        type comes from the model (`pooling` attr): "last" (causal LMs),
+        "cls" (BERT), or "mean" (gte/contriever-style).
 
-        Ref: srt/layers/pooler.py (LAST pooling) + engine.encode
-        (entrypoints/engine.py:549)."""
+        Ref: srt/layers/pooler.py + engine.encode."""
         hidden, kv = self.model(params, fb, kv, self.attn_backend)
-        pooled = hidden[fb.logits_indices]  # [B, H]
+        ptype = getattr(self.model, "pooling", "last")
+        if ptype == "cls":
+            pooled = hidden[fb.cu_q_lens[:-1]]  # segment starts
+        elif ptype == "mean":
+            T = hidden.shape[0]
+            sid = fb.seq_ids
+            offs = jnp.arange(T, dtype=jnp.int32) - fb.cu_q_lens[sid]
+            valid = ((offs >= 0) & (offs < fb.q_lens[sid])).astype(
+                hidden.dtype
+            )[:, None]
+            B = fb.q_lens.shape[0]
+            sums = jax.ops.segment_sum(hidden * valid, sid, num_segments=B)
+            pooled = sums / jnp.maximum(
+                fb.q_lens.astype(hidden.dtype)[:, None], 1
+            )
+        else:
+            pooled = hidden[fb.logits_indices]  # [B, H] last token
         pooled = pooled.astype(jnp.float32)
         pooled = pooled / jnp.maximum(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
@@ -532,6 +601,37 @@ class ModelRunner:
         )
         self.kv_pool.swap(new_kv)
         return tokens, chosen, hidden
+
+    def _verify_sampled_impl(self, params, kv, fb, cand, temps, top_ks,
+                             top_ps, min_ps, keys):
+        """Tree verify with rejection-sampled acceptance support: per-node
+        candidate probabilities under each row's SAMPLER-TRANSFORMED
+        target distribution + a pre-sampled fallback (ops/sampling.py
+        spec_candidate_probs; ref tree_speculative_sampling kernels)."""
+        from sglang_tpu.ops.sampling import spec_candidate_probs
+
+        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        logits = self.model.compute_logits(params, hidden).astype(jnp.float32)
+        p_cand, fb_tok, fb_lp = spec_candidate_probs(
+            logits, temps, top_ks, top_ps, min_ps, cand, keys
+        )
+        return kv, p_cand, fb_tok, fb_lp, hidden
+
+    def forward_verify_sampled(self, fb, cand_tokens, temps, top_ks,
+                               top_ps, min_ps, seed: int):
+        if not hasattr(self, "_verify_sampled"):
+            self._verify_sampled = jax.jit(
+                self._verify_sampled_impl, donate_argnums=(1,)
+            )
+        T = cand_tokens.shape[0]
+        keys = jax.random.split(jax.random.PRNGKey(seed), T)
+        new_kv, p_cand, fb_tok, fb_lp, hidden = self._verify_sampled(
+            self.params, self.kv_pool.kv, fb, jnp.asarray(cand_tokens),
+            jnp.asarray(temps), jnp.asarray(top_ks), jnp.asarray(top_ps),
+            jnp.asarray(min_ps), keys,
+        )
+        self.kv_pool.swap(new_kv)
+        return p_cand, fb_tok, fb_lp, hidden
 
     def _move_kv_impl(self, kv, src, dst):
         """Copy pool rows src -> dst across every layer (tree-verify

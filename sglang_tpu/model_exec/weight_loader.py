@@ -111,6 +111,15 @@ def load_model_weights(
     missing = []
     for pname, spec in specs.items():
         if pname not in buffers:
+            if spec.init_value is not None:
+                arr = jnp.asarray(spec.init_value, spec.dtype)
+                if mesh_ctx is not None:
+                    arr = jax.device_put(
+                        arr,
+                        jax.sharding.NamedSharding(mesh_ctx.mesh, spec.spec),
+                    )
+                params[pname] = arr
+                continue
             missing.append(pname)
             continue
         from sglang_tpu.layers.base import materialize_param

@@ -231,7 +231,12 @@ class DeepseekV2MoE:
         return w * self.routed_scaling, idx
 
     def __call__(self, params, p, x, lora=None):
+        from sglang_tpu.eplb import maybe_record
+        from sglang_tpu.layers.base import join as _join
+
         w, idx = self._route(params, p, x)
+        maybe_record(p, idx, self.n_experts)
+        idx = params[_join(p, "eplb_log2phy")][idx]  # EPLB placement
         out = self.moe.compute_experts(params, p, x, w, idx)
         if self.shared:
             h = silu_and_mul(

@@ -32,6 +32,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    "BertModel": ("sglang_tpu.models.bert", "BertModel"),
+    "BertForMaskedLM": ("sglang_tpu.models.bert", "BertModel"),
     "LlavaForConditionalGeneration": ("sglang_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": ("sglang_tpu.models.qwen2_vl",

@@ -127,6 +127,69 @@ def sample(
     return tokens, _chosen_logprob(logits, tokens)
 
 
+def spec_candidate_probs(
+    logits: jax.Array,  # [T, V] f32 (one row per tree node)
+    temps: jax.Array,  # [T] f32 (0.0 == greedy)
+    top_ks: jax.Array,  # [T] i32
+    top_ps: jax.Array,  # [T] f32
+    min_ps: jax.Array,  # [T] f32
+    cand_tokens: jax.Array,  # [T, Kc] i32 candidate (child) tokens, -1 pad
+    rng_keys: jax.Array,  # [T] PRNG keys
+):
+    """Speculative-verify probabilities for rejection-sampled acceptance
+    (ref tree_speculative_sampling_target_only kernels, recast for
+    deterministic draft proposals — see core/schedule_core.py walk).
+
+    Per row: p = the row's SAMPLER-TRANSFORMED target distribution
+    (temperature, top-k, top-p, min-p — same truncation as ops.sample).
+    Returns:
+      p_cand [T, Kc]  — p at each candidate token (0 where truncated/pad)
+      fb_tok [T]      — a sample from p EXCLUDING the candidates
+      fb_lp [T]       — log p(fb_tok) under the row's transformed p
+    Greedy rows (temp == 0) degrade exactly: p_cand is the argmax
+    indicator and fb_tok is the argmax (or argmax excluding candidates
+    when a candidate IS the argmax)."""
+    T, V = logits.shape
+    Kc = cand_tokens.shape[1]
+    temps_c = jnp.maximum(temps, 1e-6)[:, None]
+    scaled = logits / temps_c
+    top_vals, top_idx = jax.lax.top_k(scaled, min(TOPK_CAP, V))  # [T, C]
+    C = top_vals.shape[1]
+    ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
+    keep = ranks < jnp.minimum(top_ks, C)[:, None]
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= (cum - probs) < top_ps[:, None]
+    keep &= probs >= (min_ps[:, None] * probs[:, :1])
+    # greedy rows: keep only rank 0
+    greedy = (temps == 0.0)[:, None]
+    keep = jnp.where(greedy, ranks == 0, keep)
+    p = jnp.where(keep, probs, 0.0)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)  # [T, C]
+
+    # candidate probs: match candidate tokens against the C-candidate ids
+    is_cand = top_idx[:, None, :] == cand_tokens[:, :, None]  # [T, Kc, C]
+    p_cand = jnp.sum(jnp.where(is_cand, p[:, None, :], 0.0), axis=-1)
+
+    # fallback: sample from p excluding ALL candidates (renormalized)
+    excl = jnp.any(is_cand, axis=1)  # [T, C]
+    p_fb = jnp.where(excl, 0.0, p)
+    p_fb_n = p_fb / jnp.maximum(jnp.sum(p_fb, axis=-1, keepdims=True), 1e-20)
+    gumbel = -jnp.log(
+        -jnp.log(
+            jax.vmap(
+                lambda k: jax.random.uniform(k, (C,), jnp.float32, 1e-10, 1.0)
+            )(rng_keys)
+        )
+    )
+    masked_logp = jnp.where(p_fb_n > 0, jnp.log(p_fb_n), NEG_INF)
+    choice = jnp.argmax(masked_logp + gumbel, axis=-1)  # [T]
+    fb_tok = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+    fb_p = jnp.take_along_axis(p, choice[:, None], axis=1)[:, 0]
+    fb_lp = jnp.log(jnp.maximum(fb_p, 1e-20))
+    return p_cand, fb_tok.astype(jnp.int32), fb_lp
+
+
 def compute_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Top-k logprobs for the logprob API: ([B, k] vals, [B, k] ids)."""
     lp = jax.nn.log_softmax(logits, axis=-1)

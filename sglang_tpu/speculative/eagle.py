@@ -85,7 +85,14 @@ class EagleWorker:
                 target_runner.model_config, num_hidden_layers=1
             )
         self.config = cfg
-        self.model = EagleDraftModel(cfg)
+        if getattr(cfg.hf_config, "kv_lora_rank", 0):
+            # DeepSeek targets draft through the trained MTP/NextN head
+            # (models/deepseek_nextn.py; ref srt/models/deepseek_nextn.py).
+            from sglang_tpu.models.deepseek_nextn import DeepseekNextN
+
+            self.model = DeepseekNextN(cfg)
+        else:
+            self.model = EagleDraftModel(cfg)
         fmt = "auto"
         if not path or server_args.load_format == "dummy":
             fmt = "dummy"
@@ -105,6 +112,7 @@ class EagleWorker:
             page_size=self.page_size,
             num_pages=num_pages,
             dtype=target_runner.kv_pool.config.dtype,
+            mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
         )
         self.kv_pool = KVCachePool(pool_cfg, target_runner.mesh_ctx)
         self.allocator = PageAllocator(num_pages, self.page_size)

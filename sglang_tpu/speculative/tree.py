@@ -122,6 +122,63 @@ def accept_tree_greedy(
         cur = nxt
 
 
+def tree_children(tree: TreeDraft) -> List[List[int]]:
+    """Valid children of each node, in node order (the candidate order the
+    device-side spec_candidate_probs rows must match)."""
+    ch: List[List[int]] = [[] for _ in range(tree.size)]
+    for i in range(1, tree.size):
+        if tree.is_valid(i):
+            ch[int(tree.parents[i])].append(i)
+    return ch
+
+
+def accept_tree_sampled(
+    tree: TreeDraft,
+    p_cand: np.ndarray,  # [R, Kc] target prob of each node's candidates
+    fb_tok: np.ndarray,  # [R] fallback/bonus sample per node
+    fb_lp: np.ndarray,  # [R] its logprob
+    uniforms,  # callable -> float in [0, 1)
+) -> Tuple[List[int], List[int], List[float]]:
+    """Rejection-sampled tree walk for DETERMINISTIC draft proposals.
+
+    At each node the children are distinct candidate tokens; drawing one
+    uniform and walking their cumulative target probabilities accepts
+    child c with probability p(c) (sequential residual rejection in
+    closed form); on rejection the fallback token — pre-sampled on device
+    from p excluding the candidates — is emitted and the walk stops. The
+    emitted sequence is distributed EXACTLY as ancestral sampling from
+    the target (greedy rows degrade to the exact-match walk).
+
+    Returns (emitted_tokens, accepted_node_indices, emitted_logprobs).
+    """
+    children = tree_children(tree)
+    emit: List[int] = []
+    path: List[int] = []
+    lps: List[float] = []
+    cur = 0
+    while True:
+        cs = children[cur]
+        u = uniforms()
+        acc = -1
+        c_lp = 0.0
+        cum = 0.0
+        for j, c in enumerate(cs):
+            pc = float(p_cand[cur, j])
+            cum += pc
+            if u < cum:
+                acc = c
+                c_lp = float(np.log(max(pc, 1e-20)))
+                break
+        if acc < 0:
+            emit.append(int(fb_tok[cur]))
+            lps.append(float(fb_lp[cur]))
+            return emit, path, lps
+        emit.append(int(tree.tokens[acc]))
+        lps.append(c_lp)
+        path.append(acc)
+        cur = acc
+
+
 def select_top_nodes(
     cand_scores: np.ndarray,  # [n_cand] cumulative logprobs
     cand_parents: np.ndarray,  # [n_cand] indices into the kept node list

@@ -147,3 +147,58 @@ def test_mla_latent_pool_shape_and_pallas_parity(tiny_dsv2_dir):
             core.step()
         outs[backend] = req.output_ids
     assert outs["pallas"] == outs["xla_native"]
+
+
+def test_deepseek_nextn_draft_matches_plain_greedy(tiny_dsv2_dir):
+    """MTP/NextN draft head (dummy weights) through the EAGLE protocol:
+    outputs must equal plain greedy decoding, and the draft's 1-layer MLA
+    latent pool must stay in sync (ref srt/models/deepseek_nextn.py)."""
+    import numpy as np
+
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    def run(spec):
+        kw = dict(
+            model_path=tiny_dsv2_dir,
+            dtype="float32",
+            attention_backend="xla_native",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        if spec:
+            kw.update(
+                speculative_algorithm="EAGLE",
+                speculative_num_draft_tokens=3,
+            )
+        args = ServerArgs(**kw)
+        runner = ModelRunner(args)
+        core = ScheduleCore(args, runner)
+        rng = np.random.default_rng(17)
+        prompts = [[int(t) for t in rng.integers(3, 120, size=8)],
+                   [int(t) for t in rng.integers(3, 120, size=11)]]
+        reqs = []
+        for i, p in enumerate(prompts):
+            sp = SamplingParams(temperature=0.0, max_new_tokens=8,
+                                ignore_eos=True)
+            sp.normalize()
+            r = Req(f"n{i}", p, sp)
+            reqs.append(r)
+            core.add_request(r)
+        steps = 0
+        while core.has_work():
+            core.step()
+            steps += 1
+            assert steps < 500
+        return [r.output_ids for r in reqs], core
+
+    plain, _ = run(False)
+    spec, core = run(True)
+    assert spec == plain
+    assert core.num_spec_steps > 0
+    from sglang_tpu.models.deepseek_nextn import DeepseekNextN
+
+    assert isinstance(core.draft_worker.model, DeepseekNextN)

@@ -182,3 +182,94 @@ def test_tree_multi_accept_and_kv_compaction(tiny_llama_dir):
     assert spec == plain
     # full-path acceptance: ~3 accepted per round
     assert core.num_spec_accepted >= len(prompts) * (n_new // 4 - 1) * 3
+
+
+def test_accept_tree_sampled_distribution():
+    """Monte-Carlo: the rejection-sampled walk over deterministic draft
+    proposals must emit the FIRST token exactly from the target
+    distribution p, for any candidate set."""
+    from sglang_tpu.speculative.tree import accept_tree_sampled
+
+    rng = np.random.default_rng(0)
+    V = 6
+    p = np.asarray([0.3, 0.25, 0.2, 0.1, 0.1, 0.05])
+    # root with two draft children: tokens 1 and 3
+    tree = TreeDraft(
+        tokens=[99, 1, 3],
+        parents=np.asarray([-1, 0, 0], np.int32),
+        depths=np.asarray([0, 1, 1], np.int32),
+    )
+    p_cand = np.zeros((3, 2), np.float32)
+    p_cand[0] = [p[1], p[3]]  # root's candidates
+    counts = np.zeros(V)
+    n = 40000
+    for _ in range(n):
+        # fallback: sample from p excluding {1, 3}, renormalized
+        q = p.copy()
+        q[[1, 3]] = 0
+        q /= q.sum()
+        fb = rng.choice(V, p=q)
+        fb_tok = np.asarray([fb, 0, 0])
+        fb_lp = np.log(np.maximum([p[fb], 1, 1], 1e-20))
+        emit, path, lps = accept_tree_sampled(
+            tree, p_cand, fb_tok, fb_lp, rng.random
+        )
+        counts[emit[0]] += 1
+    freq = counts / n
+    np.testing.assert_allclose(freq, p, atol=0.012)
+
+
+def test_tree_sampled_mixed_batch_greedy_rows_exact(tiny_llama_dir):
+    """A mixed batch (greedy + temperature rows) through the sampled tree
+    path: the GREEDY row's output must stay byte-identical to plain
+    decoding; the sampled row must emit valid tokens with finite
+    logprobs."""
+    rng = np.random.default_rng(41)
+    g_prompt = [int(t) for t in rng.integers(3, 200, size=10)]
+    s_prompt = [int(t) for t in rng.integers(3, 200, size=8)]
+
+    plain, _ = run_core(tiny_llama_dir, [g_prompt], 10)
+
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=4096,
+        max_running_requests=16,
+        speculative_algorithm="EAGLE",
+        speculative_num_draft_tokens=5,
+        speculative_eagle_topk=2,
+        speculative_num_steps=2,
+        load_format="auto",
+        random_seed=3,
+    )
+    runner = ModelRunner(args)
+    core = ScheduleCore(args, runner)
+    sp_g = SamplingParams(temperature=0.0, max_new_tokens=10,
+                          ignore_eos=True)
+    sp_g.normalize()
+    rg = Req("g", list(g_prompt), sp_g)
+    rg.return_logprob = True
+    sp_s = SamplingParams(temperature=0.8, top_p=0.9, max_new_tokens=10,
+                          ignore_eos=True)
+    sp_s.normalize()
+    rs = Req("s", list(s_prompt), sp_s)
+    rs.return_logprob = True
+    core.add_request(rg)
+    core.add_request(rs)
+    steps = 0
+    while core.has_work():
+        core.step()
+        steps += 1
+        assert steps < 2000
+    assert rg.output_ids == plain[0]
+    assert len(rs.output_ids) == 10
+    assert all(np.isfinite(lp) and lp <= 0 for lp in rs.output_logprobs)
+    assert core.num_spec_steps > 0
