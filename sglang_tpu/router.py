@@ -1,10 +1,13 @@
 """Multi-worker router: cache-aware load balancing over server replicas.
 
 Ref: sgl-model-gateway (Rust, 114.5k LoC) — worker registry, health checks,
-and routing policies including `cache_aware` (an approximate per-worker
-radix tree over recent request prefixes, policies/cache_aware.rs:112 +
-policies/tree.rs). This is the Python data plane; the C++ gateway (native,
-higher-throughput proxy) is the round-2/3 native obligation (SURVEY §2.10).
+and routing policies including `cache_aware` (a per-worker radix tree over
+recent request prefixes, policies/cache_aware.rs:112 + policies/tree.rs).
+The per-request CPU-hot core (path-compressed radix tree with worker
+tenancy bitsets + LRU eviction, registry, circuit breaker, selection) is
+NATIVE C++ (csrc/gateway_core.cpp via ctypes, the SURVEY §2.10.5
+obligation); this module is the async HTTP shell. A pure-Python CharTree
+fallback keeps the router available if the toolchain is absent.
 
     python -m sglang_tpu.router --port 8000 \
         --workers http://h1:30000 http://h2:30000 --policy cache_aware
@@ -75,9 +78,23 @@ class Worker:
 
 
 class Router:
-    def __init__(self, workers: List[str], policy: str = "cache_aware"):
+    def __init__(self, workers: List[str], policy: str = "cache_aware",
+                 use_native: bool = True):
         self.workers = [Worker(u) for u in workers]
         self.policy = policy
+        self.core = None
+        if use_native:
+            try:
+                from sglang_tpu.gateway_core import GatewayCore
+
+                self.core = GatewayCore()
+                for _ in self.workers:
+                    self.core.add_worker()
+            except Exception as e:  # noqa: BLE001
+                logger.warning(
+                    "native gateway core unavailable (%s); "
+                    "falling back to the Python tree", e,
+                )
         self.tree = CharTree()
         self._rr = itertools.count()
         self.session: Optional[aiohttp.ClientSession] = None
@@ -85,7 +102,18 @@ class Router:
     def _alive(self) -> List[Tuple[int, Worker]]:
         return [(i, w) for i, w in enumerate(self.workers) if w.healthy]
 
+    def record_insert(self, text: str, idx: int) -> None:
+        if self.core is not None:
+            self.core.insert(text, idx)
+        else:
+            self.tree.insert(text, idx)
+
     def pick(self, text: str) -> Tuple[int, Worker]:
+        if self.core is not None:
+            i = self.core.pick(text or "", self.policy)
+            if i < 0:
+                raise web.HTTPServiceUnavailable(text="no healthy workers")
+            return i, self.workers[i]
         alive = self._alive()
         if not alive:
             raise web.HTTPServiceUnavailable(text="no healthy workers")
@@ -123,9 +151,16 @@ class Router:
                 if ok:
                     w.healthy = True
                     w.consecutive_failures = 0
+                    if self.core is not None:
+                        self.core.set_health(self.workers.index(w), True)
                 else:
                     w.consecutive_failures += 1
-                    if w.consecutive_failures >= 3:  # circuit breaker
+                    if self.core is not None:
+                        # native circuit breaker mirrors the state
+                        w.healthy = self.core.record_failure(
+                            self.workers.index(w), threshold=3
+                        )
+                    elif w.consecutive_failures >= 3:  # circuit breaker
                         w.healthy = False
             await asyncio.sleep(5)
 
@@ -145,6 +180,8 @@ class Router:
             pass
         idx, worker = self.pick(text)
         worker.inflight += 1
+        if self.core is not None:
+            self.core.inc_inflight(idx)
         try:
             async with self.session.request(
                 request.method,
@@ -154,7 +191,7 @@ class Router:
                 timeout=aiohttp.ClientTimeout(total=3600),
             ) as upstream:
                 if text:
-                    self.tree.insert(text, idx)
+                    self.record_insert(text, idx)
                 resp = web.StreamResponse(
                     status=upstream.status, headers=upstream.headers.copy()
                 )
@@ -164,6 +201,8 @@ class Router:
                 return resp
         finally:
             worker.inflight -= 1
+            if self.core is not None:
+                self.core.dec_inflight(idx)
 
     async def list_workers(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -180,6 +219,8 @@ class Router:
     async def add_worker(self, request: web.Request) -> web.Response:
         body = await request.json()
         self.workers.append(Worker(body["url"]))
+        if self.core is not None:
+            self.core.add_worker()
         return web.json_response({"success": True})
 
     def build_app(self) -> web.Application:
