@@ -79,6 +79,9 @@ class Req:
         else:
             self._lora_salt = 0
         self.is_embedding = is_embedding
+        # /v1/score: next-token probabilities at these ids come back
+        # through the embedding channel (core._run_encode_batch).
+        self.label_token_ids = None
         self.embedding = None
 
         # Multimodal: precomputed embeddings spliced at placeholder

@@ -251,6 +251,9 @@ class ScheduleCore:
             )
             self.pipeline_depth = 1
         self.num_spec_accepted = 0
+        # /pause_generation: no NEW batches launch while paused (pending
+        # device work still drains; queues are preserved).
+        self.paused = False
         self.num_spec_steps = 0
 
         # PD disaggregation (ref srt/disaggregation/): prefill engines ship
@@ -393,7 +396,7 @@ class ScheduleCore:
                     raise AssertionError(
                         "KV invariant violations: " + "; ".join(errs[:4])
                     )
-        launched = self._schedule_and_launch()
+        launched = False if self.paused else self._schedule_and_launch()
         outputs: List[StepOutput] = []
         if self._early_outputs:
             outputs.extend(self._early_outputs)
@@ -804,6 +807,15 @@ class ScheduleCore:
         embed_reqs = [r for r in self.waiting if r.is_embedding]
         if not embed_reqs:
             return False
+        # /v1/score requests batch separately from plain embeddings (their
+        # forward reads label-token probabilities, not pooled states).
+        score_reqs = [r for r in embed_reqs
+                      if getattr(r, "label_token_ids", None)]
+        if score_reqs:
+            embed_reqs = score_reqs
+        else:
+            embed_reqs = [r for r in embed_reqs
+                          if not getattr(r, "label_token_ids", None)]
         batch = embed_reqs[: min(8, len(embed_reqs))]
         seq_inputs = []
         admitted = []
@@ -824,10 +836,20 @@ class ScheduleCore:
             seq_inputs, self.page_size, ForwardMode.EXTEND,
             trash_slot=self.runner.trash_slot,
         )
-        pooled = np.asarray(self.runner.forward_encode(fb))
+        if getattr(admitted[0], "label_token_ids", None):
+            maxl = max(len(r.label_token_ids) for r in admitted)
+            labels = np.zeros((len(admitted), maxl), np.int32)
+            for i, r in enumerate(admitted):
+                labels[i, : len(r.label_token_ids)] = r.label_token_ids
+            pooled = np.asarray(self.runner.forward_score(fb, labels))
+        else:
+            pooled = np.asarray(self.runner.forward_encode(fb))
         for i, req in enumerate(admitted):
             self.waiting.remove(req)
-            req.embedding = pooled[i].tolist()
+            if getattr(req, "label_token_ids", None):
+                req.embedding = pooled[i][: len(req.label_token_ids)].tolist()
+            else:
+                req.embedding = pooled[i].tolist()
             req.status = ReqStatus.FINISHED
             req.finish_reason = FinishReason("stop")
             self.allocator.free(req.pages)

@@ -268,6 +268,46 @@ class Engine:
     def flush_cache(self) -> bool:
         return self._run_coro(self.tokenizer_manager.flush_cache())
 
+    def pause_generation(self) -> bool:
+        return self._run_coro(self.tokenizer_manager.pause_generation(True))
+
+    def continue_generation(self) -> bool:
+        return self._run_coro(self.tokenizer_manager.pause_generation(False))
+
+    def score(self, query, items, label_token_ids, apply_softmax=False,
+              item_first=False):
+        """/v1/score analog (ref Engine.score): probabilities of
+        label_token_ids at the next-token position of query+item."""
+        if isinstance(items, str) or (items and isinstance(items[0], int)):
+            items = [items]
+        seqs = []
+        for it in items:
+            if isinstance(query, str):
+                a, b = (it, query) if item_first else (query, it)
+                seqs.append(a + b)
+            else:
+                itt = it if isinstance(it, list) else [it]
+                a, b = (itt, query) if item_first else (query, itt)
+                seqs.append(list(a) + list(b))
+        kw = {"prompt": seqs} if isinstance(seqs[0], str) else {
+            "input_ids": seqs
+        }
+        gri = GenerateReqInput(
+            text=kw.get("prompt"),
+            input_ids=kw.get("input_ids"),
+            is_embedding=True,
+            label_token_ids=list(label_token_ids),
+        )
+        outs = self._run_coro(self._collect(gri))
+        scores = []
+        for o in outs:
+            p = list(o["embedding"])
+            if apply_softmax:
+                s = sum(p) or 1.0
+                p = [x / s for x in p]
+            scores.append(p)
+        return scores
+
     def start_expert_distribution_record(self):
         return self._run_coro(
             self.tokenizer_manager.expert_distribution("start")

@@ -269,6 +269,122 @@ class HttpServer:
         ok = await self.tm.flush_cache()
         return web.json_response({"success": ok}, status=200 if ok else 400)
 
+    async def v1_score(self, request: web.Request) -> web.Response:
+        """Next-token label scoring (ref /v1/score, openai/serving_score.py):
+        for each item, run query+item (or item+query) and return the
+        probabilities of label_token_ids at the next-token position."""
+        body = await request.json()
+        query = body.get("query")
+        items = body.get("items")
+        labels = body.get("label_token_ids")
+        if query is None or items is None or not labels:
+            return _json_error("query, items and label_token_ids required")
+        if isinstance(items, (str,)) or (
+            items and isinstance(items[0], int)
+        ):
+            items = [items]
+        item_first = bool(body.get("item_first", False))
+        tok = self.tm.tokenizer
+        seqs = []
+        for it in items:
+            if isinstance(query, str):
+                a, b = (it, query) if item_first else (query, it)
+                seqs.append(a + b)
+            else:
+                itt = it if isinstance(it, list) else [it]
+                a, b = (itt, query) if item_first else (query, itt)
+                seqs.append(list(a) + list(b))
+        kw = {"text": seqs} if isinstance(seqs[0], str) else {
+            "input_ids": seqs
+        }
+        gri = GenerateReqInput(
+            is_embedding=True, label_token_ids=list(labels), **kw
+        )
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        scores = []
+        for o in outs:
+            p = list(o["embedding"])
+            if body.get("apply_softmax"):
+                s = sum(p) or 1.0
+                p = [x / s for x in p]
+            scores.append(p)
+        return web.json_response({
+            "object": "scoring",
+            "model": body.get("model", self.args.served_model_name),
+            "scores": scores,
+            "usage": {
+                "prompt_tokens": sum(o["meta_info"]["prompt_tokens"]
+                                     for o in outs),
+                "total_tokens": sum(o["meta_info"]["prompt_tokens"]
+                                    for o in outs),
+            },
+        })
+
+    async def classify(self, request: web.Request) -> web.Response:
+        """Sequence classification / reward models (ref /classify:
+        srt/entrypoints/http_server.py): returns the classifier head's
+        logits per input."""
+        body = await request.json()
+        text = body.get("text")
+        input_ids = body.get("input_ids")
+        gri = GenerateReqInput(
+            text=text, input_ids=input_ids, is_embedding=True
+        )
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        return web.json_response([
+            {
+                "embedding": o["embedding"],
+                "meta_info": o["meta_info"],
+            }
+            for o in outs
+        ])
+
+    async def parse_function_call(self, request: web.Request) -> web.Response:
+        """Post-hoc tool-call parse of generated text (ref
+        /parse_function_call http_server.py:1953)."""
+        from sglang_tpu.function_call.parser import FunctionCallParser
+
+        body = await request.json()
+        parser_name = body.get("tool_call_parser") or self.args.tool_call_parser
+        if not parser_name:
+            return _json_error("no tool_call_parser configured")
+        parser = FunctionCallParser(body.get("tools") or [], parser_name)
+        normal, calls = parser.parse_non_stream(body.get("text") or "")
+        return web.json_response({
+            "normal_text": normal,
+            "calls": [
+                {"name": c.name, "parameters": c.parameters,
+                 "tool_index": c.tool_index}
+                for c in calls
+            ],
+        })
+
+    async def separate_reasoning(self, request: web.Request) -> web.Response:
+        """Post-hoc reasoning split (ref /separate_reasoning)."""
+        from sglang_tpu.parser.reasoning_parser import ReasoningParser
+
+        body = await request.json()
+        name = body.get("reasoning_parser") or self.args.reasoning_parser
+        if not name:
+            return _json_error("no reasoning_parser configured")
+        r = ReasoningParser(name).parse_non_stream(body.get("text") or "")
+        return web.json_response({
+            "reasoning_text": r.reasoning_text or "",
+            "text": r.normal_text or "",
+        })
+
+    async def pause_generation(self, request: web.Request) -> web.Response:
+        ok = await self.tm.pause_generation(True)
+        return web.json_response({"success": ok, "message": "paused"})
+
+    async def continue_generation(self, request: web.Request) -> web.Response:
+        ok = await self.tm.pause_generation(False)
+        return web.json_response({"success": ok, "message": "resumed"})
+
     async def expert_distribution(self, request: web.Request) -> web.Response:
         action = request.match_info["action"]
         data = await self.tm.expert_distribution(action)
@@ -636,6 +752,12 @@ class HttpServer:
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/v1/rerank", self.v1_rerank)
+        r.add_post("/v1/score", self.v1_score)
+        r.add_post("/classify", self.classify)
+        r.add_post("/parse_function_call", self.parse_function_call)
+        r.add_post("/separate_reasoning", self.separate_reasoning)
+        r.add_post("/pause_generation", self.pause_generation)
+        r.add_post("/continue_generation", self.continue_generation)
         r.add_get("/flush_cache", self.flush_cache)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)

@@ -36,6 +36,8 @@ class GenerateReqInput:
     session_params: Optional[Dict] = None
     return_text_in_logprobs: bool = False
     is_embedding: bool = False
+    # /v1/score label token ids (shared by every sequence in the batch).
+    label_token_ids: Optional[Any] = None
     # Multimodal (round-2 surface)
     image_data: Optional[Any] = None
 
@@ -89,6 +91,7 @@ class GenerateReqInput:
                     lora_path=pick(self.lora_path, i),
                     priority=pick(self.priority, i, 0),
                     is_embedding=self.is_embedding,
+                    label_token_ids=self.label_token_ids,
                 )
             )
         return out
@@ -106,6 +109,10 @@ class TokenizedGenerateReqInput:
     priority: int = 0
     is_embedding: bool = False
     input_embeds: Optional[Any] = None  # np [T, H]
+    # /v1/score: probabilities of these token ids at the next-token
+    # position are returned through the embedding channel (ref
+    # ScoringRequest.label_token_ids, openai/serving_score.py).
+    label_token_ids: Optional[Any] = None
     # Multimodal images: list of dicts {pixel_values (np), grid_thw,
     # mm_hash, offset (first placeholder token index), num_tokens}
     # produced by TokenizerManager's processor; the scheduler runs the
@@ -181,6 +188,19 @@ class HealthCheckReq:
 @dataclasses.dataclass
 class HealthCheckResp:
     ok: bool
+
+
+@dataclasses.dataclass
+class PauseGenerationReq:
+    """Pause/resume launching new forward batches (ref /pause_generation +
+    /continue_generation). In-flight device work drains; queued requests
+    stay queued."""
+    pause: bool
+
+
+@dataclasses.dataclass
+class PauseGenerationResp:
+    success: bool
 
 
 @dataclasses.dataclass

@@ -25,6 +25,8 @@ from sglang_tpu.managers.io_struct import (
     BatchTokenOut,
     EplbRebalanceReq,
     EplbRebalanceResp,
+    PauseGenerationReq,
+    PauseGenerationResp,
     ExpertDistributionReq,
     ExpertDistributionResp,
     FlushCacheReq,
@@ -87,6 +89,7 @@ class Scheduler:
             mm_inputs = getattr(msg, "mm_inputs", None)
             if mm_inputs:
                 self.core.attach_mm_inputs(req, mm_inputs)
+            req.label_token_ids = getattr(msg, "label_token_ids", None)
             self._req_meta[msg.rid] = (
                 sp.skip_special_tokens,
                 sp.spaces_between_special_tokens,
@@ -101,6 +104,9 @@ class Scheduler:
             send_pyobj(self.to_detok, FlushCacheResp(success=ok))
         elif isinstance(msg, HealthCheckReq):
             send_pyobj(self.to_detok, HealthCheckResp(ok=True))
+        elif isinstance(msg, PauseGenerationReq):
+            self.core.paused = msg.pause
+            send_pyobj(self.to_detok, PauseGenerationResp(success=True))
         elif isinstance(msg, ExpertDistributionReq):
             from sglang_tpu.eplb import RECORDER
 

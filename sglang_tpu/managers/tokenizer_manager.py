@@ -271,6 +271,7 @@ class TokenizerManager:
                 if getattr(gri, "input_embeds", None) is not None else None
             ),
             mm_inputs=mm_inputs,
+            label_token_ids=getattr(gri, "label_token_ids", None),
         )
 
     async def generate_request(
@@ -442,6 +443,17 @@ class TokenizerManager:
 
     async def flush_cache(self) -> bool:
         resp = await self._control_rpc(FlushCacheReq(), FlushCacheResp)
+        return resp.success
+
+    async def pause_generation(self, pause: bool) -> bool:
+        from sglang_tpu.managers.io_struct import (
+            PauseGenerationReq,
+            PauseGenerationResp,
+        )
+
+        resp = await self._control_rpc(
+            PauseGenerationReq(pause=pause), PauseGenerationResp
+        )
         return resp.success
 
     async def expert_distribution(self, action: str):

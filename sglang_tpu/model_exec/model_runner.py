@@ -567,6 +567,12 @@ class ModelRunner:
             )
         else:
             pooled = hidden[fb.logits_indices]  # [B, H] last token
+        if getattr(self.model, "is_classifier", False):
+            # /classify: raw class logits, no normalization (ref
+            # srt/models/llama_classification.py).
+            return kv, self.model.classify_logits(params, pooled).astype(
+                jnp.float32
+            )
         pooled = pooled.astype(jnp.float32)
         pooled = pooled / jnp.maximum(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
@@ -579,6 +585,30 @@ class ModelRunner:
         new_kv, pooled = self._encode(self.params, self.kv_pool.kv, fb)
         self.kv_pool.swap(new_kv)
         return pooled
+
+    def _score_impl(self, params, kv, fb: ForwardBatch, labels):
+        """/v1/score: softmax probabilities of the label token ids at each
+        sequence's next-token position (ref openai/serving_score.py;
+        apply_softmax renormalization over the label subset happens host-
+        side — probability ratios are preserved)."""
+        hidden, kv = self.model(params, fb, kv, self.attn_backend)
+        logits = self.model.compute_logits(
+            params, hidden[fb.logits_indices]
+        ).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return kv, jnp.take_along_axis(probs, labels, axis=1)  # [B, L]
+
+    def forward_score(self, fb: ForwardBatch, labels: np.ndarray):
+        if not hasattr(self, "_score"):
+            self._score = jax.jit(self._score_impl, donate_argnums=(1,))
+        B = fb.q_lens.shape[0]
+        lab = np.zeros((B, labels.shape[-1]), np.int32)
+        lab[: labels.shape[0]] = labels
+        new_kv, scores = self._score(
+            self.params, self.kv_pool.kv, fb, jnp.asarray(lab)
+        )
+        self.kv_pool.swap(new_kv)
+        return scores
 
     def _verify_impl(self, params, kv, fb: ForwardBatch):
         """Speculative verify: greedy tokens at EVERY extend position.

@@ -33,6 +33,10 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "BertModel": ("sglang_tpu.models.bert", "BertModel"),
+    "LlamaForSequenceClassification": (
+        "sglang_tpu.models.llama_classification",
+        "LlamaForSequenceClassification",
+    ),
     "BertForMaskedLM": ("sglang_tpu.models.bert", "BertModel"),
     "LlavaForConditionalGeneration": ("sglang_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

@@ -358,3 +358,66 @@ def test_return_text_in_logprobs(server):
     for vals, ids, texts in meta["output_top_logprobs"]:
         assert len(texts) == len(ids)
         assert all(isinstance(t, str) for t in texts)
+
+
+def test_parse_function_call_endpoint(server):
+    text = ('<tool_call>\n{"name": "get_weather", "arguments": '
+            '{"city": "Paris"}}\n</tool_call>')
+    r = requests.post(
+        server + "/parse_function_call",
+        json={
+            "text": text,
+            "tool_call_parser": "qwen25",
+            "tools": [{"type": "function",
+                       "function": {"name": "get_weather"}}],
+        },
+        timeout=30,
+    )
+    assert r.status_code == 200
+    out = r.json()
+    assert out["calls"] and out["calls"][0]["name"] == "get_weather"
+
+
+def test_separate_reasoning_endpoint(server):
+    r = requests.post(
+        server + "/separate_reasoning",
+        json={
+            "text": "<think>step by step</think>The answer is 4.",
+            "reasoning_parser": "deepseek-r1",
+        },
+        timeout=30,
+    )
+    assert r.status_code == 200
+    out = r.json()
+    assert out["reasoning_text"] == "step by step"
+    assert out["text"] == "The answer is 4."
+
+
+def test_pause_continue_endpoints(server):
+    assert requests.post(server + "/pause_generation", timeout=30
+                         ).json()["success"]
+    assert requests.post(server + "/continue_generation", timeout=30
+                         ).json()["success"]
+    # still serving afterwards
+    r = requests.post(
+        server + "/generate",
+        json={"text": "hi", "sampling_params":
+              {"max_new_tokens": 2, "ignore_eos": True}},
+        timeout=120,
+    )
+    assert r.status_code == 200
+
+
+def test_v1_score_endpoint(server):
+    r = requests.post(
+        server + "/v1/score",
+        json={"query": [3, 5, 7], "items": [[2], [9, 4]],
+              "label_token_ids": [10, 11], "apply_softmax": True},
+        timeout=120,
+    )
+    assert r.status_code == 200
+    out = r.json()
+    assert len(out["scores"]) == 2
+    for row in out["scores"]:
+        assert len(row) == 2
+        assert abs(sum(row) - 1.0) < 1e-5
