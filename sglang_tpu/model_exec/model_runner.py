@@ -137,7 +137,9 @@ class ModelRunner:
             server_args.page_size,
             kv_quant=self.kv_quant_format(),
             compute_dtype=model_config.dtype,
+            dcp=server_args.enable_dcp,
         )
+        self.attn_backend.cp = bool(server_args.enable_cp)
         logger.info("attention backend: %s", backend_name)
 
         self.lora_manager = None

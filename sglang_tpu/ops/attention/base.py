@@ -30,7 +30,8 @@ class AttentionBackend:
 
     def __init__(self, num_q_heads: int, num_kv_heads: int, head_dim: int,
                  page_size: int, scale: float | None = None,
-                 kv_quant: str | None = None, compute_dtype=None):
+                 kv_quant: str | None = None, compute_dtype=None,
+                 dcp: bool = False):
         self.num_q_heads = num_q_heads
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
@@ -38,6 +39,15 @@ class AttentionBackend:
         self.scale = scale if scale is not None else head_dim**-0.5
         # fp8 KV storage (ops/quant_kv.py): "fp8_e5m2" | "fp8_e4m3" | None.
         self.kv_quant = kv_quant
+        # Decode context parallelism (--enable-dcp): context pages shard
+        # over the mesh axis with an LSE merge (xla_backend DCP paths);
+        # mutually exclusive with cascade decode batches.
+        self.dcp = dcp
+        if dcp:
+            self.supports_cascade = False
+        # Zigzag prefill context parallelism (--enable-cp): q blocks shard
+        # over the mesh axis (forward_extend_cp).
+        self.cp = False
         import jax.numpy as jnp
 
         self.compute_dtype = compute_dtype or jnp.bfloat16
@@ -78,6 +88,10 @@ class AttentionBackend:
             out = self.forward_tree_verify(q, kv_layer, fb, window=window,
                                            logit_cap=logit_cap, scale=scale,
                                            sinks=sinks)
+        elif self.cp:
+            out = self.forward_extend_cp(q, kv_layer, fb, window=window,
+                                         logit_cap=logit_cap, scale=scale,
+                                         sinks=sinks)
         else:
             out = self.forward_extend(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
@@ -113,6 +127,81 @@ class AttentionBackend:
 
     def forward_tree_verify(self, q, kv_layer, fb, **kw):
         raise NotImplementedError
+
+    def forward_extend_cp(self, q, kv_layer, fb, **kw):
+        """Zigzag prefill context parallelism (ref srt/layers/cp/
+        zigzag.py:15-28 recast): the batch's q BLOCKS are dealt to mesh
+        devices in zigzag order — later blocks attend more context under
+        the causal mask, so the boustrophedon deal balances per-chip
+        attention FLOPs — and each chip runs this backend's own
+        forward_extend over only its blocks (per-token fields permuted;
+        per-sequence tables replicated). Exact: block attention is
+        independent across blocks given the written KV."""
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import PartitionSpec as PS
+
+        from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
+
+        ctx = get_mesh_context()
+        cpn = ctx.tp_size
+        T = q.shape[0]
+        align = fb.extend_align
+        NB = T // align
+        if cpn <= 1 or NB % cpn != 0:
+            return self.forward_extend(q, kv_layer, fb, **kw)
+        # zigzag deal: forward then backward over chips, repeating
+        order = []
+        fwd = True
+        for c0 in range(0, NB, cpn):
+            chunk = list(range(c0, c0 + cpn))
+            order.extend(chunk if fwd else chunk[::-1])
+            fwd = not fwd
+        # chip c gets blocks where position-in-deal % cpn pattern lands on c
+        perm = np.empty((cpn, NB // cpn), np.int32)
+        counts = [0] * cpn
+        for slot, blk in enumerate(order):
+            c = slot % cpn
+            perm[c, counts[c]] = blk
+            counts[c] += 1
+        rowp = (
+            perm[:, :, None] * align + np.arange(align)[None, None, :]
+        ).reshape(cpn, -1)  # [cp, T/cp]
+        rowp_d = jnp.asarray(rowp)
+        perm_d = jnp.asarray(perm)
+        qp = q[rowp_d.reshape(-1)].reshape((cpn, T // cpn) + q.shape[1:])
+        pos_p = fb.positions[rowp_d]
+        sid_p = fb.seq_ids[rowp_d]
+        bs_p = fb.block_seq[perm_d]
+        bo_p = fb.block_q_off[perm_d]
+
+        def local(qs, pos, sid, bs, bo, fbr, kvl):
+            fbl = _dc.replace(
+                fbr,
+                positions=pos[0],
+                seq_ids=sid[0],
+                block_seq=bs[0],
+                block_q_off=bo[0],
+            )
+            out = self.forward_extend(qs[0], kvl, fbl, **kw)
+            return out[None]
+
+        out = jax.shard_map(
+            local,
+            mesh=ctx.mesh,
+            in_specs=(PS(AXIS_TP), PS(AXIS_TP), PS(AXIS_TP), PS(AXIS_TP),
+                      PS(AXIS_TP), PS(), PS()),
+            out_specs=PS(AXIS_TP),
+            check_vma=False,
+        )(qp, pos_p, sid_p, bs_p, bo_p, fb, kv_layer)
+        out = out.reshape((T,) + q.shape[1:])
+        inv = jnp.zeros(T, jnp.int32).at[rowp_d.reshape(-1)].set(
+            jnp.arange(T, dtype=jnp.int32)
+        )
+        return out[inv]
 
     # ---- MLA (absorbed multi-head latent attention) ----
     # Ref: srt/models/deepseek_v2.py absorbed decode + MLATokenToKVPool

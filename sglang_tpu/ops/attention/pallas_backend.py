@@ -63,6 +63,16 @@ class PallasBackend(AttentionBackend):
         return XlaNativeBackend.forward_tree_verify(self, q, kv_layer, fb,
                                                     **kw)
 
+    def forward_decode_dcp(self, *a, **kw):
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend.forward_decode_dcp(self, *a, **kw)
+
+    def forward_mla_decode_dcp(self, *a, **kw):
+        from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
+
+        return XlaNativeBackend.forward_mla_decode_dcp(self, *a, **kw)
+
     def _gather_ctx(self, kv_layer, slots):
         from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 
@@ -88,6 +98,8 @@ class PallasBackend(AttentionBackend):
     def _shardable(self, tp: int) -> bool:
         if self.kv_quant:
             return False  # quantized pools are replicated (for now)
+        if getattr(self, "cp", False):
+            return False  # CP owns the mesh axis for extend attention
         return (
             self.num_kv_heads % (2 * tp) == 0
             and self.num_q_heads % (2 * tp) == 0

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P_spec
 
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 from sglang_tpu.ops.attention.base import AttentionBackend, register_attention_backend
@@ -81,6 +82,18 @@ class XlaNativeBackend(AttentionBackend):
 
     def forward_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
+        if (
+            getattr(self, "dcp", False)
+            and not (window and window > 0)
+            and sinks is None
+            and fb.shared_pages is None
+        ):
+            from sglang_tpu.parallel.mesh import get_mesh_context
+
+            if get_mesh_context().tp_size > 1:
+                return self.forward_decode_dcp(
+                    q, kv_layer, fb, logit_cap=logit_cap, scale=scale
+                )
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -161,6 +174,13 @@ class XlaNativeBackend(AttentionBackend):
 
     def forward_mla_decode(self, q, latent, fb: ForwardBatch, *, v_dim,
                            scale):
+        if getattr(self, "dcp", False) and fb.shared_pages is None:
+            from sglang_tpu.parallel.mesh import get_mesh_context
+
+            if get_mesh_context().tp_size > 1:
+                return self.forward_mla_decode_dcp(
+                    q, latent, fb, v_dim=v_dim, scale=scale
+                )
         B, nh, D = q.shape
         pt = fb.page_table
         P = pt.shape[1]
@@ -237,6 +257,128 @@ class XlaNativeBackend(AttentionBackend):
         out = jnp.einsum(
             "thc,tcv->thv", probs, rows[:, :, :v_dim].astype(jnp.float32)
         )
+        return out.astype(q.dtype)
+
+    def forward_decode_dcp(self, q, kv_layer, fb: ForwardBatch,
+                           logit_cap=0.0, scale=None):
+        """Decode context parallelism (ref srt/layers/dcp/comm.py:15-22
+        recast): the CONTEXT pages are partitioned over the mesh axis —
+        each chip gathers and attends only its 1/dcp slice of every
+        sequence's pages, then partial softmax states merge with the
+        standard LSE combine (pmax + rescaled psum). This is how MLA
+        models parallelize decode attention over the mesh: the single
+        latent head cannot be tensor-parallel-split, but the context can.
+        Pools are replicated this round (per-chip GATHER traffic divides
+        by dcp; pool memory sharding is the r3 follow-up)."""
+        from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
+
+        ctx_mesh = get_mesh_context()
+        dcp = ctx_mesh.tp_size
+        B, nq, hd = q.shape
+        nk = self.num_kv_heads
+        group = nq // nk
+        ps = self.page_size
+        page_table = fb.page_table
+        P = page_table.shape[1]
+        if P % dcp:  # pad with trash pages (positions masked by seq_len)
+            pad = dcp - P % dcp
+            page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+            P += pad
+        Pl = P // dcp
+        sc = scale or self.scale
+
+        def local(qr, kp, vp, pt_l, seq_lens):
+            # pt_l [1, B, Pl]; this shard owns pages [s*Pl, (s+1)*Pl)
+            pt_l = pt_l[0]
+            s = jax.lax.axis_index(AXIS_TP)
+            k, v = self._gather_pages((kp, vp), pt_l)  # [B, Pl*ps, nk, hd]
+            C = Pl * ps
+            qf = qr.reshape(B, nk, group, hd)
+            scores = jnp.einsum(
+                "bkgd,bckd->bkgc", qf, k,
+                preferred_element_type=jnp.float32,
+            ) * sc
+            scores = self._softcap(scores, logit_cap)
+            pos = s * C + jnp.arange(C, dtype=jnp.int32)
+            mask = pos[None, :] < seq_lens[:, None]
+            scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+            m = jnp.max(scores, axis=-1)  # [B, nk, g]
+            M = jax.lax.pmax(m, AXIS_TP)
+            p = jnp.exp(scores - M[..., None])
+            l = jnp.sum(p, axis=-1)
+            acc = jnp.einsum(
+                "bkgc,bckd->bkgd", p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            L = jax.lax.psum(l, AXIS_TP)
+            ACC = jax.lax.psum(acc, AXIS_TP)
+            out = ACC / jnp.maximum(L[..., None], 1e-20)
+            return out.reshape(B, nq, hd)
+
+        pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)  # [dcp, B, Pl]
+        out = jax.shard_map(
+            local,
+            mesh=ctx_mesh.mesh,
+            in_specs=(P_spec(), P_spec(), P_spec(),
+                      P_spec(AXIS_TP), P_spec()),
+            out_specs=P_spec(),
+            check_vma=False,
+        )(q, kv_layer[0], kv_layer[1], pt, fb.seq_lens)
+        return out.astype(q.dtype)
+
+    def forward_mla_decode_dcp(self, q, latent, fb: ForwardBatch, *, v_dim,
+                               scale):
+        """DCP for absorbed-MLA decode (see forward_decode_dcp)."""
+        from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
+
+        ctx_mesh = get_mesh_context()
+        dcp = ctx_mesh.tp_size
+        B, nh, D = q.shape
+        ps = self.page_size
+        page_table = fb.page_table
+        P = page_table.shape[1]
+        if P % dcp:
+            pad = dcp - P % dcp
+            page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+            P += pad
+        Pl = P // dcp
+
+        def local(qr, lat, pt_l, seq_lens):
+            pt_l = pt_l[0]
+            s = jax.lax.axis_index(AXIS_TP)
+            C = Pl * ps
+            if self.kv_quant:
+                rows = self._dequant(lat[pt_l], 1).reshape(B, C, D)
+            else:
+                rows = lat[pt_l].reshape(B, C, D)
+            qf = qr.astype(rows.dtype)
+            scores = jnp.einsum(
+                "bhd,bcd->bhc", qf, rows,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            pos = s * C + jnp.arange(C, dtype=jnp.int32)
+            mask = pos[None, :] < seq_lens[:, None]
+            scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+            m = jnp.max(scores, axis=-1)
+            M = jax.lax.pmax(m, AXIS_TP)
+            p = jnp.exp(scores - M[..., None])
+            l = jnp.sum(p, axis=-1)
+            acc = jnp.einsum(
+                "bhc,bcv->bhv", p.astype(rows.dtype), rows[:, :, :v_dim],
+                preferred_element_type=jnp.float32,
+            )
+            L = jax.lax.psum(l, AXIS_TP)
+            ACC = jax.lax.psum(acc, AXIS_TP)
+            return ACC / jnp.maximum(L[..., None], 1e-20)
+
+        pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)
+        out = jax.shard_map(
+            local,
+            mesh=ctx_mesh.mesh,
+            in_specs=(P_spec(), P_spec(), P_spec(AXIS_TP), P_spec()),
+            out_specs=P_spec(),
+            check_vma=False,
+        )(q, latent, pt, fb.seq_lens)
         return out.astype(q.dtype)
 
     def forward_tree_verify(self, q, kv_layer, fb: ForwardBatch, window=0,

@@ -90,6 +90,15 @@ class ServerArgs:
     # each expert shard exactly its tokens via jax.lax.ragged_all_to_all
     # (layers/moe.py); default keeps the padded-groups formulation.
     moe_a2a_backend: Optional[str] = None
+    # Decode context parallelism (ref srt/layers/dcp/): context pages
+    # shard over the tp-axis devices with an LSE merge — THE way MLA
+    # models parallelize decode attention (the single latent head cannot
+    # be head-split). Disables cascade decode batches.
+    enable_dcp: bool = False
+    # Zigzag prefill context parallelism (ref srt/layers/cp/zigzag.py):
+    # extend q blocks dealt boustrophedon over the tp-axis devices so the
+    # causal triangle balances; each chip attends only its blocks.
+    enable_cp: bool = False
     pp_size: int = 1
     nnodes: int = 1
     node_rank: int = 0
