@@ -78,6 +78,7 @@ class _PendingBatch:
     out: ForwardOutput
     mode: ForwardMode
     launch_time: float
+    fb: object = None  # retained only when --debug-dump-dir is set
 
 
 @dataclasses.dataclass
@@ -113,6 +114,17 @@ class ScheduleCore:
         self.allocator = PageAllocator(
             runner.kv_pool.config.num_pages, self.page_size
         )
+        if server_args.enable_kv_canary:
+            from sglang_tpu.mem.kv_canary import CanaryAllocator
+
+            self.allocator = CanaryAllocator(self.allocator, runner)
+        # Debug dump mode (ref srt/debug_utils/dumper.py): one .npz per
+        # batch with forward inputs + sampled outputs.
+        self.dumper = None
+        if getattr(server_args, "debug_dump_dir", None):
+            from sglang_tpu.debug_utils import StepDumper
+
+            self.dumper = StepDumper(server_args.debug_dump_dir)
         # Hybrid SWA pool (ref srt/mem_cache/allocator/swa.py +
         # swa_radix_cache.py): sliding layers live in their own small pool;
         # out-of-window SWA pages are freed as sequences grow, and trailing
@@ -490,6 +502,9 @@ class ScheduleCore:
             mode == ForwardMode.EXTEND
             and getattr(self.draft_worker, "needs_hidden", False)
         )
+        dump_inputs = (
+            self.dumper.snapshot(fb) if self.dumper is not None else None
+        )
         out = self.runner.forward(
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
             lora_row_ids=lora_row_ids, mm_pack=mm_pack,
@@ -505,7 +520,10 @@ class ScheduleCore:
                 for i, (r, si) in enumerate(zip(rows, seq_inputs))
             ]
             self.draft_worker.observe_and_extend(entries, out.hidden)
-        self.pending.append(_PendingBatch(rows, out, mode, time.perf_counter()))
+        self.pending.append(
+            _PendingBatch(rows, out, mode, time.perf_counter(),
+                          fb=dump_inputs)
+        )
         # Structural-tag rows attach their grammar mid-stream (on trigger) —
         # keep them host-synced like grammar rows so no step launches
         # between the trigger token and the mask attach, and never arm the
@@ -517,6 +535,7 @@ class ScheduleCore:
         if (
             mode == ForwardMode.DECODE
             and self.resident_enabled
+            and self.dumper is None  # dump mode snapshots every launch
             and not has_grammar
             and lora_row_ids is None
         ):
@@ -1602,6 +1621,8 @@ class ScheduleCore:
 
     # --------------------------------------------------------- result path
     def _process_batch_result(self, pb: _PendingBatch) -> List[StepOutput]:
+        if self.dumper is not None and pb.fb is not None:
+            self.dumper.dump_batch(pb.fb, pb.out)
         tokens = np.asarray(pb.out.next_tokens)
         logprobs = np.asarray(pb.out.chosen_logprobs)
         top_v = (

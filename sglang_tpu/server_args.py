@@ -74,6 +74,15 @@ class ServerArgs:
     tokenizer_worker_num: int = 4
     # KV page-ownership invariant sweeps every N scheduler steps (0 = off).
     enable_invariant_check: int = 0
+    # KV canary (ref srt/kv_canary/): stamp freed pages with a known
+    # pattern and verify on re-allocation — catches use-after-free KV
+    # CONTENT corruption the ownership invariant checker can't see.
+    # Debug mode: every free/alloc round-trips the device.
+    enable_kv_canary: bool = False
+    # Debug dump mode (ref srt/debug_utils/dumper.py): write one .npz per
+    # batch (forward inputs + sampled outputs) for offline comparison via
+    # `python -m sglang_tpu.debug_utils compare A B`.
+    debug_dump_dir: Optional[str] = None
     # Tokens of KV page runway pre-allocated per decode seq between host
     # rebuilds of the resident state (one page = one rebuild per page_size
     # steps per seq).
