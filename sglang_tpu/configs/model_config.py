@@ -100,7 +100,8 @@ class ModelConfig:
         ) is None:
             src = text
         g = lambda k, d=None: getattr(src, k, d)
-        num_heads = g("num_attention_heads")
+        # Attention-free models (Mamba/SSM) have no head fields.
+        num_heads = g("num_attention_heads") or 1
         hidden = g("hidden_size")
         head_dim = g("head_dim") or hidden // num_heads
         num_kv = g("num_key_value_heads") or num_heads

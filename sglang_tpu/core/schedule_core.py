@@ -111,10 +111,15 @@ class ScheduleCore:
         self.runner = runner
         self.tokenizer = tokenizer
         self.page_size = server_args.page_size
+        # Recurrent (SSM) models: states are not page-addressable, so
+        # prefix caching / cascade / speculative verify are off.
+        self.recurrent = bool(getattr(runner.model, "is_recurrent", False))
+        if getattr(runner.model, "no_prefix_cache", False):
+            server_args.disable_radix_cache = True
         self.allocator = PageAllocator(
             runner.kv_pool.config.num_pages, self.page_size
         )
-        if server_args.enable_kv_canary:
+        if server_args.enable_kv_canary and not self.recurrent:
             from sglang_tpu.mem.kv_canary import CanaryAllocator
 
             self.allocator = CanaryAllocator(self.allocator, runner)
@@ -209,6 +214,7 @@ class ScheduleCore:
             not server_args.disable_cascade_attn
             and getattr(runner.attn_backend, "supports_cascade", False)
             and runner.model_config.sliding_window is None
+            and not self.recurrent
         )
 
         # ViT embedding cache keyed by image content hash (ref
@@ -238,6 +244,12 @@ class ScheduleCore:
         self.drafter = None
         self.draft_worker = None
         algo = (server_args.speculative_algorithm or "").upper()
+        if self.recurrent and algo:
+            logger.warning(
+                "speculative decoding disabled: recurrent-state models "
+                "cannot roll back rejected drafts"
+            )
+            algo = ""
         if algo == "NGRAM":
             from sglang_tpu.speculative.ngram import NgramDrafter
 

@@ -189,6 +189,25 @@ class KVCachePool:
         self.kv = new_kv
 
 
+class RecurrentStatePool:
+    """Slot-indexed recurrent state arrays for SSM/linear-attention models
+    (ref srt/mem_cache/memory_pool.py MambaPool). Per layer: a tuple of
+    state arrays shaped [num_slots+1, ...] (models/mamba.py
+    state_shapes); updates ride the donated step jit like KV pools. The
+    paged machinery still runs (the scheduler's bookkeeping is
+    page-based) but addresses no real memory here."""
+
+    def __init__(self, config: KVPoolConfig, state_shapes):
+        self.config = config
+        self.kv = tuple(
+            tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+            for shapes in state_shapes
+        )
+
+    def swap(self, new_kv) -> None:
+        self.kv = new_kv
+
+
 def write_kv_xla(
     kv_layer: Tuple[jax.Array, jax.Array],  # ([NP, ps, 2, FH], same for v)
     k: jax.Array,  # [T, nk, hd]

@@ -245,6 +245,15 @@ class ModelRunner:
             mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
             quant=kv_quant,
         )
+        if getattr(self.model, "is_recurrent", False):
+            # SSM models: slot-indexed state arrays instead of paged KV.
+            from sglang_tpu.mem.kv_pool import RecurrentStatePool
+
+            self.kv_pool = RecurrentStatePool(
+                cfg, self.model.state_shapes(sa.max_running_requests)
+            )
+            self.max_total_tokens = (num_pages - 1) * sa.page_size
+            return
         self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
         self.max_total_tokens = (num_pages - 1) * sa.page_size
         logger.info(

@@ -33,6 +33,9 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "BertModel": ("sglang_tpu.models.bert", "BertModel"),
+    "MambaForCausalLM": ("sglang_tpu.models.mamba", "MambaForCausalLM"),
+    "FalconMambaForCausalLM": ("sglang_tpu.models.mamba",
+                               "MambaForCausalLM"),
     "LlamaForSequenceClassification": (
         "sglang_tpu.models.llama_classification",
         "LlamaForSequenceClassification",
