@@ -373,6 +373,127 @@ class JsonDetector(BaseDetector):
         return ParseResult(normal.strip(), calls)
 
 
+class DeepSeekV3Detector(BaseDetector):
+    """DeepSeek-V3/R1 tool-call markup (ref deepseekv3_detector.py):
+    <｜tool▁calls▁begin｜><｜tool▁call▁begin｜>fn<｜tool▁sep｜>{name}
+    ```json
+    {args}
+    ```<｜tool▁call▁end｜>...<｜tool▁calls▁end｜>"""
+
+    name = "deepseekv3"
+    bot_token = "<｜tool▁calls▁begin｜>"
+    eot_token = "<｜tool▁calls▁end｜>"
+    _call_re = re.compile(
+        r"<｜tool▁call▁begin｜>.*?<｜tool▁sep｜>(.*?)\n```json\n(.*?)\n```",
+        re.DOTALL,
+    )
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls = []
+        for m in self._call_re.finditer(payload):
+            obj = {"name": m.group(1).strip(),
+                   "arguments": _try_json(m.group(2).strip()) or {}}
+            item = self._extract(obj, tools)
+            if item:
+                item.tool_index = len(calls)
+                calls.append(item)
+        return ParseResult(pre.strip(), calls)
+
+
+class KimiK2Detector(BaseDetector):
+    """Kimi K2 tool-call markup (ref kimik2_detector.py):
+    <|tool_calls_section_begin|><|tool_call_begin|>functions.{name}:{i}
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...
+    <|tool_calls_section_end|>"""
+
+    name = "kimi_k2"
+    bot_token = "<|tool_calls_section_begin|>"
+    eot_token = "<|tool_calls_section_end|>"
+    _call_re = re.compile(
+        r"<\|tool_call_begin\|>\s*([^\s<|]+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(\{.*?\})\s*<\|tool_call_end\|>",
+        re.DOTALL,
+    )
+    _id_re = re.compile(r"^(?:functions\.)?([\w.\-]+):(\d+)$")
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls = []
+        for m in self._call_re.finditer(payload):
+            mid = self._id_re.match(m.group(1))
+            name = mid.group(1) if mid else m.group(1)
+            obj = {"name": name,
+                   "arguments": _try_json(m.group(2)) or {}}
+            item = self._extract(obj, tools)
+            if item:
+                item.tool_index = len(calls)
+                calls.append(item)
+        return ParseResult(pre.strip(), calls)
+
+
+class Glm4MoeDetector(BaseDetector):
+    """GLM-4.5/4.6 XML-ish per-call markup (ref glm4_moe_detector.py):
+    <tool_call>{name}\\n<arg_key>k</arg_key><arg_value>v</arg_value>...
+    </tool_call>. Values are cast by the tool schema's parameter type."""
+
+    name = "glm45"
+    bot_token = "<tool_call>"
+    eot_token = "</tool_call>"
+    _arg_re = re.compile(
+        r"<arg_key>(.*?)</arg_key>(?:\\n|\s)*<arg_value>(.*?)</arg_value>",
+        re.DOTALL,
+    )
+
+    @staticmethod
+    def _cast(name: str, key: str, val: str, tools):
+        t = None
+        for tool in tools or []:
+            fn = tool.get("function", tool)
+            if fn.get("name") == name:
+                props = (fn.get("parameters") or {}).get("properties") or {}
+                t = (props.get(key) or {}).get("type")
+        v = val.strip()
+        try:
+            if t == "integer":
+                return int(v)
+            if t == "number":
+                return float(v)
+            if t == "boolean":
+                return v.lower() == "true"
+            if t in ("object", "array"):
+                return json.loads(v)
+        except Exception:  # noqa: BLE001
+            pass
+        return v
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls = []
+        normal_parts = []
+        rest = text
+        while self.bot_token in rest:
+            pre, rest = rest.split(self.bot_token, 1)
+            normal_parts.append(pre)
+            if self.eot_token in rest:
+                body, rest = rest.split(self.eot_token, 1)
+            else:
+                body, rest = rest, ""
+            body = body.strip()
+            name = body.split("\n", 1)[0].split("\\n", 1)[0].strip()
+            args = {
+                k.strip(): self._cast(name, k.strip(), v, tools)
+                for k, v in self._arg_re.findall(body)
+            }
+            item = self._extract({"name": name, "arguments": args}, tools)
+            if item:
+                item.tool_index = len(calls)
+                calls.append(item)
+        normal_parts.append(rest)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
 DETECTORS = {
     "llama3": Llama3Detector,
     "llama4": Llama3Detector,
@@ -381,6 +502,11 @@ DETECTORS = {
     "hermes": Qwen25Detector,
     "mistral": MistralDetector,
     "json": JsonDetector,
+    "deepseekv3": DeepSeekV3Detector,
+    "deepseekv31": DeepSeekV3Detector,
+    "kimi_k2": KimiK2Detector,
+    "glm45": Glm4MoeDetector,
+    "glm4_moe": Glm4MoeDetector,
 }
 
 
