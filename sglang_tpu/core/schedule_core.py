@@ -152,7 +152,10 @@ class ScheduleCore:
             from sglang_tpu.mem.hicache import HiCacheController
 
             self.hicache = HiCacheController(
-                runner.kv_pool, host_ratio=server_args.hicache_ratio
+                runner.kv_pool, host_ratio=server_args.hicache_ratio,
+                max_host_pages=server_args.hicache_max_host_pages,
+                storage_dir=server_args.hicache_storage_dir,
+                storage_max_bytes=server_args.hicache_storage_max_bytes,
             )
         # KV event publishing (ref --kv-events-config): BlockStored /
         # BlockRemoved / AllBlocksCleared over ZMQ PUB for external

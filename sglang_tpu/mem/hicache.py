@@ -87,17 +87,83 @@ def copy_pages(dst: jax.Array, src: jax.Array, idx_pairs: jax.Array, *, n: int):
     )(idx_pairs, src, dst)
 
 
+class FileStorageTier:
+    """L3 KV storage: one file per page under a directory, keyed by the
+    sha1 of the page's aligned token prefix. Ref:
+    srt/mem_cache/storage/ (file/hf3fs backends) — this is the
+    filesystem backend; remote stores slot in behind the same two calls.
+    LRU-bounded by byte budget."""
+
+    def __init__(self, directory: str, max_bytes: int = 8 << 30):
+        import os
+        from collections import OrderedDict
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self.index: "OrderedDict[str, int]" = OrderedDict()  # name -> size
+        self.num_put = 0
+        self.num_hit = 0
+
+    @staticmethod
+    def _name(key: Tuple[int, ...]) -> str:
+        import hashlib
+
+        return hashlib.sha1(
+            np.asarray(key, np.int64).tobytes()
+        ).hexdigest() + ".npy"
+
+    def put(self, key: Tuple[int, ...], page: np.ndarray) -> None:
+        import os
+
+        name = self._name(key)
+        path = os.path.join(self.dir, name)
+        np.save(path, page)
+        size = page.nbytes
+        old = self.index.pop(name, None)
+        if old is not None:
+            self.bytes -= old
+        self.index[name] = size
+        self.bytes += size
+        self.num_put += 1
+        while self.bytes > self.max_bytes and self.index:
+            victim, vsize = self.index.popitem(last=False)
+            self.bytes -= vsize
+            try:
+                os.remove(os.path.join(self.dir, victim))
+            except OSError:
+                pass
+
+    def get(self, key: Tuple[int, ...]) -> Optional[np.ndarray]:
+        import os
+
+        name = self._name(key)
+        if name not in self.index:
+            return None
+        try:
+            page = np.load(os.path.join(self.dir, name))
+        except OSError:
+            self.index.pop(name, None)
+            return None
+        self.index.move_to_end(name)
+        self.num_hit += 1
+        return page
+
+
 class HostKVTier:
     """Host arena with an exact prefix-keyed page index.
 
     Each stored page is keyed by the FULL aligned token prefix it ends —
     correct under the device tree's leaf-first eviction order (children
     arrive before their parents) where a radix mirror would not be.
-    LRU eviction via ordered dict.
+    LRU eviction via ordered dict; evicted pages spill to the L3 storage
+    tier when one is attached.
     """
 
     def __init__(self, num_layers: int, page_shape: Tuple[int, ...],
-                 page_size: int, num_host_pages: int, dtype):
+                 page_size: int, num_host_pages: int, dtype,
+                 storage: Optional[FileStorageTier] = None):
         from collections import OrderedDict
 
         # arena[h, l] = one device page for layer l (pool-native dtype;
@@ -109,10 +175,13 @@ class HostKVTier:
         self.page_size = page_size
         self.free: List[int] = list(range(num_host_pages - 1, -1, -1))
         self.index: "OrderedDict[Tuple[int, ...], int]" = OrderedDict()
+        self.storage = storage
 
     def make_room(self, num_pages: int) -> None:
         while len(self.free) < num_pages and self.index:
-            _, hp = self.index.popitem(last=False)  # LRU
+            key, hp = self.index.popitem(last=False)  # LRU
+            if self.storage is not None:
+                self.storage.put(key, self.arena[hp])
             self.free.append(hp)
 
     def put(self, prefix_key: Tuple[int, ...], host_page: int) -> None:
@@ -136,7 +205,9 @@ class HiCacheController:
     """
 
     def __init__(self, kv_pool, host_ratio: float = 2.0,
-                 max_host_pages: Optional[int] = None):
+                 max_host_pages: Optional[int] = None,
+                 storage_dir: Optional[str] = None,
+                 storage_max_bytes: int = 8 << 30):
         self.kv_pool = kv_pool
         cfg = kv_pool.config
         if cfg.mla_dim:
@@ -151,9 +222,13 @@ class HiCacheController:
         else:
             page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)
+        storage = (
+            FileStorageTier(storage_dir, storage_max_bytes)
+            if storage_dir else None
+        )
         self.host = HostKVTier(
             cfg.num_layers, page_shape, cfg.page_size, n_host,
-            cfg.storage_dtype,
+            cfg.storage_dtype, storage=storage,
         )
         self._gather = jax.jit(
             lambda kv, pages: jnp.stack(
@@ -187,12 +262,21 @@ class HiCacheController:
 
     # ---- host -> device ----
     def match_prefix(self, tokens: List[int]):
-        """Longest host-tier prefix: returns (length, host_pages)."""
+        """Longest host-tier prefix (L3 storage faulted into the host
+        arena on miss): returns (length, host_pages)."""
         ps = self.host.page_size
         pages: List[int] = []
         n = len(tokens) // ps
         for i in range(n):
-            hp = self.host.get(tuple(tokens[: (i + 1) * ps]))
+            key = tuple(tokens[: (i + 1) * ps])
+            hp = self.host.get(key)
+            if hp is None and self.host.storage is not None:
+                page = self.host.storage.get(key)
+                if page is not None:
+                    self.host.make_room(1)
+                    hp = self.host.free.pop()
+                    self.host.arena[hp] = page
+                    self.host.put(key, hp)
             if hp is None:
                 break
             pages.append(hp)

@@ -58,6 +58,12 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False  # host KV tier (HiCache)
     radix_cache_impl: str = "cpp"  # cpp (native) | python
     hicache_ratio: float = 2.0  # host tier size vs device pool
+    # L3 KV storage (ref srt/mem_cache/storage/): host-tier evictions
+    # spill to one file per page under this directory; host misses fault
+    # back in. None = no storage tier.
+    hicache_storage_dir: Optional[str] = None
+    hicache_storage_max_bytes: int = 8 << 30
+    hicache_max_host_pages: Optional[int] = None  # overrides hicache_ratio
     schedule_conservativeness: float = 1.0
     disable_radix_cache: bool = False
     disable_overlap_schedule: bool = False
