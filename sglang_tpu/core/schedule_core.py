@@ -289,15 +289,48 @@ class ScheduleCore:
         # page-copy kernel.
         self.pd_mode = server_args.disaggregation_mode  # null|prefill|decode
         self.kv_sender = None
+        self.kv_receiver = None
+        self.pd_bootstrap = None
         self._pd_gather = None
         if self.pd_mode == "prefill":
-            from sglang_tpu.disaggregation.fake import FakeKVSender
-
             if runner.kv_pool.config.mla_dim:
                 raise NotImplementedError(
                     "PD disaggregation does not ship MLA latent pools yet"
                 )
-            self.kv_sender = FakeKVSender()
+            if server_args.disaggregation_transport == "zmq":
+                from sglang_tpu.disaggregation.zmq_transport import (
+                    ZmqKVSender,
+                    resolve_bootstrap,
+                )
+
+                addr = server_args.disaggregation_kv_addr or (
+                    resolve_bootstrap(server_args.disaggregation_bootstrap_url)
+                )
+                self.kv_sender = ZmqKVSender(addr)
+            else:
+                from sglang_tpu.disaggregation.fake import FakeKVSender
+
+                self.kv_sender = FakeKVSender()
+        elif self.pd_mode == "decode":
+            if server_args.disaggregation_transport == "zmq":
+                from sglang_tpu.disaggregation.zmq_transport import (
+                    HttpBootstrapServer,
+                    ZmqKVReceiver,
+                )
+
+                self.kv_receiver = ZmqKVReceiver(
+                    server_args.disaggregation_kv_addr
+                    or "tcp://0.0.0.0:18998"
+                )
+                self.pd_bootstrap = HttpBootstrapServer(
+                    self.kv_receiver.addr,
+                    port=server_args.disaggregation_bootstrap_port,
+                )
+            else:
+                from sglang_tpu.disaggregation.fake import FakeKVReceiver
+
+                self.kv_receiver = FakeKVReceiver()
+        if self.pd_mode == "prefill":
             import jax
             import jax.numpy as jnp
 

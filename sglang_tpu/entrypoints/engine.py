@@ -268,6 +268,22 @@ class Engine:
     def flush_cache(self) -> bool:
         return self._run_coro(self.tokenizer_manager.flush_cache())
 
+    def init_weights_update_group(self, group_addr: str):
+        """RL weight-sync channel (ref init_weights_update_group): connect
+        the scheduler to a trainer's ZMQ PUSH endpoint."""
+        return self._run_coro(
+            self.tokenizer_manager.init_weights_update_group(group_addr)
+        )
+
+    def update_weights_from_distributed(self, names, timeout: float = 120.0):
+        """Receive the named tensors from the weight group and apply them
+        (ref update_weights_from_distributed)."""
+        return self._run_coro(
+            self.tokenizer_manager.update_weights_from_distributed(
+                names, timeout
+            )
+        )
+
     def pause_generation(self) -> bool:
         return self._run_coro(self.tokenizer_manager.pause_generation(True))
 

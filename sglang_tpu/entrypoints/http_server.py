@@ -377,6 +377,26 @@ class HttpServer:
             "text": r.normal_text or "",
         })
 
+    async def init_weights_update_group(self, request: web.Request
+                                        ) -> web.Response:
+        body = await request.json()
+        ok, message = await self.tm.init_weights_update_group(
+            body.get("master_address") or body.get("group_addr", "")
+        )
+        return web.json_response(
+            {"success": ok, "message": message}, status=200 if ok else 400
+        )
+
+    async def update_weights_from_distributed(self, request: web.Request
+                                              ) -> web.Response:
+        body = await request.json()
+        ok, message = await self.tm.update_weights_from_distributed(
+            body.get("names") or [], float(body.get("timeout", 120.0))
+        )
+        return web.json_response(
+            {"success": ok, "message": message}, status=200 if ok else 400
+        )
+
     async def pause_generation(self, request: web.Request) -> web.Response:
         ok = await self.tm.pause_generation(True)
         return web.json_response({"success": ok, "message": "paused"})
@@ -756,6 +776,10 @@ class HttpServer:
         r.add_post("/classify", self.classify)
         r.add_post("/parse_function_call", self.parse_function_call)
         r.add_post("/separate_reasoning", self.separate_reasoning)
+        r.add_post("/init_weights_update_group",
+                   self.init_weights_update_group)
+        r.add_post("/update_weights_from_distributed",
+                   self.update_weights_from_distributed)
         r.add_post("/pause_generation", self.pause_generation)
         r.add_post("/continue_generation", self.continue_generation)
         r.add_get("/flush_cache", self.flush_cache)

@@ -191,6 +191,29 @@ class HealthCheckResp:
 
 
 @dataclasses.dataclass
+class InitWeightsGroupReq:
+    """RL weight-sync channel (ref init_weights_update_group,
+    model_runner_components/weight_updater.py:67): the TPU-native analog
+    of the NCCL broadcast group is a ZMQ PULL socket connected to the
+    trainer's PUSH endpoint (tcp:// across hosts = DCN, ipc:// local)."""
+    group_addr: str
+
+
+@dataclasses.dataclass
+class InitWeightsGroupResp:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
+class UpdateWeightsFromDistributedReq:
+    """Receive `names` tensors from the weight group and apply them (ref
+    update_weights_from_distributed, weight_updater.py:222)."""
+    names: List[str]
+    timeout: float = 120.0
+
+
+@dataclasses.dataclass
 class PauseGenerationReq:
     """Pause/resume launching new forward batches (ref /pause_generation +
     /continue_generation). In-flight device work drains; queued requests

@@ -25,8 +25,11 @@ from sglang_tpu.managers.io_struct import (
     BatchTokenOut,
     EplbRebalanceReq,
     EplbRebalanceResp,
+    InitWeightsGroupReq,
+    InitWeightsGroupResp,
     PauseGenerationReq,
     PauseGenerationResp,
+    UpdateWeightsFromDistributedReq,
     ExpertDistributionReq,
     ExpertDistributionResp,
     FlushCacheReq,
@@ -201,6 +204,53 @@ class Scheduler:
                 ok, "ok" if ok else f"adapter {msg.lora_name!r} not loaded",
                 loaded_adapters=list(lm.adapters) if lm else [],
             ))
+        elif isinstance(msg, InitWeightsGroupReq):
+            try:
+                import zmq
+
+                from sglang_tpu.managers.zmq_utils import make_socket
+
+                self._weight_group = make_socket(
+                    msg.group_addr, zmq.PULL, bind=False
+                )
+                send_pyobj(self.to_detok, InitWeightsGroupResp(True, "ok"))
+            except Exception as e:  # noqa: BLE001
+                send_pyobj(self.to_detok, InitWeightsGroupResp(False, str(e)))
+        elif isinstance(msg, UpdateWeightsFromDistributedReq):
+            try:
+                import pickle as _pkl
+
+                import zmq
+
+                sock = getattr(self, "_weight_group", None)
+                if sock is None:
+                    raise RuntimeError(
+                        "call /init_weights_update_group first"
+                    )
+                sock.setsockopt(zmq.RCVTIMEO, int(msg.timeout * 1000))
+                named = []
+                want = set(msg.names)
+                while want:
+                    name, arr = _pkl.loads(sock.recv())
+                    if name not in want:
+                        logger.warning("unexpected weight %s", name)
+                        continue
+                    want.discard(name)
+                    named.append((name, arr))
+                from sglang_tpu.model_exec.weight_loader import (
+                    update_params_from_named_tensors,
+                )
+
+                self.runner.params = update_params_from_named_tensors(
+                    self.runner.model,
+                    self.runner.specs,
+                    self.runner.mesh_ctx,
+                    self.runner.params,
+                    named,
+                )
+                send_pyobj(self.to_detok, UpdateWeightsResp(True, "ok"))
+            except Exception as e:  # noqa: BLE001
+                send_pyobj(self.to_detok, UpdateWeightsResp(False, str(e)))
         elif isinstance(msg, UpdateWeightsFromTensorReq):
             try:
                 from sglang_tpu.model_exec.weight_loader import (

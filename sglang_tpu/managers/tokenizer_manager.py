@@ -445,6 +445,30 @@ class TokenizerManager:
         resp = await self._control_rpc(FlushCacheReq(), FlushCacheResp)
         return resp.success
 
+    async def init_weights_update_group(self, group_addr: str):
+        from sglang_tpu.managers.io_struct import (
+            InitWeightsGroupReq,
+            InitWeightsGroupResp,
+        )
+
+        resp = await self._control_rpc(
+            InitWeightsGroupReq(group_addr=group_addr), InitWeightsGroupResp
+        )
+        return resp.success, resp.message
+
+    async def update_weights_from_distributed(self, names, timeout=120.0):
+        from sglang_tpu.managers.io_struct import (
+            UpdateWeightsFromDistributedReq,
+        )
+
+        resp = await self._control_rpc(
+            UpdateWeightsFromDistributedReq(names=list(names),
+                                            timeout=timeout),
+            UpdateWeightsResp,
+            timeout=timeout + 30,
+        )
+        return resp.success, resp.message
+
     async def pause_generation(self, pause: bool) -> bool:
         from sglang_tpu.managers.io_struct import (
             PauseGenerationReq,

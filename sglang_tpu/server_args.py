@@ -167,6 +167,13 @@ class ServerArgs:
     # Disaggregation (PD)
     disaggregation_mode: str = "null"  # null | prefill | decode
     disaggregation_bootstrap_port: int = 8998
+    # Transport between prefill and decode engines: "fake" (in-process,
+    # tests) or "zmq" (real sockets — tcp:// rides DCN across hosts).
+    disaggregation_transport: str = "fake"
+    # decode: ZMQ bind address for incoming KV; prefill: target address
+    # (resolved via the bootstrap URL when unset).
+    disaggregation_kv_addr: Optional[str] = None
+    disaggregation_bootstrap_url: Optional[str] = None
 
     def __post_init__(self):
         if self.tokenizer_path is None:
