@@ -105,6 +105,81 @@ def build_service(tm) -> grpc.GenericRpcHandler:
         await tm.abort_request(request.rid)
         return pb.AbortResponse(success=True)
 
+    async def tokenize(request: pb.TokenizeRequest, context):
+        ids = tm.tokenizer.encode(request.text)
+        return pb.TokenizeResponse(input_ids=ids)
+
+    async def detokenize(request: pb.DetokenizeRequest, context):
+        text = tm.tokenizer.decode(
+            list(request.input_ids),
+            skip_special_tokens=request.skip_special_tokens,
+        )
+        return pb.DetokenizeResponse(text=text)
+
+    async def model_info(request, context):
+        info = await tm.get_server_info()
+        return pb.GetModelInfoResponse(json=json.dumps({
+            "model_path": info.get("model_path", ""),
+            "max_total_tokens": info.get("max_total_tokens", 0),
+        }))
+
+    async def get_load(request, context):
+        info = await tm.get_server_info()
+        return pb.GetLoadResponse(
+            running_requests=int(info.get("running_requests", 0)),
+            waiting_requests=int(info.get("waiting_requests", 0)),
+            token_usage=float(info.get("token_usage", 0.0)),
+        )
+
+    async def pause(request, context):
+        return pb.PauseGenerationResponse(
+            success=await tm.pause_generation(True)
+        )
+
+    async def cont(request, context):
+        return pb.ContinueGenerationResponse(
+            success=await tm.pause_generation(False)
+        )
+
+    async def update_weights(request: pb.UpdateWeightsRequest, context):
+        ok, msg = await tm.update_weights_from_disk(
+            request.model_path, request.load_format or "auto"
+        )
+        return pb.UpdateWeightsResponse(success=ok, message=msg)
+
+    async def score(request: pb.ScoreRequest, context):
+        items = list(request.item_texts)
+        labels = list(request.label_token_ids)
+        seqs = []
+        for it in items:
+            if request.query_text:
+                a, b = ((it, request.query_text) if request.item_first
+                        else (request.query_text, it))
+                seqs.append(a + b)
+        gri = GenerateReqInput(
+            text=seqs or None,
+            is_embedding=True,
+            label_token_ids=labels,
+        )
+        rows = []
+        async for o in tm.generate_request(gri):
+            p = list(o["embedding"])
+            if request.apply_softmax:
+                ssum = sum(p) or 1.0
+                p = [x / ssum for x in p]
+            rows.append(pb.ScoreResponse.Row(scores=p))
+        return pb.ScoreResponse(rows=rows)
+
+    async def load_lora(request: pb.LoadLoraRequest, context):
+        ok, msg, _ = await tm.load_lora_adapter(
+            request.lora_name, request.lora_path
+        )
+        return pb.LoadLoraResponse(success=ok, message=msg)
+
+    async def unload_lora(request: pb.UnloadLoraRequest, context):
+        ok, msg, _ = await tm.unload_lora_adapter(request.lora_name)
+        return pb.LoadLoraResponse(success=ok, message=msg)
+
     handlers = {
         "Generate": grpc.unary_stream_rpc_method_handler(
             generate,
@@ -137,6 +212,33 @@ def build_service(tm) -> grpc.GenericRpcHandler:
             response_serializer=pb.AbortResponse.SerializeToString,
         ),
     }
+
+    def _uu(fn, req_cls, resp_cls):
+        return grpc.unary_unary_rpc_method_handler(
+            fn,
+            request_deserializer=req_cls.FromString,
+            response_serializer=resp_cls.SerializeToString,
+        )
+
+    handlers.update({
+        "Tokenize": _uu(tokenize, pb.TokenizeRequest, pb.TokenizeResponse),
+        "Detokenize": _uu(detokenize, pb.DetokenizeRequest,
+                          pb.DetokenizeResponse),
+        "GetModelInfo": _uu(model_info, pb.GetModelInfoRequest,
+                            pb.GetModelInfoResponse),
+        "GetLoad": _uu(get_load, pb.GetLoadRequest, pb.GetLoadResponse),
+        "PauseGeneration": _uu(pause, pb.PauseGenerationRequest,
+                               pb.PauseGenerationResponse),
+        "ContinueGeneration": _uu(cont, pb.ContinueGenerationRequest,
+                                  pb.ContinueGenerationResponse),
+        "UpdateWeightsFromDisk": _uu(update_weights, pb.UpdateWeightsRequest,
+                                     pb.UpdateWeightsResponse),
+        "Score": _uu(score, pb.ScoreRequest, pb.ScoreResponse),
+        "LoadLoraAdapter": _uu(load_lora, pb.LoadLoraRequest,
+                               pb.LoadLoraResponse),
+        "UnloadLoraAdapter": _uu(unload_lora, pb.UnloadLoraRequest,
+                                 pb.LoadLoraResponse),
+    })
     return grpc.method_handlers_generic_handler(_SERVICE, handlers)
 
 

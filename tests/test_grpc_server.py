@@ -93,3 +93,37 @@ def test_grpc_embed_and_info(grpc_addr):
     info = _call(grpc_addr, "GetServerInfo", pb.ServerInfoRequest(),
                  pb.ServerInfoResponse)
     assert "max_total_tokens" in info.json
+
+
+def test_grpc_round2_surface(grpc_addr):
+    """Tokenize/Detokenize/GetLoad/GetModelInfo/Pause/Continue/Score
+    (round-2 rpc additions; ref sglang.proto rpcs 6-40)."""
+    tk = _call(grpc_addr, "Tokenize", pb.TokenizeRequest(text="w10 w11"),
+               pb.TokenizeResponse)
+    assert len(tk.input_ids) >= 2
+    dt = _call(grpc_addr, "Detokenize",
+               pb.DetokenizeRequest(input_ids=tk.input_ids,
+                                    skip_special_tokens=True),
+               pb.DetokenizeResponse)
+    assert "w10" in dt.text
+    mi = _call(grpc_addr, "GetModelInfo", pb.GetModelInfoRequest(),
+               pb.GetModelInfoResponse)
+    assert "model_path" in mi.json
+    load = _call(grpc_addr, "GetLoad", pb.GetLoadRequest(),
+                 pb.GetLoadResponse)
+    assert load.running_requests >= 0
+    assert _call(grpc_addr, "PauseGeneration",
+                 pb.PauseGenerationRequest(),
+                 pb.PauseGenerationResponse).success
+    assert _call(grpc_addr, "ContinueGeneration",
+                 pb.ContinueGenerationRequest(),
+                 pb.ContinueGenerationResponse).success
+    sc = _call(grpc_addr, "Score",
+               pb.ScoreRequest(query_text="w10 ", item_texts=["w11", "w12"],
+                               label_token_ids=[5, 6, 7],
+                               apply_softmax=True),
+               pb.ScoreResponse)
+    assert len(sc.rows) == 2
+    for row in sc.rows:
+        assert len(row.scores) == 3
+        assert abs(sum(row.scores) - 1.0) < 1e-4
