@@ -213,11 +213,17 @@ class ScheduleCore:
         self.decode_runway = server_args.decode_runway
         # Cascade decode needs a backend that understands fb.shared_pages
         # and full (non-windowed) attention on every layer.
+        if server_args.enable_deterministic_inference:
+            from sglang_tpu.utils import set_deterministic_buckets
+
+            set_deterministic_buckets(True)
         self.cascade_enabled = (
             not server_args.disable_cascade_attn
             and getattr(runner.attn_backend, "supports_cascade", False)
             and runner.model_config.sliding_window is None
             and not self.recurrent
+            # cascade's batch-shared-prefix math depends on co-batching
+            and not server_args.enable_deterministic_inference
         )
 
         # ViT embedding cache keyed by image content hash (ref

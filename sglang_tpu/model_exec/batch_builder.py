@@ -78,13 +78,20 @@ def build_forward_batch(
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
+
+    def bucket_bt(x, bl):
+        # deterministic mode pins batch/token buckets (utils docstring)
+        from sglang_tpu import utils as _u
+
+        return bl[-1] if _u.DETERMINISTIC_BUCKETS else bucketize(x, bl)
+
     if mode.is_decode():
         assert all(len(s.new_token_ids) == 1 for s in seqs)
-        B = bucketize(n, bs_buckets or DEFAULT_DECODE_BS_BUCKETS)
+        B = bucket_bt(n, bs_buckets or DEFAULT_DECODE_BS_BUCKETS)
         T = B
         seg_offsets = list(range(n))
     else:
-        B = bucketize(n, bs_buckets or DEFAULT_BS_BUCKETS)
+        B = bucket_bt(n, bs_buckets or DEFAULT_BS_BUCKETS)
         seg_offsets = []
         off = 0
         for s in seqs:
@@ -99,7 +106,7 @@ def build_forward_batch(
                        for s in seqs)
             T = B * rq
         else:
-            T = bucketize(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
+            T = bucket_bt(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
 
     max_pages_needed = max(len(s.page_ids) for s in seqs)
     P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)

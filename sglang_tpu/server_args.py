@@ -85,6 +85,11 @@ class ServerArgs:
     # CONTENT corruption the ownership invariant checker can't see.
     # Debug mode: every free/alloc round-trips the device.
     enable_kv_canary: bool = False
+    # Deterministic (batch-invariant) inference (ref
+    # --enable-deterministic-inference): every batch pads to the largest
+    # bucket and cascade attention is disabled, so a request's numerics
+    # never depend on co-batched requests. Reproducibility mode.
+    enable_deterministic_inference: bool = False
     # Debug dump mode (ref srt/debug_utils/dumper.py): write one .npz per
     # batch (forward inputs + sampled outputs) for offline comparison via
     # `python -m sglang_tpu.debug_utils compare A B`.

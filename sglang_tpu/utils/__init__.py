@@ -52,6 +52,24 @@ def next_power_of_2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+DETERMINISTIC_BUCKETS = False  # set via enable_deterministic_inference
+
+
+def set_deterministic_buckets(on: bool) -> None:
+    """Deterministic (batch-invariant) mode: batch-size and token-count
+    buckets pad to their LARGEST value, so a request's padded row shape —
+    and therefore XLA's reduction tiling and its numerics — never depends
+    on what it is co-batched with (ref
+    --enable-deterministic-inference / batch invariance). The PAGE bucket
+    stays dynamic (pinning it would square the attention working set):
+    numerics can still shift at context-length bucket boundaries, which
+    depend only on the request itself except when a longer co-batched
+    sequence widens the shared table — documented caveat.
+    """
+    global DETERMINISTIC_BUCKETS
+    DETERMINISTIC_BUCKETS = on
+
+
 def bucketize(x: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= x. Buckets must be sorted ascending.
 

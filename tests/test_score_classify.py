@@ -145,3 +145,54 @@ def test_pause_and_continue(tiny_llama_dir):
         n += 1
         assert n < 100
     assert len(r.output_ids) == 4
+
+
+def test_deterministic_inference_batch_invariance(tiny_llama_dir):
+    """--enable-deterministic-inference: a request's greedy output must
+    not depend on what it is co-batched with (every batch pads to the
+    largest bucket; cascade off)."""
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+    from sglang_tpu.utils import set_deterministic_buckets
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir,
+        dtype="float32",
+        attention_backend="xla_native",
+        page_size=4,
+        max_total_tokens=4096,
+        max_running_requests=8,
+        enable_deterministic_inference=True,
+    )
+    try:
+        runner = ModelRunner(args)
+        core = ScheduleCore(args, runner)
+        assert not core.cascade_enabled
+
+        def run(prompts):
+            reqs = []
+            for i, p in enumerate(prompts):
+                sp = SamplingParams(temperature=0.0, max_new_tokens=6,
+                                    ignore_eos=True)
+                sp.normalize()
+                r = Req(f"det{i}-{len(prompts)}", list(p), sp)
+                reqs.append(r)
+                core.add_request(r)
+            n = 0
+            while core.has_work():
+                core.step()
+                n += 1
+                assert n < 300
+            return [r.output_ids for r in reqs]
+
+        x = [3, 11, 7, 5, 2, 9, 4, 8]
+        y = [14, 6, 100, 42]
+        alone = run([x])
+        core.flush_cache()
+        together = run([x, y])
+        assert together[0] == alone[0]
+    finally:
+        set_deterministic_buckets(False)
