@@ -522,6 +522,86 @@ class HttpServer:
         except ValueError as e:
             return _json_error(str(e))
 
+    async def v1_responses(self, request: web.Request) -> web.Response:
+        """OpenAI Responses API, minimal non-streaming subset (ref
+        /v1/responses, openai/serving_responses.py): `input` (string or
+        message list) maps onto the chat pipeline; the reply comes back
+        as a response object with one output_text message item."""
+        body = await request.json()
+        if body.get("stream"):
+            return _json_error("streaming /v1/responses not supported yet")
+        inp = body.get("input")
+        if isinstance(inp, str):
+            messages = [{"role": "user", "content": inp}]
+        elif isinstance(inp, list):
+            messages = [
+                {
+                    "role": m.get("role", "user"),
+                    "content": (
+                        m["content"]
+                        if isinstance(m.get("content"), str)
+                        else "".join(
+                            p.get("text", "")
+                            for p in (m.get("content") or [])
+                            if p.get("type") in ("input_text", "output_text",
+                                                 "text")
+                        )
+                    ),
+                }
+                for m in inp
+            ]
+        else:
+            return _json_error("input must be a string or message list")
+        if body.get("instructions"):
+            messages = [
+                {"role": "system", "content": body["instructions"]}
+            ] + messages
+        chat_body = {
+            "model": body.get("model", self.args.served_model_name),
+            "messages": messages,
+            "max_tokens": body.get("max_output_tokens"),
+            "temperature": body.get("temperature"),
+            "top_p": body.get("top_p"),
+        }
+        chat_body = {k: v for k, v in chat_body.items() if v is not None}
+        try:
+            gri = self.openai.chat_to_gri(chat_body)
+        except ValueError as e:
+            return _json_error(str(e))
+        outs = []
+        async for out in self.tm.generate_request(gri):
+            outs.append(out)
+        o = outs[-1]
+        meta = o["meta_info"]
+        fr = (meta.get("finish_reason") or {}).get("type", "stop")
+        rid = f"resp_{uuid.uuid4().hex}"
+        return web.json_response({
+            "id": rid,
+            "object": "response",
+            "created_at": int(time.time()),
+            "status": "incomplete" if fr == "length" else "completed",
+            "model": chat_body["model"],
+            "output": [
+                {
+                    "type": "message",
+                    "id": f"msg_{uuid.uuid4().hex}",
+                    "role": "assistant",
+                    "status": "completed",
+                    "content": [
+                        {"type": "output_text", "text": o["text"],
+                         "annotations": []}
+                    ],
+                }
+            ],
+            "output_text": o["text"],
+            "usage": {
+                "input_tokens": meta.get("prompt_tokens", 0),
+                "output_tokens": meta.get("completion_tokens", 0),
+                "total_tokens": meta.get("prompt_tokens", 0)
+                + meta.get("completion_tokens", 0),
+            },
+        })
+
     async def v1_chat_completions(self, request: web.Request) -> web.StreamResponse:
         try:
             body = await request.json()
@@ -773,6 +853,7 @@ class HttpServer:
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/v1/rerank", self.v1_rerank)
         r.add_post("/v1/score", self.v1_score)
+        r.add_post("/v1/responses", self.v1_responses)
         r.add_post("/classify", self.classify)
         r.add_post("/parse_function_call", self.parse_function_call)
         r.add_post("/separate_reasoning", self.separate_reasoning)

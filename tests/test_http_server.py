@@ -421,3 +421,30 @@ def test_v1_score_endpoint(server):
     for row in out["scores"]:
         assert len(row) == 2
         assert abs(sum(row) - 1.0) < 1e-5
+
+
+def test_v1_responses(server):
+    r = requests.post(
+        server + "/v1/responses",
+        json={"input": "w10 w11 w12", "max_output_tokens": 5},
+        timeout=120,
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["object"] == "response"
+    assert out["output"][0]["content"][0]["type"] == "output_text"
+    assert out["output_text"] == out["output"][0]["content"][0]["text"]
+    assert out["usage"]["output_tokens"] >= 1
+    # message-list input + instructions
+    r2 = requests.post(
+        server + "/v1/responses",
+        json={
+            "instructions": "be brief",
+            "input": [{"role": "user", "content": [
+                {"type": "input_text", "text": "w13 w14"}]}],
+            "max_output_tokens": 4,
+        },
+        timeout=120,
+    )
+    assert r2.status_code == 200, r2.text
+    assert r2.json()["status"] in ("completed", "incomplete")
