@@ -763,6 +763,7 @@ class ScheduleCore:
                     req.prefill_progress,
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
+                    state_slot=req.req_slot,
                     swa_page_ids=req.swa_pages if self.hybrid_swa else None,
                     **self._mrope_args(
                         req, req.prefill_progress, req.prefill_progress + q
@@ -842,6 +843,7 @@ class ScheduleCore:
                     cached,
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
+                    state_slot=req.req_slot,
                     swa_page_ids=req.swa_pages if self.hybrid_swa else None,
                     **self._mrope_args(req, cached, target),
                 )
@@ -965,6 +967,11 @@ class ScheduleCore:
             and self.runner.model_config.sliding_window is None
             # tree-verify attention has no window/sink terms yet
             and not getattr(self.runner.model, "has_attention_sinks", False)
+            # forward_mla_extend applies a plain causal mask and never
+            # consults fb.spec_tree_mask: tree levels would let sibling
+            # (non-ancestor) nodes attend each other. MLA targets fall
+            # back to chain verify until the MLA path honors tree masks.
+            and not self.runner.kv_pool.config.mla_dim
         )
         can_spec = {
             r.rid: (

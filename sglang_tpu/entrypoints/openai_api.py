@@ -84,6 +84,28 @@ class OpenAIServing:
         self.served_model = served_model
         self.tool_call_parser = tool_call_parser
         self.reasoning_parser = reasoning_parser
+        self._img_placeholder: Optional[str] = None
+
+    def _image_placeholder(self) -> str:
+        """Per-model image placeholder TEXT (Qwen2-VL: <|image_pad|>,
+        LLaVA: <image>), resolved by decoding cfg.image_token_id so the
+        tokenizer maps it back to the id TokenizerManager._process_images
+        expands. Hardcoding "<image>" breaks models whose placeholder
+        differs (it tokenizes as plain text -> 0 image tokens found)."""
+        if self._img_placeholder is None:
+            ph = "<image>"
+            try:
+                cfg, _ = self.tm._get_mm()
+                tid = getattr(cfg, "image_token_id",
+                              getattr(cfg, "image_token_index", None))
+                if tid is not None and self.tm.tokenizer is not None:
+                    dec = self.tm.tokenizer.decode([int(tid)])
+                    if dec:
+                        ph = dec
+            except Exception:
+                pass
+            self._img_placeholder = ph
+        return self._img_placeholder
 
     # ------------------------------------------------------------ completions
     def completions_to_gri(self, body: Dict[str, Any]) -> GenerateReqInput:
@@ -189,7 +211,7 @@ class OpenAIServing:
                         if isinstance(url, dict):
                             url = url["url"]
                         image_data.append(url)
-                        texts.append("<image>")
+                        texts.append(self._image_placeholder())
                     elif ptype == "text":
                         texts.append(part.get("text", ""))
                 m = dict(m, content="".join(texts))

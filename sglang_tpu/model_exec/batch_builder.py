@@ -35,6 +35,9 @@ class SeqInput:
     page_ids: Sequence[int]  # pages covering [0, prefix_len + len(new))
     # decode only: position = prefix_len (the single new token's position)
     req_slot: int = -1  # device slot; -1 -> trash slot (no state publish)
+    # Recurrent-state slot (SSM models): defaults to req_slot. Non-final
+    # prefill chunks set this to the real slot while req_slot stays -1.
+    state_slot: Optional[int] = None
     pages_np: Optional[np.ndarray] = None  # cached ndarray of page_ids
     # Hybrid SWA pool: per-slot page ids into the SWA pool (0 = freed/
     # out-of-window slot, reads masked). Same slot layout as page_ids.
@@ -122,6 +125,7 @@ def build_forward_batch(
     out_cache_loc = np.zeros(T, np.int32)  # slot 0..page_size-1 = trash page
     logits_indices = np.zeros(B, np.int32)
     req_slots = np.full(B, trash_slot, np.int32)
+    state_slots = np.full(B, trash_slot, np.int32)
     prefix_lens = np.zeros(B, np.int32)
     block_seq = np.full(NB, max(n - 1, 0), np.int32)
     block_q_off = np.zeros(NB, np.int32)
@@ -175,6 +179,8 @@ def build_forward_batch(
                 swa_out_cache_loc[off + j] = page * page_size + pos % page_size
         logits_indices[i] = off + q - 1
         req_slots[i] = s.req_slot if s.req_slot >= 0 else trash_slot
+        ss = s.state_slot if s.state_slot is not None else s.req_slot
+        state_slots[i] = ss if ss >= 0 else trash_slot
         if mrope_positions is not None:
             if s.mrope_positions is not None:
                 mrope_positions[:, off : off + q] = s.mrope_positions
@@ -223,6 +229,7 @@ def build_forward_batch(
         logits_indices=jnp.asarray(logits_indices),
         num_seqs=jnp.asarray(n, jnp.int32),
         req_slots=jnp.asarray(req_slots),
+        state_slots=jnp.asarray(state_slots),
         block_seq=jnp.asarray(block_seq),
         block_q_off=jnp.asarray(block_q_off),
         prefix_lens=jnp.asarray(prefix_lens),

@@ -88,6 +88,11 @@ class ForwardBatch:
     # slots past prefix + Rk never are. Padding rows are all-False (they
     # still read the prefix, output discarded).
     spec_tree_mask: Optional[jax.Array] = None
+    # Recurrent-state slot per sequence (SSM/linear-attention models).
+    # Differs from req_slots on non-final prefill chunks: those rows must
+    # NOT publish a sampled token (req_slots -> trash) but MUST carry
+    # their conv/ssm state forward (state_slots -> real slot).
+    state_slots: Optional[jax.Array] = None  # [B] int32
     # M-ROPE (Qwen2-VL; ref HF get_rope_index + srt/layers/rotary mrope):
     # extend batches of mrope models carry full 3-component positions
     # [3, T] (t/h/w — equal rows for text); decode derives the 1-D position

@@ -112,7 +112,9 @@ class MambaForCausalLM:
         # ---- causal depthwise conv over each segment, seeded from state
         sid = fb.seq_ids  # [T]
         offs = jnp.arange(T, dtype=jnp.int32) - fb.cu_q_lens[sid]
-        slot = fb.req_slots[sid]  # [T]
+        bslots = (fb.state_slots if fb.state_slots is not None
+                  else fb.req_slots)  # [B]
+        slot = bslots[sid]  # [T]
         # inputs at relative offsets -1..-K+1: from the stream when the
         # offset is inside this segment, else from the slot's conv state.
         conv_w = params[join(p, "conv/weight")].astype(jnp.float32)  # [K, I]
@@ -123,10 +125,13 @@ class MambaForCausalLM:
         fresh_req = (fb.prefix_lens[sid] == 0)  # [T]
         for d in range(1, K):
             from_stream = jnp.roll(xi, d, axis=0).astype(jnp.float32)
-            # state is stored most-recent-last: entry (K-1) - d holds the
-            # input d tokens before the segment.
+            # state is stored most-recent-last: for a token at segment
+            # offset o, the input d tokens earlier is (d-o) tokens before
+            # the segment, i.e. entry (K-1)-(d-o). Only rows with o<d
+            # consume this branch, so clipping the o>=d rows is safe.
+            ent_idx = jnp.clip(K - 1 - d + offs, 0, K - 2)  # [T]
             from_state = jnp.where(
-                fresh_req[:, None], 0.0, st_f[slot, K - 1 - d]
+                fresh_req[:, None], 0.0, st_f[slot, ent_idx]
             )  # [T, I]
             take_stream = offs >= d
             v = jnp.where(take_stream[:, None], from_stream, from_state)
@@ -177,7 +182,7 @@ class MambaForCausalLM:
 
         # ---- write back final states per sequence (last row of each seg)
         last_rows = fb.cu_q_lens[:-1] + jnp.maximum(fb.q_lens - 1, 0)  # [B]
-        bslot = fb.req_slots  # [B]
+        bslot = bslots  # [B]
         new_ssm = ssm_st.at[bslot].set(
             hs[last_rows].astype(ssm_st.dtype)
         )

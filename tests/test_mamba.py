@@ -46,7 +46,7 @@ def hf_greedy(model_dir, prompt, n_new):
     return out[0, len(prompt):].tolist()
 
 
-def run_core(model_dir, prompts, n_new, chunked=None):
+def run_core(model_dir, prompts, n_new, chunked=None, return_logprob=False):
     from sglang_tpu.core.req import Req
     from sglang_tpu.core.schedule_core import ScheduleCore
     from sglang_tpu.model_exec.model_runner import ModelRunner
@@ -71,7 +71,7 @@ def run_core(model_dir, prompts, n_new, chunked=None):
         sp = SamplingParams(temperature=0.0, max_new_tokens=n_new,
                             ignore_eos=True)
         sp.normalize()
-        r = Req(f"m{i}", list(p), sp)
+        r = Req(f"m{i}", list(p), sp, return_logprob=return_logprob)
         reqs.append(r)
         core.add_request(r)
     steps = 0
@@ -102,6 +102,47 @@ def test_mamba_chunked_prefill_state_carry(tiny_mamba_dir):
     want = hf_greedy(tiny_mamba_dir, prompt, 6)
     got = run_core(tiny_mamba_dir, [prompt], 6, chunked=16)
     assert got == [want], f"got={got} want={want}"
+
+
+def test_mamba_chunked_prefill_numeric_parity(tiny_mamba_dir):
+    """Chunked prefill must match unchunked NUMERICALLY (logprobs), not
+    just in argmax: a wrong conv-state entry for mid-chunk offsets
+    (tokens 1..K-2 of a continuation chunk) shifts logits without
+    necessarily flipping the greedy token on a tiny model."""
+    rng = np.random.default_rng(11)
+    # 18 tokens with chunk 16: the second chunk has 2 tokens, so its
+    # offset-1 token reads conv state across the chunk boundary.
+    prompt = [int(t) for t in rng.integers(3, 150, size=18)]
+
+    def lps(chunked):
+        from sglang_tpu.core.req import Req
+        from sglang_tpu.core.schedule_core import ScheduleCore
+        from sglang_tpu.model_exec.model_runner import ModelRunner
+        from sglang_tpu.sampling.sampling_params import SamplingParams
+        from sglang_tpu.server_args import ServerArgs
+
+        kw = dict(model_path=tiny_mamba_dir, dtype="float32",
+                  attention_backend="xla_native", page_size=4,
+                  max_total_tokens=1024, max_running_requests=8)
+        if chunked:
+            kw["chunked_prefill_size"] = chunked
+        core = ScheduleCore(ServerArgs(**kw), ModelRunner(ServerArgs(**kw)))
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4,
+                            ignore_eos=True)
+        sp.normalize()
+        r = Req("m0", list(prompt), sp, return_logprob=True)
+        core.add_request(r)
+        steps = 0
+        while core.has_work():
+            core.step()
+            steps += 1
+            assert steps < 200
+        return r.output_ids, np.asarray(r.output_logprobs, np.float64)
+
+    ids_full, lp_full = lps(None)
+    ids_chunk, lp_chunk = lps(16)
+    assert ids_full == ids_chunk
+    np.testing.assert_allclose(lp_chunk, lp_full, rtol=0, atol=2e-4)
 
 
 def test_mamba_sequential_requests_state_isolation(tiny_mamba_dir):
