@@ -19,6 +19,18 @@ from sglang_tpu.mem.kv_pool import write_kv_xla
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 
 
+def _f8_packed_order() -> bool:
+    """Packed-feature-order fp8 unpack (SGLANG_TPU_F8_PACKED=1 to enable).
+
+    Measured on the tunneled v5e: 2419 tok/s packed vs 2677 interleaved
+    (same session, 1B bench) — the byte-interleave relayout is NOT the
+    binding cost there; XLA's einsum operand layouts prefer the
+    interleaved form. Kept as an A/B knob for other hardware."""
+    import os
+
+    return os.environ.get("SGLANG_TPU_F8_PACKED", "0") == "1"
+
+
 class AttentionBackend:
     """Stateless (per-call) attention executor."""
 
@@ -105,6 +117,33 @@ class AttentionBackend:
 
         return unpack_f8(rows, num_heads or self.num_kv_heads,
                          self.kv_quant, self.compute_dtype)
+
+    def _dequant_packed(self, rows, num_heads=None):
+        """Like _dequant but leaves features in PACKED byte-plane order
+        (no interleave -> no relayout of the big gathered arrays); pair
+        with to_packed_order(q) / from_packed_order(out)."""
+        if not _f8_packed_order():  # A/B toggle (perf experiments)
+            return self._dequant(rows, num_heads)
+        from sglang_tpu.ops.quant_kv import unpack_f8_packed_order
+
+        return unpack_f8_packed_order(rows, num_heads or self.num_kv_heads,
+                                      self.kv_quant, self.compute_dtype)
+
+    def _perm_q(self, q):
+        """Permute q's feature dim into packed order (quantized pools)."""
+        if not self.kv_quant or not _f8_packed_order():
+            return q
+        from sglang_tpu.ops.quant_kv import to_packed_order
+
+        return to_packed_order(q)
+
+    def _unperm_out(self, out):
+        """Inverse permutation on pv outputs (quantized pools)."""
+        if not self.kv_quant or not _f8_packed_order():
+            return out
+        from sglang_tpu.ops.quant_kv import from_packed_order
+
+        return from_packed_order(out)
 
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
         if self.kv_quant:

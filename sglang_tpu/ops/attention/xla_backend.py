@@ -40,15 +40,21 @@ class XlaNativeBackend(AttentionBackend):
     supports_cascade = True
 
     def _gather_ctx(self, kv_layer, slots):
-        """kv_layer (k, v) pair; slots [..., C] -> k, v [..., C, nk, hd]."""
+        """kv_layer (k, v) pair; slots [..., C] -> k, v [..., C, nk, hd].
+
+        QUANTIZED pools return features in PACKED order (quant_kv.py
+        unpack_f8_packed_order): attention contracts hd, so callers
+        permute q / un-permute outputs via `_perm_q` / `_unperm_out`
+        instead of paying the byte-interleave relayout on the gathered
+        context (25.9 ms/step of XLA copies at bs=256, PERF_NOTES.md)."""
         nk, hd = self.num_kv_heads, self.head_dim
         kp, vp = kv_layer
         pages = slots // self.page_size
         offs = slots % self.page_size
         if self.kv_quant:
             return (
-                self._dequant(kp[pages, offs]),
-                self._dequant(vp[pages, offs]),
+                self._dequant_packed(kp[pages, offs]),
+                self._dequant_packed(vp[pages, offs]),
             )
         k = kp[pages, offs].reshape(slots.shape + (nk, hd))
         v = vp[pages, offs].reshape(slots.shape + (nk, hd))
@@ -58,7 +64,8 @@ class XlaNativeBackend(AttentionBackend):
         """Page-level gather: [B, P] -> k, v [B, P*ps, nk, hd].
 
         Whole-page slices gather far better than per-token rows (bigger
-        contiguous reads)."""
+        contiguous reads). Quantized pools: PACKED feature order (see
+        _gather_ctx)."""
         nk, hd = self.num_kv_heads, self.head_dim
         kp, vp = kv_layer
         B, P = page_table.shape
@@ -67,8 +74,8 @@ class XlaNativeBackend(AttentionBackend):
             # gather int32-packed pages (half the bf16 bytes), dequant in
             # VMEM-resident fusion with the einsums (measured 2x the bf16
             # decode-attention speed at bs=256 on v5e).
-            k = self._dequant(kp[page_table]).reshape(B, C, nk, hd)
-            v = self._dequant(vp[page_table]).reshape(B, C, nk, hd)
+            k = self._dequant_packed(kp[page_table]).reshape(B, C, nk, hd)
+            v = self._dequant_packed(vp[page_table]).reshape(B, C, nk, hd)
             return k, v
         k = kp[page_table].reshape(B, C, nk, hd)
         v = vp[page_table].reshape(B, C, nk, hd)
@@ -101,7 +108,7 @@ class XlaNativeBackend(AttentionBackend):
         # bf16 operands with f32 MXU accumulation: casting k/v to f32 first
         # would materialize 2x the gathered bytes in HBM (measured +2ms/layer
         # at bs=256 on v5e); preferred_element_type gets f32 math for free.
-        qf = q.reshape(B, nk, group, hd)
+        qf = self._perm_q(q.reshape(B, nk, group, hd))
         scores = jnp.einsum(
             "bkgd,bckd->bkgc", qf, k, preferred_element_type=jnp.float32
         ) * (scale or self.scale)
@@ -122,8 +129,10 @@ class XlaNativeBackend(AttentionBackend):
             kp, vp = kv_layer
             Cs = fb.shared_pages.shape[0] * ps
             if self.kv_quant:
-                k_s = self._dequant(kp[fb.shared_pages]).reshape(Cs, nk, hd)
-                v_s = self._dequant(vp[fb.shared_pages]).reshape(Cs, nk, hd)
+                k_s = self._dequant_packed(
+                    kp[fb.shared_pages]).reshape(Cs, nk, hd)
+                v_s = self._dequant_packed(
+                    vp[fb.shared_pages]).reshape(Cs, nk, hd)
             else:
                 k_s = kp[fb.shared_pages].reshape(Cs, nk, hd)
                 v_s = vp[fb.shared_pages].reshape(Cs, nk, hd)
@@ -149,7 +158,7 @@ class XlaNativeBackend(AttentionBackend):
                 preferred_element_type=jnp.float32,
             )
             out = (o_s + o_x) / jnp.maximum(denom[..., None], 1e-20)
-            return out.reshape(B, nq, hd).astype(q.dtype)
+            return self._unperm_out(out).reshape(B, nq, hd).astype(q.dtype)
 
         if sinks is not None:
             # GPT-OSS attention sinks: a learned per-head logit joins the
@@ -162,13 +171,13 @@ class XlaNativeBackend(AttentionBackend):
                 "bkgc,bckd->bkgd", (p / denom).astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
             )
-            return out.reshape(B, nq, hd).astype(q.dtype)
+            return self._unperm_out(out).reshape(B, nq, hd).astype(q.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
             "bkgc,bckd->bkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-        return out.reshape(B, nq, hd).astype(q.dtype)
+        return self._unperm_out(out).reshape(B, nq, hd).astype(q.dtype)
 
     # ---- MLA: MQA over latent rows (see base.py mla()) ----
 
@@ -293,7 +302,7 @@ class XlaNativeBackend(AttentionBackend):
             s = jax.lax.axis_index(AXIS_TP)
             k, v = self._gather_pages((kp, vp), pt_l)  # [B, Pl*ps, nk, hd]
             C = Pl * ps
-            qf = qr.reshape(B, nk, group, hd)
+            qf = self._perm_q(qr.reshape(B, nk, group, hd))
             scores = jnp.einsum(
                 "bkgd,bckd->bkgc", qf, k,
                 preferred_element_type=jnp.float32,
@@ -313,7 +322,7 @@ class XlaNativeBackend(AttentionBackend):
             L = jax.lax.psum(l, AXIS_TP)
             ACC = jax.lax.psum(acc, AXIS_TP)
             out = ACC / jnp.maximum(L[..., None], 1e-20)
-            return out.reshape(B, nq, hd)
+            return self._unperm_out(out).reshape(B, nq, hd)
 
         pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)  # [dcp, B, Pl]
         out = jax.shard_map(
@@ -395,7 +404,7 @@ class XlaNativeBackend(AttentionBackend):
         B, Rq, Rk = fb.spec_tree_mask.shape
         k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
         C = k.shape[1]
-        qf = q.reshape(B, Rq, nk, group, hd)
+        qf = self._perm_q(q.reshape(B, Rq, nk, group, hd))
         scores = jnp.einsum(
             "brkgd,bckd->brkgc", qf, k, preferred_element_type=jnp.float32
         ) * (scale or self.scale)
@@ -417,7 +426,7 @@ class XlaNativeBackend(AttentionBackend):
             "brkgc,bckd->brkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-        return out.reshape(T, nq, hd).astype(q.dtype)
+        return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None):
@@ -427,7 +436,7 @@ class XlaNativeBackend(AttentionBackend):
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
         tok_slots = slots[fb.seq_ids]  # [T, C]
         k, v = self._gather_ctx(kv_layer, tok_slots)  # [T, C, nk, hd]
-        qf = q.reshape(T, nk, group, hd).astype(jnp.float32)
+        qf = self._perm_q(q.reshape(T, nk, group, hd)).astype(jnp.float32)
         scores = jnp.einsum(
             "tkgd,tckd->tkgc", qf, k.astype(jnp.float32)
         ) * (scale or self.scale)
@@ -445,7 +454,7 @@ class XlaNativeBackend(AttentionBackend):
             denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sk - m)
             out = jnp.einsum("tkgc,tckd->tkgd", p / denom,
                              v.astype(jnp.float32))
-            return out.reshape(T, nq, hd).astype(q.dtype)
+            return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("tkgc,tckd->tkgd", probs, v.astype(jnp.float32))
-        return out.reshape(T, nq, hd).astype(q.dtype)
+        return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)

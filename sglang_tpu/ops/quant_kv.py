@@ -68,3 +68,38 @@ def unpack_f8(rows: jax.Array, num_heads: int, fmt: str,
     vals = jax.lax.bitcast_convert_type(by, f8)  # same shape
     vals = jnp.swapaxes(vals, -1, -2)  # [..., nh, 4, L]
     return vals.reshape(lead + (num_heads, hd)).astype(out_dtype)
+
+
+def unpack_f8_packed_order(rows: jax.Array, num_heads: int, fmt: str,
+                           out_dtype=jnp.bfloat16) -> jax.Array:
+    """[..., nh * hd/4] int32 -> [..., nh, hd] in PACKED feature order.
+
+    Packed position p = l*4 + b holds original feature f = b*L + l
+    (L = hd/4). Skipping the byte interleave avoids the XLA relayout
+    copies `unpack_f8`'s swapaxes forces onto the (huge) gathered KV;
+    attention CONTRACTS the feature dim, so callers instead permute the
+    small q tensor into packed order (`to_packed_order`) and un-permute
+    pv outputs (`from_packed_order`) — bit-identical results."""
+    f8 = F8_DTYPES[fmt]
+    lead = rows.shape[:-1]
+    L = rows.shape[-1] // num_heads
+    by = jax.lax.bitcast_convert_type(
+        rows.reshape(lead + (num_heads, L)), jnp.int8
+    )  # [..., nh, L, 4] — minor dims contiguous: reshape below is free
+    vals = jax.lax.bitcast_convert_type(by, f8)
+    return vals.reshape(lead + (num_heads, 4 * L)).astype(out_dtype)
+
+
+def to_packed_order(x: jax.Array) -> jax.Array:
+    """Permute a SMALL tensor's last (per-head feature) dim into the
+    packed order produced by `unpack_f8_packed_order`."""
+    s = x.shape
+    L = s[-1] // 4
+    return x.reshape(s[:-1] + (4, L)).swapaxes(-1, -2).reshape(s)
+
+
+def from_packed_order(x: jax.Array) -> jax.Array:
+    """Inverse of `to_packed_order`."""
+    s = x.shape
+    L = s[-1] // 4
+    return x.reshape(s[:-1] + (L, 4)).swapaxes(-1, -2).reshape(s)
