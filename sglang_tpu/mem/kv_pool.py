@@ -189,6 +189,49 @@ class KVCachePool:
         self.kv = new_kv
 
 
+class StackedKVCachePool:
+    """Layer-STACKED pool for pipeline parallelism: one (k, v) pair of
+    [L, NP, ps, ...] arrays with the layer dim sharded over the "pp"
+    mesh axis — stage s physically owns its layers' KV (true memory
+    sharding, unlike a replicated per-layer tuple which GSPMD cannot
+    place per-stage). Consumed by parallel/pipeline.PipelinedModel.
+
+    self.kv = (k_stacked, v_stacked | None-for-MLA)."""
+
+    def __init__(self, config: KVPoolConfig, mesh_ctx: MeshContext):
+        from sglang_tpu.parallel.mesh import AXIS_PP
+
+        self.config = config
+        assert not config.swa_num_pages, "PP + hybrid SWA pools unsupported"
+        assert mesh_ctx.pp_size > 1
+        L = config.num_layers
+        if config.quant:
+            lanes = (config.mla_dim or config.folded_dim) // 4
+            shape = (L, config.num_pages, config.page_size, lanes)
+            store_dtype = jnp.int32
+            spec = P(AXIS_PP, None, None, None)
+        else:
+            shape = (L, config.num_pages, config.page_size, 2,
+                     config.half_dim)
+            store_dtype = config.dtype
+            spec = P(AXIS_PP, None, None, None, None)
+        self.layer_spec = spec
+        mla = bool(config.mla_dim)
+        sharding = NamedSharding(mesh_ctx.mesh, spec)
+
+        def alloc():
+            k = jnp.zeros(shape, store_dtype)
+            v = None if mla else jnp.zeros(shape, store_dtype)
+            return (k, v)
+
+        self.kv = jax.jit(
+            alloc, out_shardings=(sharding, None if mla else sharding)
+        )()
+
+    def swap(self, new_kv) -> None:
+        self.kv = new_kv
+
+
 class RecurrentStatePool:
     """Slot-indexed recurrent state arrays for SSM/linear-attention models
     (ref srt/mem_cache/memory_pool.py MambaPool). Per layer: a tuple of

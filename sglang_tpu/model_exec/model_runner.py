@@ -94,7 +94,8 @@ class ModelRunner:
         self.model_config = model_config
         if mesh_ctx is None:
             mesh_ctx = create_mesh(
-                tp_size=server_args.tp_size, dp_size=1, pp_size=1,
+                tp_size=server_args.tp_size, dp_size=1,
+                pp_size=server_args.pp_size,
                 ep_size=server_args.ep_size,
             )
         self.mesh_ctx = mesh_ctx
@@ -112,6 +113,22 @@ class ModelRunner:
 
         model_cls = get_model_class(model_config.architectures)
         self.model = model_cls(model_config)
+        if mesh_ctx.pp_size > 1:
+            # GSPMD-native GPipe (parallel/pipeline.py): stacked layer
+            # params + microbatch scan with ppermute handoffs. Ref analog:
+            # srt/managers/scheduler_pp_mixin.py:69.
+            from sglang_tpu.parallel.pipeline import PipelinedModel
+
+            assert not (server_args.enable_lora or server_args.lora_paths), (
+                "PP + LoRA not supported yet"
+            )
+            assert not server_args.enable_dcp and not server_args.enable_cp, (
+                "PP composes with TP only (no DCP/CP yet)"
+            )
+            self.model = PipelinedModel(
+                self.model, mesh_ctx,
+                microbatches=server_args.pp_microbatches,
+            )
         self.specs = self.model.param_specs()
 
         t0 = time.perf_counter()
@@ -254,7 +271,12 @@ class ModelRunner:
             )
             self.max_total_tokens = (num_pages - 1) * sa.page_size
             return
-        self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
+        if self.mesh_ctx.pp_size > 1:
+            from sglang_tpu.mem.kv_pool import StackedKVCachePool
+
+            self.kv_pool = StackedKVCachePool(cfg, self.mesh_ctx)
+        else:
+            self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
         self.max_total_tokens = (num_pages - 1) * sa.page_size
         logger.info(
             "KV pool: %d pages x %d tokens (swa pool: %s pages, %d sliding "

@@ -81,30 +81,9 @@ def load_model_weights(
                 filled[pname] = 0
             if slot is None:
                 assert arr.shape == spec.shape, (pname, arr.shape, spec.shape)
-                buffers[pname][...] = arr
-            elif isinstance(slot, tuple):
-                # MoE expert slots: ("expert_gate"|"expert_up", e) into
-                # w_gate_up [E, H, 2, I]; ("expert_down", e) into [E, I, H].
-                kind, e = slot
-                target = buffers[pname]
-                if kind == "expert_gate":
-                    target[e, :, 0, :] = arr
-                elif kind == "expert_up":
-                    target[e, :, 1, :] = arr
-                elif kind == "expert_down":
-                    target[e] = arr
-                else:
-                    raise ValueError(f"unknown expert slot {kind}")
-            else:
-                # Fusion slot on the second-to-last axis group: [in, n_fused, out]
-                # or bias [n_fused, out].
-                target = buffers[pname]
-                if target.ndim == 3:
-                    target[:, slot, :] = arr
-                elif target.ndim == 2:
-                    target[slot, :] = arr.reshape(-1)
-                else:
-                    raise ValueError(f"bad fused target ndim for {pname}")
+            # Slot semantics (MoE expert slots, PP layer stacking, fusion
+            # slots) live in _write_slot.
+            _write_slot(buffers[pname], slot, arr)
             filled[pname] += 1
 
     params: Params = {}
@@ -137,8 +116,13 @@ def _write_slot(target: np.ndarray, slot, arr: np.ndarray) -> None:
     if slot is None:
         target[...] = arr
     elif isinstance(slot, tuple):
-        kind, e = slot
-        if kind == "expert_gate":
+        kind, e = slot[0], slot[1]
+        if kind == "stack":
+            # PP-stacked layer params: slot = ("stack", layer_idx,
+            # inner_slot) writes into row layer_idx with the inner fusion
+            # semantics (parallel/pipeline.py).
+            _write_slot(target[e], slot[2], arr)
+        elif kind == "expert_gate":
             target[e, :, 0, :] = arr
         elif kind == "expert_up":
             target[e, :, 1, :] = arr

@@ -159,6 +159,9 @@ class LlamaDecoderLayer:
 class LlamaForCausalLM:
     # Subclasses override for HF-name quirks.
     hf_prefix = "model"
+    # Homogeneous decoder layers -> eligible for GSPMD GPipe
+    # (parallel/pipeline.py PipelinedModel).
+    supports_pp = True
 
     def __init__(self, config: ModelConfig):
         self.config = config

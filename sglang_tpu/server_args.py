@@ -120,6 +120,9 @@ class ServerArgs:
     # causal triangle balances; each chip attends only its blocks.
     enable_cp: bool = False
     pp_size: int = 1
+    # GPipe microbatches per step under PP (default pp_size; ref
+    # scheduler_pp_mixin microbatch count).
+    pp_microbatches: Optional[int] = None
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
