@@ -53,7 +53,17 @@ def _sp_to_dict(sp: pb.SamplingParams) -> dict:
     return d
 
 
-def build_service(tm) -> grpc.GenericRpcHandler:
+def build_service(tm, server_args=None) -> grpc.GenericRpcHandler:
+    import time as _t
+    import uuid as _uuid
+
+    from sglang_tpu.entrypoints.openai_api import OpenAIServing
+
+    served = getattr(server_args, "served_model_name", None) or "model"
+    serving = OpenAIServing(
+        tm, served,
+        tool_call_parser=getattr(server_args, "tool_call_parser", None),
+    )
     async def generate(request: pb.GenerateRequest, context):
         gri = GenerateReqInput(
             text=request.text or None,
@@ -148,16 +158,25 @@ def build_service(tm) -> grpc.GenericRpcHandler:
         return pb.UpdateWeightsResponse(success=ok, message=msg)
 
     async def score(request: pb.ScoreRequest, context):
-        items = list(request.item_texts)
         labels = list(request.label_token_ids)
         seqs = []
-        for it in items:
-            if request.query_text:
+        id_seqs = []
+        if request.query_text:
+            for it in request.item_texts:
                 a, b = ((it, request.query_text) if request.item_first
                         else (request.query_text, it))
                 seqs.append(a + b)
+        elif request.query_ids:
+            # Token-id scoring (mirrors Engine.score's input_ids path):
+            # query_ids + per-item id lists, honoring item_first.
+            q = list(request.query_ids)
+            for it in request.item_ids:
+                ids = list(it.ids)
+                a, b = (ids, q) if request.item_first else (q, ids)
+                id_seqs.append(a + b)
         gri = GenerateReqInput(
             text=seqs or None,
+            input_ids=id_seqs or None,
             is_embedding=True,
             label_token_ids=labels,
         )
@@ -179,6 +198,140 @@ def build_service(tm) -> grpc.GenericRpcHandler:
     async def unload_lora(request: pb.UnloadLoraRequest, context):
         ok, msg, _ = await tm.unload_lora_adapter(request.lora_name)
         return pb.LoadLoraResponse(success=ok, message=msg)
+
+    # ---- OpenAI-protocol passthrough rpcs (ref sglang.proto 24-29) ----
+    async def chat_complete(request: pb.OpenAIRequest, context):
+        body = json.loads(request.json or "{}")
+        gri = serving.chat_to_gri(body)
+        created = int(_t.time())
+        if gri.stream:
+            cid = f"chatcmpl-{_uuid.uuid4().hex}"
+            sent: dict = {}
+            first: dict = {}
+            async for out in tm.generate_request(gri):
+                idx = out.get("index", 0)
+                delta = out["text"][sent.get(idx, 0):]
+                sent[idx] = len(out["text"])
+                fr = out["meta_info"]["finish_reason"]
+                if delta or fr or first.get(idx, True):
+                    chunk = serving.chat_stream_chunk(
+                        body, delta, fr, created, cid,
+                        first.get(idx, True), index=idx,
+                    )
+                    first[idx] = False
+                    yield pb.OpenAIStreamChunk(json=json.dumps(chunk))
+            return
+        outs = [o async for o in tm.generate_request(gri)]
+        yield pb.OpenAIStreamChunk(
+            json=json.dumps(serving.chat_response(body, outs, created))
+        )
+
+    async def complete(request: pb.OpenAIRequest, context):
+        body = json.loads(request.json or "{}")
+        gri = serving.completions_to_gri(body)
+        created = int(_t.time())
+        if gri.stream:
+            cid = f"cmpl-{_uuid.uuid4().hex}"
+            sent: dict = {}
+            async for out in tm.generate_request(gri):
+                idx = out.get("index", 0)
+                delta = out["text"][sent.get(idx, 0):]
+                sent[idx] = len(out["text"])
+                fr = out["meta_info"]["finish_reason"]
+                if delta or fr:
+                    chunk = serving.completion_stream_chunk(
+                        body, delta, fr, created, cid, index=idx
+                    )
+                    yield pb.OpenAIStreamChunk(json=json.dumps(chunk))
+            return
+        outs = [o async for o in tm.generate_request(gri)]
+        yield pb.OpenAIStreamChunk(
+            json=json.dumps(serving.completion_response(body, outs, created))
+        )
+
+    async def _embed_outs(inp):
+        if isinstance(inp, str) or (inp and isinstance(inp[0], int)):
+            inp = [inp]
+        texts = inp if inp and isinstance(inp[0], str) else None
+        ids = inp if inp and isinstance(inp[0], list) else None
+        gri = GenerateReqInput(
+            text=(texts if texts and len(texts) > 1
+                  else (texts[0] if texts else None)),
+            input_ids=(ids if ids and len(ids) > 1
+                       else (ids[0] if ids else None)),
+            is_embedding=True,
+        )
+        return [o async for o in tm.generate_request(gri)]
+
+    async def openai_embed(request: pb.OpenAIRequest, context):
+        body = json.loads(request.json or "{}")
+        outs = await _embed_outs(body.get("input"))
+        total = sum(o["meta_info"].get("prompt_tokens", 0) for o in outs)
+        return pb.OpenAIResponse(json=json.dumps({
+            "object": "list",
+            "data": [
+                {"object": "embedding", "index": i,
+                 "embedding": o["embedding"]}
+                for i, o in enumerate(outs)
+            ],
+            "model": body.get("model", served),
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        }))
+
+    async def rerank(request: pb.OpenAIRequest, context):
+        body = json.loads(request.json or "{}")
+        query = body.get("query")
+        docs = list(body.get("documents") or [])
+        outs = await _embed_outs([query] + docs)
+        qv = outs[0]["embedding"]
+        scores = [sum(a * b for a, b in zip(qv, o["embedding"]))
+                  for o in outs[1:]]
+        ranked = sorted(
+            ({"index": i, "relevance_score": s,
+              **({"document": docs[i]}
+                 if body.get("return_documents", True) else {})}
+             for i, s in enumerate(scores)),
+            key=lambda r: -r["relevance_score"],
+        )
+        if body.get("top_n"):
+            ranked = ranked[: int(body["top_n"])]
+        return pb.OpenAIResponse(json=json.dumps({
+            "model": body.get("model", served), "results": ranked,
+        }))
+
+    async def classify(request: pb.OpenAIRequest, context):
+        body = json.loads(request.json or "{}")
+        gri = GenerateReqInput(
+            text=body.get("text"), input_ids=body.get("input_ids"),
+            is_embedding=True,
+        )
+        outs = [o async for o in tm.generate_request(gri)]
+        return pb.OpenAIResponse(json=json.dumps([
+            {"embedding": o["embedding"], "meta_info": o["meta_info"]}
+            for o in outs
+        ]))
+
+    async def list_models(request, context):
+        return pb.ListModelsResponse(models=[served])
+
+    async def start_profile(request: pb.StartProfileRequest, context):
+        import jax
+
+        out_dir = request.output_dir or "/tmp/sglang_tpu_profile"
+        try:
+            jax.profiler.start_trace(out_dir)
+            return pb.StartProfileResponse(success=True, message=out_dir)
+        except Exception as e:  # noqa: BLE001
+            return pb.StartProfileResponse(success=False, message=str(e))
+
+    async def stop_profile(request, context):
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+            return pb.StartProfileResponse(success=True)
+        except Exception as e:  # noqa: BLE001
+            return pb.StartProfileResponse(success=False, message=str(e))
 
     handlers = {
         "Generate": grpc.unary_stream_rpc_method_handler(
@@ -238,6 +391,31 @@ def build_service(tm) -> grpc.GenericRpcHandler:
                                pb.LoadLoraResponse),
         "UnloadLoraAdapter": _uu(unload_lora, pb.UnloadLoraRequest,
                                  pb.LoadLoraResponse),
+        "TextEmbed": _uu(embed, pb.EmbedRequest, pb.EmbedResponse),
+        "OpenAIEmbed": _uu(openai_embed, pb.OpenAIRequest, pb.OpenAIResponse),
+        "Rerank": _uu(rerank, pb.OpenAIRequest, pb.OpenAIResponse),
+        "Classify": _uu(classify, pb.OpenAIRequest, pb.OpenAIResponse),
+        "ListModels": _uu(list_models, pb.ListModelsRequest,
+                          pb.ListModelsResponse),
+        "StartProfile": _uu(start_profile, pb.StartProfileRequest,
+                            pb.StartProfileResponse),
+        "StopProfile": _uu(stop_profile, pb.StopProfileRequest,
+                           pb.StartProfileResponse),
+    })
+
+    def _us(fn, req_cls, resp_cls):
+        return grpc.unary_stream_rpc_method_handler(
+            fn,
+            request_deserializer=req_cls.FromString,
+            response_serializer=resp_cls.SerializeToString,
+        )
+
+    handlers.update({
+        "TextGenerate": _us(generate, pb.GenerateRequest,
+                            pb.GenerateResponse),
+        "ChatComplete": _us(chat_complete, pb.OpenAIRequest,
+                            pb.OpenAIStreamChunk),
+        "Complete": _us(complete, pb.OpenAIRequest, pb.OpenAIStreamChunk),
     })
     return grpc.method_handlers_generic_handler(_SERVICE, handlers)
 
@@ -260,7 +438,7 @@ async def serve_grpc(server_args, grpc_port: int):
     await tm.wait_ready()
 
     server = grpc.aio.server()
-    server.add_generic_rpc_handlers((build_service(tm),))
+    server.add_generic_rpc_handlers((build_service(tm, server_args),))
     server.add_insecure_port(f"{server_args.host}:{grpc_port}")
     await server.start()
     logger.info("grpc server on %s:%d", server_args.host, grpc_port)

@@ -291,13 +291,29 @@ class Qwen25Detector(BaseDetector):
 
 
 class MistralDetector(BaseDetector):
+    """Mistral tool calls (ref mistral_detector.py). Two wire formats:
+    1) JSON array:  [TOOL_CALLS] [{"name":..., "arguments":{...}}, ...]
+    2) Compact (v11+ templates): [TOOL_CALLS]name[ARGS]{...}"""
+
     name = "mistral"
     bot_token = "[TOOL_CALLS]"
+    _compact_re = re.compile(r"^\s*([\w.\-]+)\s*(?:\[ARGS\])?\s*(?=\{)")
 
     def detect_and_parse(self, text: str, tools) -> ParseResult:
         pre, _, payload = text.partition(self.bot_token)
-        found = _find_json_objects(payload)
         calls = []
+        m = self._compact_re.match(payload)
+        if m:
+            # compact: one call, name then JSON args
+            end = _balanced_end(payload, m.end())
+            obj = _try_json(payload[m.end():end]) if end > 0 else None
+            item = self._extract(
+                {"name": m.group(1), "arguments": obj or {}}, tools
+            )
+            if item:
+                calls.append(item)
+            return ParseResult(pre.strip(), calls)
+        found = _find_json_objects(payload)
         for _, _, obj in found:
             items = obj if isinstance(obj, list) else [obj]
             for o in items:
@@ -494,9 +510,333 @@ class Glm4MoeDetector(BaseDetector):
         return ParseResult("".join(normal_parts).strip(), calls)
 
 
+def _pythonic_calls(src: str, tools) -> List[ToolCallItem]:
+    """Parse `[fn(a=1, b="x"), g(y=[2])]` (Python literal args) into calls.
+    Ref: pythonic_detector.py (Llama-4 default template)."""
+    import ast
+
+    try:
+        tree = ast.parse(src.strip(), mode="eval")
+    except SyntaxError:
+        return []
+    node = tree.body
+    elts = node.elts if isinstance(node, ast.List) else [node]
+    calls: List[ToolCallItem] = []
+    for e in elts:
+        if not isinstance(e, ast.Call) or not isinstance(e.func, ast.Name):
+            return []
+        args = {}
+        for kw in e.keywords:
+            if kw.arg is None:
+                return []
+            try:
+                args[kw.arg] = ast.literal_eval(kw.value)
+            except (ValueError, SyntaxError):
+                return []
+        name = e.func.id
+        if tools is not None:
+            valid = {t["function"]["name"] for t in tools}
+            if name not in valid:
+                continue
+        calls.append(ToolCallItem(len(calls), name,
+                                  json.dumps(args, ensure_ascii=False)))
+    return calls
+
+
+class PythonicDetector(BaseDetector):
+    """Llama-4 pythonic format: [fn(a=1), g(b="x")] with Python literals.
+    Ref: pythonic_detector.py."""
+
+    name = "pythonic"
+    _list_re = re.compile(r"\[\s*[A-Za-z_]\w*\s*\(.*?\)\s*\]", re.DOTALL)
+
+    def has_tool_call(self, text: str) -> bool:
+        return bool(self._list_re.search(text))
+
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        self._sbuf += delta
+        buf = self._sbuf
+        k = buf.find("[")
+        if k < 0:
+            self._sbuf = ""
+            return ParseResult(buf, [])
+        end = _balanced_end(buf, k)
+        if end < 0:
+            # hold from the bracket on
+            self._sbuf = buf[k:]
+            return ParseResult(buf[:k], [])
+        calls = _pythonic_calls(buf[k:end], tools)
+        self._sbuf = buf[end:]
+        for c in calls:
+            c.tool_index = self._n_stream_calls
+            self._n_stream_calls += 1
+        if calls:
+            return ParseResult(buf[:k], calls)
+        return ParseResult(buf[:end], [])
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        m = self._list_re.search(text)
+        if not m:
+            return ParseResult(text, [])
+        calls = _pythonic_calls(m.group(0), tools)
+        if not calls:
+            return ParseResult(text, [])
+        normal = (text[: m.start()] + text[m.end():]).strip()
+        return ParseResult(normal, calls)
+
+
+class Lfm2Detector(BaseDetector):
+    """LFM2: <|tool_call_start|>[pythonic or JSON]<|tool_call_end|>.
+    Ref: lfm2_detector.py."""
+
+    name = "lfm2"
+    bot_token = "<|tool_call_start|>"
+    eot_token = "<|tool_call_end|>"
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal_parts = []
+        rest = text
+        while self.bot_token in rest:
+            pre, rest = rest.split(self.bot_token, 1)
+            normal_parts.append(pre)
+            if self.eot_token in rest:
+                body, rest = rest.split(self.eot_token, 1)
+            else:
+                body, rest = rest, ""
+            body = body.strip()
+            obj = _try_json(body)
+            if obj is not None:
+                for o in obj if isinstance(obj, list) else [obj]:
+                    it = self._extract(o, tools)
+                    if it:
+                        it.tool_index = len(calls)
+                        calls.append(it)
+            else:
+                for it in _pythonic_calls(body, tools):
+                    it.tool_index = len(calls)
+                    calls.append(it)
+        normal_parts.append(rest)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
+def _schema_cast(name: str, key: str, val: str, tools):
+    """Cast a string parameter value using the tool schema's declared type
+    (shared by the XML-parameter formats)."""
+    t = None
+    for tool in tools or []:
+        fn = tool.get("function", tool)
+        if fn.get("name") == name:
+            props = (fn.get("parameters") or {}).get("properties") or {}
+            t = (props.get(key) or {}).get("type")
+    v = val.strip()
+    try:
+        if t == "integer":
+            return int(v)
+        if t == "number":
+            return float(v)
+        if t == "boolean":
+            return v.lower() == "true"
+        if t in ("object", "array"):
+            return json.loads(v)
+    except Exception:  # noqa: BLE001
+        pass
+    return v
+
+
+class Qwen3CoderDetector(BaseDetector):
+    """Qwen3-Coder XML: <tool_call><function=NAME><parameter=KEY>value
+    </parameter>...</function></tool_call>. Ref: qwen3_coder_detector.py."""
+
+    name = "qwen3_coder"
+    bot_token = "<tool_call>"
+    eot_token = "</tool_call>"
+    _fn_re = re.compile(r"<function=([^>\n]+)>(.*?)(?:</function>|$)",
+                        re.DOTALL)
+    _param_re = re.compile(
+        r"<parameter=([^>\n]+)>(.*?)(?:</parameter>|(?=<parameter=)|$)",
+        re.DOTALL,
+    )
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal_parts = []
+        rest = text
+        while self.bot_token in rest:
+            pre, rest = rest.split(self.bot_token, 1)
+            normal_parts.append(pre)
+            if self.eot_token in rest:
+                body, rest = rest.split(self.eot_token, 1)
+            else:
+                body, rest = rest, ""
+            for fm in self._fn_re.finditer(body):
+                fname = fm.group(1).strip()
+                args = {
+                    pm.group(1).strip(): _schema_cast(
+                        fname, pm.group(1).strip(),
+                        pm.group(2).strip("\n"), tools
+                    )
+                    for pm in self._param_re.finditer(fm.group(2))
+                }
+                it = self._extract({"name": fname, "arguments": args}, tools)
+                if it:
+                    it.tool_index = len(calls)
+                    calls.append(it)
+        normal_parts.append(rest)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
+class Step3Detector(BaseDetector):
+    """Step3 steptml: <｜tool_calls_begin｜>...<steptml:invoke name="fn">
+    <steptml:parameter name="k">v</steptml:parameter></steptml:invoke>
+    ...<｜tool_calls_end｜>. Ref: step3_detector.py."""
+
+    name = "step3"
+    bot_token = "<｜tool_calls_begin｜>"
+    eot_token = "<｜tool_calls_end｜>"
+    _invoke_re = re.compile(
+        r'<steptml:invoke name="([^"]+)">(.*?)</steptml:invoke>', re.DOTALL
+    )
+    _param_re = re.compile(
+        r'<steptml:parameter name="([^"]+)">(.*?)</steptml:parameter>',
+        re.DOTALL,
+    )
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls: List[ToolCallItem] = []
+        for m in self._invoke_re.finditer(payload):
+            fname = m.group(1)
+            args = {
+                pm.group(1): _schema_cast(fname, pm.group(1), pm.group(2),
+                                          tools)
+                for pm in self._param_re.finditer(m.group(2))
+            }
+            it = self._extract({"name": fname, "arguments": args}, tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        return ParseResult(pre.strip(), calls)
+
+
+class MinimaxM2Detector(BaseDetector):
+    """MiniMax M2/M3: <minimax:tool_call><invoke name="fn"><parameter
+    name="k">v</parameter></invoke></minimax:tool_call>.
+    Ref: minimax_m2.py."""
+
+    name = "minimax"
+    bot_token = "<minimax:tool_call>"
+    eot_token = "</minimax:tool_call>"
+    _invoke_re = re.compile(r'<invoke name="([^"]+)">(.*?)</invoke>',
+                            re.DOTALL)
+    _param_re = re.compile(
+        r'<parameter name="([^"]+)">(.*?)</parameter>', re.DOTALL
+    )
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls: List[ToolCallItem] = []
+        for m in self._invoke_re.finditer(payload):
+            fname = m.group(1)
+            args = {
+                pm.group(1): _schema_cast(fname, pm.group(1), pm.group(2),
+                                          tools)
+                for pm in self._param_re.finditer(m.group(2))
+            }
+            it = self._extract({"name": fname, "arguments": args}, tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        return ParseResult(pre.strip(), calls)
+
+
+class InternlmDetector(BaseDetector):
+    """InternLM2/Intern-S1: text<|action_start|><|plugin|>{json}
+    <|action_end|>. Ref: internlm_detector.py."""
+
+    name = "internlm"
+    bot_token = "<|action_start|>"
+    eot_token = "<|action_end|>"
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        payload = payload.replace("<|plugin|>", "").strip()
+        calls: List[ToolCallItem] = []
+        for _, _, obj in _find_json_objects(payload):
+            for o in obj if isinstance(obj, list) else [obj]:
+                it = self._extract(o, tools)
+                if it:
+                    it.tool_index = len(calls)
+                    calls.append(it)
+        return ParseResult(pre.strip(), calls)
+
+
+class CommandADetector(BaseDetector):
+    """Cohere Command: <|START_ACTION|>[{"tool_name":..., "parameters":
+    {...}}, ...]<|END_ACTION|>. Ref: cohere_command4_detector.py."""
+
+    name = "command"
+    bot_token = "<|START_ACTION|>"
+    eot_token = "<|END_ACTION|>"
+
+    def _extract(self, obj, tools):
+        if isinstance(obj, dict) and "tool_name" in obj:
+            obj = {"name": obj.get("tool_name"),
+                   "arguments": obj.get("parameters", {})}
+        return super()._extract(obj, tools)
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls: List[ToolCallItem] = []
+        for _, _, obj in _find_json_objects(payload):
+            for o in obj if isinstance(obj, list) else [obj]:
+                it = self._extract(o, tools)
+                if it:
+                    it.tool_index = len(calls)
+                    calls.append(it)
+            if calls:
+                break
+        return ParseResult(pre.strip(), calls)
+
+
+class GptOssDetector(BaseDetector):
+    """GPT-OSS harmony commentary calls: <|channel|>commentary
+    to=ns.fn <|constrain|>json<|message|>{args}<|call|>.
+    Ref: gpt_oss_detector.py (HarmonyParser tool events)."""
+
+    name = "gpt_oss"
+    bot_token = "<|channel|>commentary to="
+    _call_re = re.compile(
+        r"<\|channel\|>commentary to=([\w.\-]+)\s*"
+        r"(?:<\|constrain\|>json)?\s*<\|message\|>(.*?)(?:<\|call\|>|$)",
+        re.DOTALL,
+    )
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal = text
+        spans = []
+        for m in self._call_re.finditer(text):
+            fname = m.group(1).split(".")[-1]
+            obj = _try_json(m.group(2).strip())
+            it = self._extract({"name": fname, "arguments": obj or {}},
+                               tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+                spans.append((m.start(), m.end()))
+        for s, e in reversed(spans):
+            normal = normal[:s] + normal[e:]
+        return ParseResult(normal.strip(), calls)
+
+
 DETECTORS = {
     "llama3": Llama3Detector,
-    "llama4": Llama3Detector,
+    "llama4": PythonicDetector,
     "qwen25": Qwen25Detector,
     "qwen3": Qwen25Detector,
     "hermes": Qwen25Detector,
@@ -507,6 +847,17 @@ DETECTORS = {
     "kimi_k2": KimiK2Detector,
     "glm45": Glm4MoeDetector,
     "glm4_moe": Glm4MoeDetector,
+    "pythonic": PythonicDetector,
+    "lfm2": Lfm2Detector,
+    "qwen3_coder": Qwen3CoderDetector,
+    "step3": Step3Detector,
+    "minimax": MinimaxM2Detector,
+    "minimax-m2": MinimaxM2Detector,
+    "internlm": InternlmDetector,
+    "command": CommandADetector,
+    "command-a": CommandADetector,
+    "gpt_oss": GptOssDetector,
+    "gpt-oss": GptOssDetector,
 }
 
 

@@ -37,7 +37,7 @@ def grpc_addr(tiny_llama_dir):
     async def run():
         server = grpc.aio.server()
         server.add_generic_rpc_handlers(
-            (build_service(eng.tokenizer_manager),)
+            (build_service(eng.tokenizer_manager, eng.server_args),)
         )
         server.add_insecure_port(f"127.0.0.1:{port}")
         await server.start()
@@ -127,3 +127,56 @@ def test_grpc_round2_surface(grpc_addr):
     for row in sc.rows:
         assert len(row.scores) == 3
         assert abs(sum(row.scores) - 1.0) < 1e-4
+    # token-id scoring path: query_ids + item_ids (no query_text)
+    sci = _call(grpc_addr, "Score",
+                pb.ScoreRequest(
+                    query_ids=[10, 11],
+                    item_ids=[pb.ScoreRequest.IdList(ids=[12]),
+                              pb.ScoreRequest.IdList(ids=[13, 14])],
+                    label_token_ids=[5, 6, 7],
+                    apply_softmax=True),
+                pb.ScoreResponse)
+    assert len(sci.rows) == 2
+    for row in sci.rows:
+        assert len(row.scores) == 3
+        assert abs(sum(row.scores) - 1.0) < 1e-4
+
+
+def test_grpc_round3_openai_surface(grpc_addr):
+    """ChatComplete/Complete/OpenAIEmbed/Rerank/ListModels/Profile rpcs
+    (round-3 additions; ref sglang.proto rpcs 16-34)."""
+    import json
+
+    lm = _call(grpc_addr, "ListModels", pb.ListModelsRequest(),
+               pb.ListModelsResponse)
+    assert len(lm.models) == 1
+
+    body = {"prompt": "w10 w11", "max_tokens": 4}
+    chunks = _call(grpc_addr, "Complete", pb.OpenAIRequest(json=json.dumps(body)),
+                   pb.OpenAIStreamChunk, stream=True)
+    resp = json.loads(chunks[-1].json)
+    assert resp["object"] == "text_completion"
+    assert resp["choices"][0]["text"]
+
+    body = {"messages": [{"role": "user", "content": "w10 w11"}],
+            "max_tokens": 4, "stream": True}
+    chunks = _call(grpc_addr, "ChatComplete",
+                   pb.OpenAIRequest(json=json.dumps(body)),
+                   pb.OpenAIStreamChunk, stream=True)
+    assert chunks
+    first = json.loads(chunks[0].json)
+    assert first["object"] == "chat.completion.chunk"
+
+    pr = _call(grpc_addr, "StartProfile",
+               pb.StartProfileRequest(output_dir="/tmp/sgl_tpu_grpc_prof"),
+               pb.StartProfileResponse)
+    _call(grpc_addr, "StopProfile", pb.StopProfileRequest(),
+          pb.StartProfileResponse)
+
+    # text aliases
+    gens = _call(grpc_addr, "TextGenerate",
+                 pb.GenerateRequest(text="w10 w11",
+                                    sampling_params=pb.SamplingParams(
+                                        max_new_tokens=3, temperature=0.0)),
+                 pb.GenerateResponse, stream=True)
+    assert gens and gens[-1].completion_tokens >= 1
