@@ -126,14 +126,18 @@ class KVCachePool:
 
     `self.kv` is a tuple over layers of (k, v) pairs."""
 
-    def __init__(self, config: KVPoolConfig, mesh_ctx: Optional[MeshContext] = None):
+    def __init__(self, config: KVPoolConfig,
+                 mesh_ctx: Optional[MeshContext] = None,
+                 dcp_shard: bool = False):
         self.config = config
+        self.dcp_shard = dcp_shard
         # Blocked-halved head sharding (see pallas_backend docstring): the
         # trailing F/2 dim shards cleanly onto head boundaries only when
         # nk % (2*tp) == 0; otherwise replicate (correct, costs memory).
         shard_heads = (
             mesh_ctx is not None
             and mesh_ctx.tp_size > 1
+            and not dcp_shard
             and not config.mla_dim  # latent rows are shared across heads
             and config.num_kv_heads % (2 * mesh_ctx.tp_size) == 0
         )
@@ -141,7 +145,18 @@ class KVCachePool:
             # int32-packed f8 rows: [NP, ps, F/4] (ops/quant_kv.py). No head
             # sharding yet in quant mode — replicate (correct, costs memory).
             shard_heads = False
-        spec = P(None, None, None, AXIS_TP if shard_heads else None)
+        if dcp_shard:
+            # DCP memory sharding (ref srt/layers/dcp/planner.py): the
+            # PAGE dim distributes over the mesh axis — per-device pool
+            # bytes divide by tp. Requires the owner-aligned
+            # DcpPageAllocator so shard s's decode attention reads only
+            # local pages; writes/extend-gathers outside the shard_map go
+            # through GSPMD's distributed scatter/gather.
+            assert config.num_pages % max(mesh_ctx.tp_size, 1) == 0
+            assert not config.swa_num_pages
+            spec = P(AXIS_TP, None, None, None)
+        else:
+            spec = P(None, None, None, AXIS_TP if shard_heads else None)
         self.layer_spec = spec
         if config.quant:
             lanes = (config.mla_dim or config.folded_dim) // 4
@@ -150,7 +165,8 @@ class KVCachePool:
                 for l in range(config.num_layers)
             ]
             store_dtype = jnp.int32
-            spec = P(None, None, None)
+            spec = (P(AXIS_TP, None, None) if dcp_shard
+                    else P(None, None, None))
             self.layer_spec = spec
         else:
             fh = config.half_dim
@@ -186,6 +202,33 @@ class KVCachePool:
 
     def swap(self, new_kv) -> None:
         """Install the pool returned by a donated jit step."""
+        self.kv = new_kv
+
+
+class HybridStatePool:
+    """Hybrid attention+SSM pool (ref srt/mem_cache/memory_pool.py
+    HybridLinearKVPool:3555 + models like Jamba/NemotronH): layout[i] is
+    None for ATTENTION layers (a paged split (k, v) pair, same layout as
+    KVCachePool) or a tuple of recurrent-state shapes (slot-indexed
+    arrays, same as RecurrentStatePool). The paged machinery addresses
+    only the attention layers; SSM layers ride fb.state_slots."""
+
+    def __init__(self, config: KVPoolConfig, layout):
+        self.config = config
+        assert config.quant is None, "hybrid pools: fp8 KV unsupported yet"
+        assert not config.swa_num_pages
+        fh = config.half_dim
+        shape = (config.num_pages, config.page_size, 2, fh)
+        kv = []
+        for ly in layout:
+            if ly is None:
+                kv.append((jnp.zeros(shape, config.dtype),
+                           jnp.zeros(shape, config.dtype)))
+            else:
+                kv.append(tuple(jnp.zeros(s, jnp.float32) for s in ly))
+        self.kv = tuple(kv)
+
+    def swap(self, new_kv) -> None:
         self.kv = new_kv
 
 

@@ -94,7 +94,12 @@ class ModelRunner:
         self.model_config = model_config
         if mesh_ctx is None:
             mesh_ctx = create_mesh(
-                tp_size=server_args.tp_size, dp_size=1,
+                tp_size=server_args.tp_size,
+                # DP attention consumes dp_size as a MESH axis (batch-dim
+                # sharding inside one program, ref dp_attention.py); plain
+                # DP runs whole-engine replicas instead (controller).
+                dp_size=(server_args.dp_size
+                         if server_args.enable_dp_attention else 1),
                 pp_size=server_args.pp_size,
                 ep_size=server_args.ep_size,
             )
@@ -157,6 +162,18 @@ class ModelRunner:
             dcp=server_args.enable_dcp,
         )
         self.attn_backend.cp = bool(server_args.enable_cp)
+        self.attn_backend.dp_attn = bool(
+            server_args.enable_dp_attention and self.mesh_ctx.dp_size > 1
+        )
+        # DCP pool memory sharding (mem/kv_pool.py dcp_shard): the decode
+        # DCP path reads only shard-local pages via interleave layout.
+        self.attn_backend.dcp_pool_sharded = getattr(
+            self, "dcp_pool_sharded", False
+        )
+        if self.attn_backend.dcp_pool_sharded:
+            self.attn_backend.dcp_pages_per_shard = (
+                self.kv_pool.config.num_pages // self.mesh_ctx.tp_size
+            )
         logger.info("attention backend: %s", backend_name)
 
         self.lora_manager = None
@@ -229,6 +246,13 @@ class ModelRunner:
         else:
             num_tokens = self._profile_max_tokens()
         num_pages = max(2, cdiv(num_tokens, sa.page_size) + 1)
+        self.dcp_pool_sharded = bool(
+            sa.enable_dcp and self.mesh_ctx.tp_size > 1
+        )
+        if self.dcp_pool_sharded:
+            # page dim shards over the mesh axis: pad to a multiple
+            n = self.mesh_ctx.tp_size
+            num_pages = cdiv(num_pages, n) * n
         kv_quant = self.kv_quant_format()
         if kv_quant or sa.kv_cache_dtype == "auto":
             kv_dtype = c.dtype  # compute dtype (dequant target when quant)
@@ -264,11 +288,17 @@ class ModelRunner:
         )
         if getattr(self.model, "is_recurrent", False):
             # SSM models: slot-indexed state arrays instead of paged KV.
-            from sglang_tpu.mem.kv_pool import RecurrentStatePool
+            # Hybrid models (Jamba-class) mix paged attention layers with
+            # state layers (ref memory_pool.py HybridLinearKVPool:3555).
+            layout = self.model.state_shapes(sa.max_running_requests)
+            if any(s is None for s in layout):
+                from sglang_tpu.mem.kv_pool import HybridStatePool
 
-            self.kv_pool = RecurrentStatePool(
-                cfg, self.model.state_shapes(sa.max_running_requests)
-            )
+                self.kv_pool = HybridStatePool(cfg, layout)
+            else:
+                from sglang_tpu.mem.kv_pool import RecurrentStatePool
+
+                self.kv_pool = RecurrentStatePool(cfg, layout)
             self.max_total_tokens = (num_pages - 1) * sa.page_size
             return
         if self.mesh_ctx.pp_size > 1:
@@ -276,7 +306,9 @@ class ModelRunner:
 
             self.kv_pool = StackedKVCachePool(cfg, self.mesh_ctx)
         else:
-            self.kv_pool = KVCachePool(cfg, self.mesh_ctx)
+            self.kv_pool = KVCachePool(
+                cfg, self.mesh_ctx, dcp_shard=self.dcp_pool_sharded
+            )
         self.max_total_tokens = (num_pages - 1) * sa.page_size
         logger.info(
             "KV pool: %d pages x %d tokens (swa pool: %s pages, %d sliding "

@@ -36,6 +36,7 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "MambaForCausalLM": ("sglang_tpu.models.mamba", "MambaForCausalLM"),
     "FalconMambaForCausalLM": ("sglang_tpu.models.mamba",
                                "MambaForCausalLM"),
+    "JambaForCausalLM": ("sglang_tpu.models.jamba", "JambaForCausalLM"),
     "LlamaForSequenceClassification": (
         "sglang_tpu.models.llama_classification",
         "LlamaForSequenceClassification",
