@@ -116,9 +116,19 @@ class ScheduleCore:
         self.recurrent = bool(getattr(runner.model, "is_recurrent", False))
         if getattr(runner.model, "no_prefix_cache", False):
             server_args.disable_radix_cache = True
-        self.allocator = PageAllocator(
-            runner.kv_pool.config.num_pages, self.page_size
-        )
+        if getattr(runner, "dcp_pool_sharded", False):
+            # DCP memory sharding: a sequence's i-th page must land on
+            # mesh shard i % n (mem/allocator.py DcpPageAllocator).
+            from sglang_tpu.mem.allocator import DcpPageAllocator
+
+            self.allocator = DcpPageAllocator(
+                runner.kv_pool.config.num_pages, self.page_size,
+                runner.mesh_ctx.tp_size,
+            )
+        else:
+            self.allocator = PageAllocator(
+                runner.kv_pool.config.num_pages, self.page_size
+            )
         if server_args.enable_kv_canary and not self.recurrent:
             from sglang_tpu.mem.kv_canary import CanaryAllocator
 
@@ -156,6 +166,9 @@ class ScheduleCore:
                 max_host_pages=server_args.hicache_max_host_pages,
                 storage_dir=server_args.hicache_storage_dir,
                 storage_max_bytes=server_args.hicache_storage_max_bytes,
+                write_policy=server_args.hicache_write_policy,
+                storage_backend=server_args.hicache_storage_backend,
+                enable_prefetch=not server_args.hicache_disable_prefetch,
             )
         # KV event publishing (ref --kv-events-config): BlockStored /
         # BlockRemoved / AllBlocksCleared over ZMQ PUB for external
@@ -385,6 +398,10 @@ class ScheduleCore:
     def add_request(self, req: Req) -> None:
         if not req.eos_token_ids:
             req.eos_token_ids = self.eos_token_ids
+        if self.hicache is not None and not req.is_embedding:
+            # host-tier match + staging runs off-thread while the request
+            # queues (ref hiradix_cache prefetch threads)
+            self.hicache.prefetch(req.cache_ids)
         req.queue_time = time.time()
         req._epoch = 0
         req._device_seq_len = 0
@@ -1393,17 +1410,26 @@ class ScheduleCore:
         Ref: HiRadixCache prefetch/write-through (srt/mem_cache/
         hiradix_cache.py)."""
         ps = self.page_size
-        hlen, hpages = self.hicache.match_prefix(req.cache_ids)
+        staged = None
+        pf = self.hicache.take_prefetch(req.cache_ids)
+        if pf is not None:
+            hlen, staged = pf
+        else:
+            hlen, hpages = self.hicache.match_prefix(req.cache_ids)
         if hlen <= mr.length:
             return mr
         extra_pages = (hlen - mr.length) // ps
-        pages = self.allocator.alloc(extra_pages)
+        start = mr.length // ps
+        pages = self.allocator.alloc(extra_pages, start_idx=start)
         if pages is None:
             self._evict_for(extra_pages)
-            pages = self.allocator.alloc(extra_pages)
+            pages = self.allocator.alloc(extra_pages, start_idx=start)
             if pages is None:
                 return mr
-        self.hicache.load_prefix(hpages[mr.length // ps :], pages)
+        if staged is not None:
+            self.hicache.load_prefix_staged(staged[start:], pages)
+        else:
+            self.hicache.load_prefix(hpages[start:], pages)
         self.radix.insert(req.cache_ids[:hlen], mr.pages + pages)
         return self.radix.match_prefix(req.cache_ids)
 
@@ -1472,6 +1498,13 @@ class ScheduleCore:
         npages = aligned // ps
         self.radix.insert(req.cache_ids[:aligned], req.pages[:npages])
         self._kv_insert_event(req.cache_ids[:aligned])
+        if self.hicache is not None:
+            # write-through policies store at insert time (the pages'
+            # content is complete: inserts follow the forward that wrote
+            # them); write_back ignores this hook.
+            self.hicache.on_insert(
+                req.cache_ids[:aligned], req.pages[:npages]
+            )
         mr = self.radix.match_prefix(req.cache_ids[:aligned])
         mlen = min(mr.length, aligned)
         mpages = mlen // ps
@@ -1497,7 +1530,7 @@ class ScheduleCore:
         need = cdiv(target_tokens, self.page_size) - len(req.pages)
         if need <= 0:
             return True
-        pages = self.allocator.alloc(need)
+        pages = self.allocator.alloc(need, start_idx=len(req.pages))
         if pages is None:
             return False
         if self.hybrid_swa:

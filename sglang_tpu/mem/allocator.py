@@ -28,7 +28,8 @@ class PageAllocator:
     def available_tokens(self) -> int:
         return len(self.free_pages) * self.page_size
 
-    def alloc(self, num_pages: int) -> Optional[List[int]]:
+    def alloc(self, num_pages: int,
+              start_idx: Optional[int] = None) -> Optional[List[int]]:
         if num_pages > len(self.free_pages):
             return None
         if num_pages == 0:
@@ -44,6 +45,73 @@ class PageAllocator:
 
     def clear(self) -> None:
         self.free_pages = list(range(self.num_pages - 1, 0, -1))
+
+
+class DcpPageAllocator(PageAllocator):
+    """Owner-aligned allocator for DCP-SHARDED pools (ref
+    srt/layers/dcp/{layout,planner}.py interleave layout recast): the
+    pool's page dim is GSPMD-sharded over the mesh axis — shard d owns
+    global pages [d*NPl, (d+1)*NPl) — and a sequence's i-th page must
+    live on shard i % n so each shard's decode attention reads only
+    LOCAL pages (xla_backend.forward_decode_dcp). alloc() therefore
+    needs the sequence-position start index; free() derives the owner
+    from the page id."""
+
+    def __init__(self, num_pages: int, page_size: int, n_shards: int):
+        assert num_pages % n_shards == 0, (num_pages, n_shards)
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.n = n_shards
+        self.pages_per_shard = num_pages // n_shards
+        self._init_lists()
+
+    def _init_lists(self) -> None:
+        NPl = self.pages_per_shard
+        # page 0 (trash) lives on shard 0 and is never allocated
+        self.owner_free: List[List[int]] = [
+            list(range((d + 1) * NPl - 1, (d * NPl - 1) if d else 0, -1))
+            for d in range(self.n)
+        ]
+
+    @property
+    def free_pages(self):  # compat: flat view for diagnostics/invariants
+        out: List[int] = []
+        for lst in self.owner_free:
+            out.extend(lst)
+        return out
+
+    @free_pages.setter
+    def free_pages(self, v):  # PageAllocator.__init__ compat (unused)
+        pass
+
+    def available_pages(self) -> int:
+        # conservative: admission must hold for any position alignment
+        return min(len(lst) for lst in self.owner_free) * self.n
+
+    def alloc(self, num_pages: int,
+              start_idx: Optional[int] = None) -> Optional[List[int]]:
+        if num_pages == 0:
+            return []
+        assert start_idx is not None, (
+            "DCP allocator needs the sequence page index"
+        )
+        need = [0] * self.n
+        for i in range(num_pages):
+            need[(start_idx + i) % self.n] += 1
+        if any(need[d] > len(self.owner_free[d]) for d in range(self.n)):
+            return None
+        out = []
+        for i in range(num_pages):
+            out.append(self.owner_free[(start_idx + i) % self.n].pop())
+        return out
+
+    def free(self, pages: List[int]) -> None:
+        for p in pages:
+            assert 0 < p < self.num_pages
+            self.owner_free[p // self.pages_per_shard].append(p)
+
+    def clear(self) -> None:
+        self._init_lists()
 
 
 class SwaShadowRegistry:

@@ -95,8 +95,8 @@ class CanaryAllocator:
             self.num_stamped += len(pages)
             self._stamped.update(pages)
 
-    def alloc(self, num_pages: int) -> Optional[List[int]]:
-        pages = self._inner.alloc(num_pages)
+    def alloc(self, num_pages: int, start_idx=None) -> Optional[List[int]]:
+        pages = self._inner.alloc(num_pages, start_idx=start_idx)
         if pages:
             checkable = [p for p in pages if p in self._stamped]
             if checkable:

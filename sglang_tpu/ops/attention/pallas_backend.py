@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from sglang_tpu.mem.kv_pool import write_kv_xla
 from sglang_tpu.model_exec.forward_batch import ForwardBatch
 from sglang_tpu.ops.attention.base import AttentionBackend, register_attention_backend
 from sglang_tpu.ops.attention.kv_write import write_kv_pages
@@ -111,6 +112,11 @@ class PallasBackend(AttentionBackend):
     def write_kv(self, kv_layer, k, v, fb: ForwardBatch):
         T = k.shape[0]
         ps = self.page_size
+        if getattr(self, "dcp_pool_sharded", False):
+            # Page-sharded pool (DCP memory sharding): GSPMD's distributed
+            # scatter handles cross-shard writes; the row-DMA kernel is
+            # shard-local only.
+            return write_kv_xla(kv_layer, k, v, fb.out_cache_loc, ps)
         if self.kv_quant:
             from sglang_tpu.ops.quant_kv import pack_f8
 

@@ -104,7 +104,10 @@ class XlaNativeBackend(AttentionBackend):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
-        k, v = self._gather_pages(kv_layer, fb.page_table)  # [B, C, nk, hd]
+        q = self._dp_rows(q)
+        k, v = self._gather_pages(
+            kv_layer, self._dp_rows(fb.page_table)
+        )  # [B, C, nk, hd]
         # bf16 operands with f32 MXU accumulation: casting k/v to f32 first
         # would materialize 2x the gathered bytes in HBM (measured +2ms/layer
         # at bs=256 on v5e); preferred_element_type gets f32 math for free.
@@ -177,7 +180,8 @@ class XlaNativeBackend(AttentionBackend):
             "bkgc,bckd->bkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-        return self._unperm_out(out).reshape(B, nq, hd).astype(q.dtype)
+        out = self._unperm_out(out).reshape(B, nq, hd)
+        return self._dp_rows(out, sharded=False).astype(q.dtype)
 
     # ---- MLA: MQA over latent rows (see base.py mla()) ----
 
@@ -191,7 +195,8 @@ class XlaNativeBackend(AttentionBackend):
                     q, latent, fb, v_dim=v_dim, scale=scale
                 )
         B, nh, D = q.shape
-        pt = fb.page_table
+        q = self._dp_rows(q)
+        pt = self._dp_rows(fb.page_table)
         P = pt.shape[1]
         C = P * self.page_size
         if self.kv_quant:
@@ -243,7 +248,7 @@ class XlaNativeBackend(AttentionBackend):
             "bhc,bcv->bhv", probs.astype(rows.dtype), rows[:, :, :v_dim],
             preferred_element_type=jnp.float32,
         )
-        return out.astype(q.dtype)
+        return self._dp_rows(out, sharded=False).astype(q.dtype)
 
     def forward_mla_extend(self, q, latent, fb: ForwardBatch, *, v_dim,
                            scale):
@@ -295,20 +300,36 @@ class XlaNativeBackend(AttentionBackend):
             P += pad
         Pl = P // dcp
         sc = scale or self.scale
+        # Pool MEMORY sharding (mem/kv_pool.py dcp_shard): pages are
+        # distributed over the axis in INTERLEAVE layout (sequence page i
+        # lives on shard i % dcp — DcpPageAllocator) so each shard reads
+        # only local pages; otherwise block layout over a replicated pool.
+        sharded = getattr(self, "dcp_pool_sharded", False)
+        NPl = getattr(self, "dcp_pages_per_shard", 0)
 
         def local(qr, kp, vp, pt_l, seq_lens):
-            # pt_l [1, B, Pl]; this shard owns pages [s*Pl, (s+1)*Pl)
             pt_l = pt_l[0]
             s = jax.lax.axis_index(AXIS_TP)
-            k, v = self._gather_pages((kp, vp), pt_l)  # [B, Pl*ps, nk, hd]
             C = Pl * ps
+            if sharded:
+                # translate global page ids to this shard's local block;
+                # garbage (other-shard/padding) entries are position-masked
+                pt_loc = jnp.clip(pt_l - s * NPl, 0, NPl - 1)
+                # col j holds the sequence's page index s + j*dcp
+                pos = (
+                    (s + jnp.arange(Pl, dtype=jnp.int32) * dcp)[:, None] * ps
+                    + jnp.arange(ps, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
+            else:
+                pt_loc = pt_l
+                pos = s * C + jnp.arange(C, dtype=jnp.int32)
+            k, v = self._gather_pages((kp, vp), pt_loc)  # [B, Pl*ps, nk, hd]
             qf = self._perm_q(qr.reshape(B, nk, group, hd))
             scores = jnp.einsum(
                 "bkgd,bckd->bkgc", qf, k,
                 preferred_element_type=jnp.float32,
             ) * sc
             scores = self._softcap(scores, logit_cap)
-            pos = s * C + jnp.arange(C, dtype=jnp.int32)
             mask = pos[None, :] < seq_lens[:, None]
             scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
             m = jnp.max(scores, axis=-1)  # [B, nk, g]
@@ -324,11 +345,17 @@ class XlaNativeBackend(AttentionBackend):
             out = ACC / jnp.maximum(L[..., None], 1e-20)
             return self._unperm_out(out).reshape(B, nq, hd)
 
-        pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)  # [dcp, B, Pl]
+        if sharded:
+            # interleave: shard s gets table columns s, s+dcp, ...
+            pt = page_table.reshape(B, Pl, dcp).transpose(2, 0, 1)
+            pool_spec = P_spec(AXIS_TP)
+        else:
+            pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)
+            pool_spec = P_spec()
         out = jax.shard_map(
             local,
             mesh=ctx_mesh.mesh,
-            in_specs=(P_spec(), P_spec(), P_spec(),
+            in_specs=(P_spec(), pool_spec, pool_spec,
                       P_spec(AXIS_TP), P_spec()),
             out_specs=P_spec(),
             check_vma=False,
@@ -352,20 +379,31 @@ class XlaNativeBackend(AttentionBackend):
             P += pad
         Pl = P // dcp
 
+        sharded = getattr(self, "dcp_pool_sharded", False)
+        NPl = getattr(self, "dcp_pages_per_shard", 0)
+
         def local(qr, lat, pt_l, seq_lens):
             pt_l = pt_l[0]
             s = jax.lax.axis_index(AXIS_TP)
             C = Pl * ps
-            if self.kv_quant:
-                rows = self._dequant(lat[pt_l], 1).reshape(B, C, D)
+            if sharded:
+                pt_loc = jnp.clip(pt_l - s * NPl, 0, NPl - 1)
+                pos = (
+                    (s + jnp.arange(Pl, dtype=jnp.int32) * dcp)[:, None] * ps
+                    + jnp.arange(ps, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
             else:
-                rows = lat[pt_l].reshape(B, C, D)
+                pt_loc = pt_l
+                pos = s * C + jnp.arange(C, dtype=jnp.int32)
+            if self.kv_quant:
+                rows = self._dequant(lat[pt_loc], 1).reshape(B, C, D)
+            else:
+                rows = lat[pt_loc].reshape(B, C, D)
             qf = qr.astype(rows.dtype)
             scores = jnp.einsum(
                 "bhd,bcd->bhc", qf, rows,
                 preferred_element_type=jnp.float32,
             ) * scale
-            pos = s * C + jnp.arange(C, dtype=jnp.int32)
             mask = pos[None, :] < seq_lens[:, None]
             scores = jnp.where(mask[:, None, :], scores, NEG_INF)
             m = jnp.max(scores, axis=-1)
@@ -380,11 +418,16 @@ class XlaNativeBackend(AttentionBackend):
             ACC = jax.lax.psum(acc, AXIS_TP)
             return ACC / jnp.maximum(L[..., None], 1e-20)
 
-        pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)
+        if sharded:
+            pt = page_table.reshape(B, Pl, dcp).transpose(2, 0, 1)
+            pool_spec = P_spec(AXIS_TP)
+        else:
+            pt = page_table.reshape(B, dcp, Pl).swapaxes(0, 1)
+            pool_spec = P_spec()
         out = jax.shard_map(
             local,
             mesh=ctx_mesh.mesh,
-            in_specs=(P_spec(), P_spec(), P_spec(AXIS_TP), P_spec()),
+            in_specs=(P_spec(), pool_spec, P_spec(AXIS_TP), P_spec()),
             out_specs=P_spec(),
             check_vma=False,
         )(q, latent, pt, fb.seq_lens)
@@ -434,7 +477,8 @@ class XlaNativeBackend(AttentionBackend):
         nk = self.num_kv_heads
         group = nq // nk
         slots = _flat_slot_indices(fb.page_table, self.page_size)  # [B, C]
-        tok_slots = slots[fb.seq_ids]  # [T, C]
+        tok_slots = self._dp_rows(slots[fb.seq_ids])  # [T, C]
+        q = self._dp_rows(q)
         k, v = self._gather_ctx(kv_layer, tok_slots)  # [T, C, nk, hd]
         qf = self._perm_q(q.reshape(T, nk, group, hd)).astype(jnp.float32)
         scores = jnp.einsum(
@@ -457,4 +501,5 @@ class XlaNativeBackend(AttentionBackend):
             return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("tkgc,tckd->tkgd", probs, v.astype(jnp.float32))
-        return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)
+        out = self._unperm_out(out).reshape(T, nq, hd)
+        return self._dp_rows(out, sharded=False).astype(q.dtype)

@@ -137,3 +137,27 @@ def test_cp_zigzag_prefill_matches_single_device(tiny_llama_dir):
     cp2p = run_greedy_cp(tiny_llama_dir, 2, prompt, 6, cp=True,
                          backend="pallas")
     assert cp2p == ref, f"cp2p={cp2p} ref={ref}"
+
+
+def test_dcp_pool_memory_sharded(tiny_llama_dir):
+    """DCP now shards pool MEMORY: page dim distributed over the mesh
+    axis (per-device bytes = 1/n) with the owner-aligned allocator;
+    greedy parity must hold (interleave layout + LSE merge exact)."""
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.parallel.mesh import create_mesh
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir, dtype="float32",
+        attention_backend="xla_native", page_size=4,
+        max_total_tokens=1024, tp_size=4, enable_dcp=True,
+    )
+    runner = ModelRunner(args, mesh_ctx=create_mesh(tp_size=4))
+    assert runner.dcp_pool_sharded
+    kp = runner.kv_pool.kv[0][0]
+    spec = kp.sharding.spec
+    assert spec[0] == "tp", spec
+    NP = runner.kv_pool.config.num_pages
+    # each device holds 1/4 of the pages
+    shard = next(iter(kp.addressable_shards))
+    assert shard.data.shape[0] == NP // 4
