@@ -129,6 +129,29 @@ class AttentionBackend:
         return unpack_f8_packed_order(rows, num_heads or self.num_kv_heads,
                                       self.kv_quant, self.compute_dtype)
 
+    def _dp_rows(self, x, sharded: bool = True):
+        """DP attention (ref srt/layers/dp_attention.py:46-230, recast as
+        GSPMD): constrain the leading batch/token dim onto the "dp" mesh
+        axis so XLA partitions the KV gathers + attention math by rows —
+        each shard touches only its rows' pages — then gather rows back
+        (sharded=False) at the attention/MLP boundary so the MLP runs on
+        gathered tokens with tp-sharded weights. One program, no per-rank
+        schedulers, no idle-step sync."""
+        if not getattr(self, "dp_attn", False):
+            return x
+        import jax.sharding as jsh
+        from jax.sharding import PartitionSpec as _P
+
+        from sglang_tpu.parallel.mesh import AXIS_DP, get_mesh_context
+
+        ctx = get_mesh_context()
+        if ctx.dp_size <= 1 or x.shape[0] % ctx.dp_size:
+            return x
+        spec = _P(AXIS_DP) if sharded else _P()
+        return jax.lax.with_sharding_constraint(
+            x, jsh.NamedSharding(ctx.mesh, spec)
+        )
+
     def _perm_q(self, q):
         """Permute q's feature dim into packed order (quantized pools)."""
         if not self.kv_quant or not _f8_packed_order():

@@ -64,6 +64,14 @@ class ServerArgs:
     hicache_storage_dir: Optional[str] = None
     hicache_storage_max_bytes: int = 8 << 30
     hicache_max_host_pages: Optional[int] = None  # overrides hicache_ratio
+    # ref --hicache-write-policy (srt/mem_cache/hiradix_cache.py:76):
+    # write_back (store on device-tree eviction), write_through (store at
+    # radix insert), write_through_selective (store on second insert).
+    hicache_write_policy: str = "write_back"
+    # ref --hicache-storage-backend: "file" (one file per page) or "mmap"
+    # (arena file; point hicache_storage_dir at /dev/shm for shm).
+    hicache_storage_backend: str = "file"
+    hicache_disable_prefetch: bool = False
     schedule_conservativeness: float = 1.0
     disable_radix_cache: bool = False
     disable_overlap_schedule: bool = False
@@ -115,6 +123,12 @@ class ServerArgs:
     # models parallelize decode attention (the single latent head cannot
     # be head-split). Disables cascade decode batches.
     enable_dcp: bool = False
+    # DP attention (ref srt/layers/dp_attention.py:46-230): attention
+    # computed with the batch dim sharded over the "dp" mesh axis (each
+    # shard gathers only its rows' KV) while the MLP runs on gathered
+    # tokens. TPU-native: GSPMD sharding constraints inside ONE program —
+    # no per-rank schedulers, no idle-step sync. Requires dp_size > 1.
+    enable_dp_attention: bool = False
     # Zigzag prefill context parallelism (ref srt/layers/cp/zigzag.py):
     # extend q blocks dealt boustrophedon over the tp-axis devices so the
     # causal triangle balances; each chip attends only its blocks.
