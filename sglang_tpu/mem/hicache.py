@@ -151,6 +151,68 @@ class FileStorageTier:
         return page
 
 
+class MmapStorageTier:
+    """Arena-file L3 backend (the mmap/shm class of the reference's
+    pluggable stores, srt/mem_cache/storage/{mmap,shm}): one preallocated
+    file mapped into memory with slot-granular pages and an in-RAM LRU
+    index. Point the path at /dev/shm for the shm flavor. Same put/get
+    surface as FileStorageTier."""
+
+    def __init__(self, directory: str, max_bytes: int = 8 << 30):
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, "kv_arena.bin")
+        self.max_bytes = max_bytes
+        self._mm = None
+        self._page_bytes = 0
+        self._dtype = None
+        self._shape = None
+        from collections import OrderedDict
+
+        self.index: "OrderedDict[Tuple[int, ...], int]" = OrderedDict()
+        self.free: List[int] = []
+        self.num_put = 0
+        self.num_hit = 0
+
+    def _ensure(self, page: np.ndarray) -> None:
+        if self._mm is not None:
+            return
+        import mmap as _mmap
+
+        self._page_bytes = page.nbytes
+        self._dtype = page.dtype
+        self._shape = page.shape
+        slots = max(self.max_bytes // self._page_bytes, 4)
+        with open(self.path, "wb+") as f:
+            f.truncate(slots * self._page_bytes)
+            self._mm = _mmap.mmap(f.fileno(), slots * self._page_bytes)
+        self.free = list(range(int(slots) - 1, -1, -1))
+
+    def put(self, key: Tuple[int, ...], page: np.ndarray) -> None:
+        self._ensure(page)
+        slot = self.index.pop(key, None)
+        if slot is None:
+            if not self.free:
+                _, slot = self.index.popitem(last=False)  # LRU
+            else:
+                slot = self.free.pop()
+        off = slot * self._page_bytes
+        self._mm[off : off + self._page_bytes] = page.tobytes()
+        self.index[key] = slot
+        self.num_put += 1
+
+    def get(self, key: Tuple[int, ...]) -> Optional[np.ndarray]:
+        slot = self.index.get(key)
+        if slot is None:
+            return None
+        self.index.move_to_end(key)
+        self.num_hit += 1
+        off = slot * self._page_bytes
+        buf = self._mm[off : off + self._page_bytes]
+        return np.frombuffer(buf, dtype=self._dtype).reshape(self._shape)
+
+
 class HostKVTier:
     """Host arena with an exact prefix-keyed page index.
 
@@ -207,7 +269,22 @@ class HiCacheController:
     def __init__(self, kv_pool, host_ratio: float = 2.0,
                  max_host_pages: Optional[int] = None,
                  storage_dir: Optional[str] = None,
-                 storage_max_bytes: int = 8 << 30):
+                 storage_max_bytes: int = 8 << 30,
+                 write_policy: str = "write_back",
+                 storage_backend: str = "file",
+                 enable_prefetch: bool = True):
+        import threading
+
+        assert write_policy in ("write_back", "write_through",
+                                "write_through_selective"), write_policy
+        self.write_policy = write_policy
+        self.enable_prefetch = enable_prefetch
+        self._lock = threading.Lock()
+        self._prefetch_pool = None
+        self._prefetch_results: dict = {}  # cache_key -> Future
+        self._selective_seen: dict = {}  # prefix key -> touch count
+        self.num_prefetch = 0
+        self.num_prefetch_hits = 0
         self.kv_pool = kv_pool
         cfg = kv_pool.config
         if cfg.mla_dim:
@@ -222,10 +299,11 @@ class HiCacheController:
         else:
             page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)
-        storage = (
-            FileStorageTier(storage_dir, storage_max_bytes)
-            if storage_dir else None
-        )
+        storage = None
+        if storage_dir:
+            tier_cls = (MmapStorageTier if storage_backend == "mmap"
+                        else FileStorageTier)
+            storage = tier_cls(storage_dir, storage_max_bytes)
         self.host = HostKVTier(
             cfg.num_layers, page_shape, cfg.page_size, n_host,
             cfg.storage_dtype, storage=storage,
@@ -242,23 +320,115 @@ class HiCacheController:
     # ---- device -> host (called right before device pages are freed) ----
     def store_pages(self, full_prefix: List[int], device_pages: List[int]) -> None:
         """full_prefix = tokens [0, L*ps) ending at the evicted node;
-        device_pages = the node's pages (the prefix's LAST k pages)."""
+        device_pages = the node's pages (the prefix's LAST k pages).
+        Idempotent per prefix key (write-through may have stored already)."""
         ps = self.host.page_size
         k = len(device_pages)
         if k == 0:
             return
         L = len(full_prefix) // ps
         start = L - k
-        self.host.make_room(k)
-        host_pages = [self.host.free.pop() for _ in range(k)]
+        with self._lock:
+            todo = [
+                j for j in range(k)
+                if tuple(full_prefix[: (start + j + 1) * ps])
+                not in self.host.index
+            ]
+            if not todo:
+                return
+            self.host.make_room(len(todo))
+            host_pages = [self.host.free.pop() for _ in todo]
         staged = np.asarray(
-            self._gather(self.kv_pool.kv, jnp.asarray(device_pages, jnp.int32))
-        )  # [K, L, 2, ps, 2, FH]
-        self.host.arena[host_pages] = staged
-        for j, hp in enumerate(host_pages):
-            key = tuple(full_prefix[: (start + j + 1) * ps])
-            self.host.put(key, hp)
-        self.num_stored += k
+            self._gather(
+                self.kv_pool.kv,
+                jnp.asarray([device_pages[j] for j in todo], jnp.int32),
+            )
+        )  # [K', L, 2, ps, 2, FH]
+        with self._lock:
+            self.host.arena[host_pages] = staged
+            for hp, j in zip(host_pages, todo):
+                key = tuple(full_prefix[: (start + j + 1) * ps])
+                self.host.put(key, hp)
+            self.num_stored += len(todo)
+
+    def on_insert(self, full_prefix: List[int], device_pages: List[int]) -> None:
+        """Write-through hook at radix-insert time (ref
+        srt/mem_cache/hiradix_cache.py:76 write policies): pages reach the
+        host tier as soon as they are computed (write_through) or on their
+        second insert (write_through_selective), instead of waiting for
+        device-tree eviction (write_back)."""
+        if self.write_policy == "write_back":
+            return
+        if self.write_policy == "write_through_selective":
+            key = tuple(full_prefix)
+            with self._lock:
+                n = self._selective_seen.get(key, 0) + 1
+                self._selective_seen[key] = n
+            if n < 2:
+                return
+        self.store_pages(full_prefix, device_pages)
+
+    # ---- prefetch (host match + stage off the scheduler thread) ----
+    def prefetch(self, tokens: List[int]) -> None:
+        """Start a background host-tier match + arena staging for a queued
+        request (ref hiradix_cache prefetch threads / cache_controller).
+        The admission path consumes the staged copy via
+        take_prefetch()."""
+        if not self.enable_prefetch:
+            return
+        key = tuple(tokens)
+        if key in self._prefetch_results:
+            return
+        if self._prefetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="hicache-prefetch"
+            )
+        self.num_prefetch += 1
+
+        def work():
+            hlen, hpages = self.match_prefix(list(key))
+            if hlen == 0:
+                return (0, None)
+            with self._lock:
+                staged = self.host.arena[hpages].copy()
+            return (hlen, staged)
+
+        self._prefetch_results[key] = self._prefetch_pool.submit(work)
+
+    def take_prefetch(self, tokens: List[int]):
+        """(hlen, staged[K, L, 2, ps, 2, FH]) if a finished prefetch covers
+        these tokens, else None (caller falls back to the sync path)."""
+        fut = self._prefetch_results.pop(tuple(tokens), None)
+        if fut is None:
+            return None
+        try:
+            hlen, staged = fut.result(timeout=5)
+        except Exception:  # noqa: BLE001
+            return None
+        if hlen == 0:
+            return None
+        self.num_prefetch_hits += 1
+        return hlen, staged
+
+    def load_prefix_staged(self, staged: np.ndarray,
+                           device_pages: List[int]) -> None:
+        """Copy PRE-STAGED host pages into device pages (prefetch path)."""
+        if not len(device_pages):
+            return
+        kv = list(self.kv_pool.kv)
+        K = len(device_pages)
+        pairs = np.empty(2 * K, np.int32)
+        pairs[0::2] = np.arange(K)
+        pairs[1::2] = device_pages
+        jp = jnp.asarray(pairs)
+        for l in range(self.host.num_layers):
+            kl = copy_pages(kv[l][0], jnp.asarray(staged[:K, l, 0]), jp, n=K)
+            vl = copy_pages(kv[l][1], jnp.asarray(staged[:K, l, 1]), jp, n=K)
+            kv[l] = (kl, vl)
+        self.kv_pool.swap(tuple(kv))
+        self.num_restored += K
 
     # ---- host -> device ----
     def match_prefix(self, tokens: List[int]):
@@ -267,19 +437,20 @@ class HiCacheController:
         ps = self.host.page_size
         pages: List[int] = []
         n = len(tokens) // ps
-        for i in range(n):
-            key = tuple(tokens[: (i + 1) * ps])
-            hp = self.host.get(key)
-            if hp is None and self.host.storage is not None:
-                page = self.host.storage.get(key)
-                if page is not None:
-                    self.host.make_room(1)
-                    hp = self.host.free.pop()
-                    self.host.arena[hp] = page
-                    self.host.put(key, hp)
-            if hp is None:
-                break
-            pages.append(hp)
+        with self._lock:
+            for i in range(n):
+                key = tuple(tokens[: (i + 1) * ps])
+                hp = self.host.get(key)
+                if hp is None and self.host.storage is not None:
+                    page = self.host.storage.get(key)
+                    if page is not None:
+                        self.host.make_room(1)
+                        hp = self.host.free.pop()
+                        self.host.arena[hp] = page
+                        self.host.put(key, hp)
+                if hp is None:
+                    break
+                pages.append(hp)
         return len(pages) * ps, pages
 
     def load_prefix(self, host_pages: List[int], device_pages: List[int]) -> None:
