@@ -1,27 +1,49 @@
 """Benchmark: serving-style decode throughput through the full scheduler.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Config: Llama-3.2-1B-shaped model (dummy weights — no checkpoints in the
-image), 64 concurrent requests, 512-token prompts, 128 output tokens,
-continuous batching through ScheduleCore with the production attention
-backend for the platform. vs_baseline compares output tok/s against the
-reference CI gate (3800 tok/s, Llama-8B-class on a 32GB GPU —
-test/registered/perf/test_bench_serving_1gpu_part1.py:38-43); an
-8B-on-v5e-8 calibration replaces this once multi-chip hardware is wired.
+Two configs run back to back (dummy weights — no checkpoints in the image):
+
+  8b — Llama-3-8B shape (the NORTH STAR: BASELINE.md row 1's 3800 tok/s
+       CI gate is 8B-class on a 32 GB GPU). int8 weights (~8 GB — bf16's
+       16 GB does not fit this 16 GB chip; weight streaming halves, which
+       is what decode is bound by anyway) + fp8 KV, 128 concurrent
+       requests, 512-token prompts, 128 output tokens.
+  1b — Llama-3.2-1B shape, bf16 weights, 256 requests (the round-1/2
+       trend metric, kept for continuity with PERF_NOTES.md).
+
+The PRIMARY metric/vs_baseline is the 8B number (honest comparison
+against the 8B gate); the 1B number rides in "extra". BENCH_ONLY=1b|8b
+runs a single config for A/B work.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_TOK_S = 3800.0
 
+CONFIGS = {
+    "1b": dict(
+        vocab_size=128256, hidden_size=2048, num_hidden_layers=16,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=64,
+        intermediate_size=8192, n_reqs=256, quantization=None,
+        max_total_tokens=262144,
+    ),
+    "8b": dict(
+        vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        intermediate_size=14336, n_reqs=128, quantization="int8",
+        max_total_tokens=98304,
+    ),
+}
 
-def main():
+
+def run_config(name: str) -> float:
     import jax.numpy as jnp
 
     from sglang_tpu.configs.model_config import ModelConfig
@@ -31,30 +53,29 @@ def main():
     from sglang_tpu.sampling.sampling_params import SamplingParams
     from sglang_tpu.server_args import ServerArgs
 
-    # Llama-3.2-1B shape
+    cfg = CONFIGS[name]
     config = ModelConfig(
         architectures=["LlamaForCausalLM"],
-        vocab_size=128256,
-        hidden_size=2048,
-        num_hidden_layers=16,
-        num_attention_heads=32,
-        num_key_value_heads=8,
-        head_dim=64,
-        intermediate_size=8192,
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_key_value_heads=cfg["num_key_value_heads"],
+        head_dim=cfg["head_dim"],
+        intermediate_size=cfg["intermediate_size"],
         context_length=4096,
         rope_theta=500000.0,
         dtype=jnp.bfloat16,
     )
-    import os
-
     args = ServerArgs(
-        model_path="__bench_dummy__",
+        model_path=f"__bench_dummy_{name}__",
         load_format="dummy",
-        page_size=64,
-        max_running_requests=256,
-        max_total_tokens=262144,
+        page_size=int(os.environ.get("BENCH_PAGE_SIZE", "64")),
+        max_running_requests=cfg["n_reqs"],
+        max_total_tokens=cfg["max_total_tokens"],
         chunked_prefill_size=8192,
         random_seed=0,
+        quantization=cfg["quantization"],
         # fp8 KV is the production-recommended config on this hardware
         # (+16% decode; exact-byte storage, see PERF_NOTES.md). Override
         # with BENCH_KV_DTYPE=auto for the bf16 comparison run.
@@ -64,55 +85,63 @@ def main():
     core = ScheduleCore(args, runner)
 
     rng = np.random.default_rng(0)
-    n_reqs = 256
+    n_reqs = cfg["n_reqs"]
     prompt_len = 512
     out_len = 128
     shared_prefix = rng.integers(2, 60000, size=128).tolist()
-    reqs = []
-    for i in range(n_reqs):
-        prompt = shared_prefix + rng.integers(2, 60000, size=prompt_len - 128).tolist()
-        sp = SamplingParams(
-            temperature=0.0, max_new_tokens=out_len, ignore_eos=True
-        )
-        sp.normalize()
-        reqs.append(Req(f"bench-{i}", prompt, sp))
+
+    def make_reqs(tag):
+        out = []
+        for i in range(n_reqs):
+            prompt = shared_prefix + rng.integers(
+                2, 60000, size=prompt_len - 128
+            ).tolist()
+            sp = SamplingParams(
+                temperature=0.0, max_new_tokens=out_len, ignore_eos=True
+            )
+            sp.normalize()
+            out.append(Req(f"{tag}-{i}", prompt, sp))
+        return out
 
     # Warmup: run the EXACT workload once (untimed) so every bucket shape
     # (prefill token buckets, decode batch buckets, page-table buckets as
     # sequences grow) is compiled — the TPU analog of CUDA-graph capture.
-    warm_reqs = []
-    for i in range(n_reqs):
-        prompt = shared_prefix + rng.integers(
-            2, 60000, size=prompt_len - 128
-        ).tolist()
-        sp = SamplingParams(temperature=0.0, max_new_tokens=out_len,
-                            ignore_eos=True)
-        sp.normalize()
-        warm_reqs.append(Req(f"warm-{i}", prompt, sp))
-    for r in warm_reqs:
+    for r in make_reqs("warm"):
         core.add_request(r)
     while core.has_work():
         core.step()
     core.flush_cache()
 
+    reqs = make_reqs("bench")
     t0 = time.perf_counter()
     for r in reqs:
         core.add_request(r)
-    done_tokens = 0
     while core.has_work():
-        outs = core.step()
-        done_tokens += len(outs)
+        core.step()
     elapsed = time.perf_counter() - t0
     total_out = sum(len(r.output_ids) for r in reqs)
-    tok_s = total_out / elapsed
+    return total_out / elapsed
 
+
+def main():
+    only = os.environ.get("BENCH_ONLY")
+    results = {}
+    for name in ([only] if only else ["8b", "1b"]):
+        try:
+            results[name] = round(run_config(name), 2)
+        except Exception as e:  # OOM etc: report what we have
+            results[name] = None
+            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    primary = "8b" if results.get("8b") else "1b"
+    val = results.get(primary) or 0.0
     print(
         json.dumps(
             {
-                "metric": "output_tokens_per_sec_1b_dummy",
-                "value": round(tok_s, 2),
+                "metric": f"output_tokens_per_sec_{primary}_dummy",
+                "value": val,
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+                "vs_baseline": round(val / BASELINE_TOK_S, 4),
+                "extra": results,
             }
         )
     )
