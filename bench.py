@@ -123,12 +123,37 @@ def run_config(name: str) -> float:
     return total_out / elapsed
 
 
+def _run_isolated(name: str):
+    """Run one config in a subprocess: TPU HBM from a finished config is
+    only reliably released with the process (an 8B run would otherwise
+    OOM the 1B run that follows it)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_ONLY=name, _BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)["extra"][name]
+    raise RuntimeError(
+        f"bench child failed: {proc.stderr.splitlines()[-3:] if proc.stderr else proc.returncode}"
+    )
+
+
 def main():
     only = os.environ.get("BENCH_ONLY")
+    child = os.environ.get("_BENCH_CHILD")
     results = {}
     for name in ([only] if only else ["8b", "1b"]):
         try:
-            results[name] = round(run_config(name), 2)
+            if only and child:
+                results[name] = round(run_config(name), 2)
+            else:
+                results[name] = _run_isolated(name)
         except Exception as e:  # OOM etc: report what we have
             results[name] = None
             results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -230,6 +230,18 @@ class ScheduleCore:
             from sglang_tpu.utils import set_deterministic_buckets
 
             set_deterministic_buckets(True)
+        # MIXED prefill+decode batches (ref ForwardMode.MIXED,
+        # srt/managers/scheduler.py:3103 mixed chunked prefill): decode
+        # rows ride the extend program as a packed tail. Gated off for
+        # recurrent-state models (their scan path branches on mode), CP
+        # (the zigzag deal assumes a pure extend layout), and PP (the
+        # microbatch tick loop schedules modes itself).
+        self.mixed_enabled = (
+            not server_args.disable_mixed_chunk
+            and not self.recurrent
+            and not server_args.enable_cp
+            and server_args.pp_size == 1
+        )
         self.cascade_enabled = (
             not server_args.disable_cascade_attn
             and getattr(runner.attn_backend, "supports_cascade", False)
@@ -273,9 +285,15 @@ class ScheduleCore:
             )
             algo = ""
         if algo == "NGRAM":
-            from sglang_tpu.speculative.ngram import NgramDrafter
+            # Global cross-request corpus (C++ suffix automaton, the
+            # SURVEY §2.10 ngram_corpus obligation) wrapping the
+            # self-history drafter; degrades to pure Python if the
+            # toolchain is missing.
+            from sglang_tpu.speculative.ngram_corpus import (
+                NgramCorpusDrafter,
+            )
 
-            self.drafter = NgramDrafter(
+            self.drafter = NgramCorpusDrafter(
                 num_draft_tokens=server_args.speculative_num_draft_tokens
             )
             self.pipeline_depth = 1  # verify is host-synced
@@ -372,6 +390,7 @@ class ScheduleCore:
         # metrics
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
+        self.num_mixed_steps = 0
         self.num_jump_tokens = 0
         self.num_cached_tokens = 0
         self.gen_throughput = 0.0
@@ -514,6 +533,25 @@ class ScheduleCore:
             return True
         batch = self._get_prefill_batch()
         mode = ForwardMode.EXTEND
+        num_prefill_seqs = -1
+        if (
+            batch is not None
+            and self.mixed_enabled
+            and self.drafter is None
+            and self.draft_worker is None
+            and self.pd_mode != "prefill"
+        ):
+            in_batch = {id(r.req) for r in batch[0]}
+            dec = self._get_mixed_decode_rows(in_batch)
+            if dec is not None:
+                num_prefill_seqs = len(batch[0])
+                batch = (batch[0] + dec[0], batch[1] + dec[1])
+                mode = ForwardMode.MIXED
+                self.num_mixed_steps += 1
+                # A mixed step advances decode seq_lens outside the
+                # resident state's device fb — it would replay stale
+                # metadata; drop it (re-armed on the next pure decode).
+                self._resident = None
         if batch is None and (self.drafter is not None
                               or self.draft_worker is not None):
             if self._run_spec_verify_step():
@@ -537,6 +575,7 @@ class ScheduleCore:
             trash_slot=self.runner.trash_slot,
             shared_pages=shared[0] if shared else None,
             shared_len=shared[1] if shared else 0,
+            num_prefill_seqs=num_prefill_seqs,
         )
         sp_list = [r.req.sampling_params for r in rows]
         seeds = [r.req._seed for r in rows]
@@ -553,7 +592,7 @@ class ScheduleCore:
         if any_top:
             any_top = 20 if any_top <= 20 else any_top
         mm_pack = None
-        if mode == ForwardMode.EXTEND and any(
+        if mode.is_extend() and any(
             r.req.mm_positions is not None for r in rows
         ):
             mm_pack = self._build_mm_pack(rows, seq_inputs, fb)
@@ -1326,6 +1365,43 @@ class ScheduleCore:
         return True
 
     # ---- decode ----
+    def _get_mixed_decode_rows(self, exclude_ids):
+        """Decode rows to append to a prefill batch (MIXED mode).
+
+        Like _get_decode_batch but conservative: no cascade (the builder's
+        shared-prefix position shift is batch-global) and no retraction
+        (victims could be rows of the extend region being launched) — a
+        row that cannot get its next page simply sits this step out."""
+        if not self.running:
+            return None
+        rows: List[_Row] = []
+        seq_inputs: List[SeqInput] = []
+        for req in self.running:
+            if id(req) in exclude_ids or req.status != ReqStatus.RUNNING:
+                continue
+            if req._device_step >= req.sampling_params.max_new_tokens:
+                continue
+            pos = req._device_seq_len
+            if not self._extend_pages(req, pos + 1):
+                self._evict_for(1)
+                if not self._extend_pages(req, pos + 1):
+                    continue
+            pages_np = getattr(req, "_pages_np", None)
+            if pages_np is None or len(pages_np) != len(req.pages):
+                pages_np = np.asarray(req.pages, np.int32)
+                req._pages_np = pages_np
+            seq_inputs.append(
+                SeqInput([0], pos, req.pages, req_slot=req.req_slot,
+                         pages_np=pages_np,
+                         swa_page_ids=(req.swa_pages if self.hybrid_swa
+                                       else None),
+                         mrope_delta=req.mrope_delta)
+            )
+            rows.append(_Row(req, "decode", req._epoch, req._device_step))
+            req._device_seq_len = pos + 1
+            req._device_step += 1
+        return (rows, seq_inputs) if rows else None
+
     def _get_decode_batch(self):
         self._decode_shared = None
         if not self.running:
@@ -1711,6 +1787,14 @@ class ScheduleCore:
         )
         if req in self.running:
             self.running.remove(req)
+        if (
+            self.drafter is not None
+            and reason.kind != "abort"
+            and hasattr(self.drafter, "observe")
+        ):
+            # Feed the finished sequence into the global ngram corpus so
+            # later requests draft from it (ref ngram asyncInsert).
+            self.drafter.observe(req.all_ids)
         self._release_req_memory(req, cache=True)
 
     # --------------------------------------------------------- result path

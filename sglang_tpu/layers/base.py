@@ -93,17 +93,24 @@ def init_dummy_params(
                 )
             params[name] = arr
             continue
+        if spec.quant_method:
+            # Quantization happens host-side (materialize_param): generate
+            # the floats with numpy too — np.asarray of a device-generated
+            # tensor would DOWNLOAD it (hundreds of MB per param through
+            # the tunneled-TPU path; an 8B dummy init stalled for hours).
+            import numpy as np
+
+            rng = np.random.default_rng((hash(name) ^ seed) & 0x7FFFFFFF)
+            arr_np = (
+                rng.standard_normal(spec.shape, dtype=np.float32)
+                * spec.init_scale
+            )
+            params.update(materialize_param(name, spec, arr_np, mesh_ctx))
+            continue
         key = jax.random.fold_in(
             jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
         )
         arr = jax.random.normal(key, spec.shape, jnp.float32) * spec.init_scale
-        if spec.quant_method:
-            import numpy as np
-
-            params.update(
-                materialize_param(name, spec, np.asarray(arr), mesh_ctx)
-            )
-            continue
         arr = arr.astype(spec.dtype)
         if mesh_ctx is not None:
             arr = jax.device_put(

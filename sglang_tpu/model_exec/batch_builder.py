@@ -78,6 +78,7 @@ def build_forward_batch(
     align: int = EXTEND_ALIGN,
     shared_pages: Optional[np.ndarray] = None,
     shared_len: int = 0,
+    num_prefill_seqs: int = -1,  # MIXED: seqs[:k] are extend, rest decode
 ) -> ForwardBatch:
     n = len(seqs)
     assert n > 0
@@ -88,7 +89,31 @@ def build_forward_batch(
 
         return bl[-1] if _u.DETERMINISTIC_BUCKETS else bucketize(x, bl)
 
-    if mode.is_decode():
+    mixed_tp = 0
+    if mode.is_mixed():
+        # Layout (ref forward_batch_info.py:98 MIXED, TPU-recast): the
+        # extend region keeps its aligned-segment layout and is padded to
+        # a token bucket Tp; the n_d decode rows pack densely right after
+        # it in a decode-bucket-sized tail. Rows stay in natural order
+        # (prefill seqs, decode seqs, padding) so sampling tensors /
+        # logits_indices / req_slots need no special casing; attention
+        # splits at the STATIC boundary mixed_tp (ops/attention/base.py).
+        n_p = num_prefill_seqs
+        assert 0 < n_p < n
+        assert all(len(s.new_token_ids) == 1 for s in seqs[n_p:])
+        assert all(s.tree_mask is None for s in seqs)
+        B = bucket_bt(n, bs_buckets or DEFAULT_BS_BUCKETS)
+        seg_offsets = []
+        off = 0
+        for s in seqs[:n_p]:
+            seg_offsets.append(off)
+            off += round_up(len(s.new_token_ids), align)
+        mixed_tp = bucket_bt(off, token_buckets or DEFAULT_TOKEN_BUCKETS)
+        n_d = n - n_p
+        tail = bucket_bt(n_d, DEFAULT_DECODE_BS_BUCKETS)
+        seg_offsets.extend(mixed_tp + j for j in range(n_d))
+        T = mixed_tp + tail
+    elif mode.is_decode():
         assert all(len(s.new_token_ids) == 1 for s in seqs)
         B = bucket_bt(n, bs_buckets or DEFAULT_DECODE_BS_BUCKETS)
         T = B
@@ -113,7 +138,9 @@ def build_forward_batch(
 
     max_pages_needed = max(len(s.page_ids) for s in seqs)
     P = bucketize(max(max_pages_needed, 1), PAGE_BUCKETS)
-    NB = max(T // align, 1)
+    # Block maps cover only the extend region (decode tail rows are not
+    # block-mapped — the attention split handles them per-row).
+    NB = max((mixed_tp if mode.is_mixed() else T) // align, 1)
 
     input_ids = np.zeros(T, np.int32)
     positions = np.zeros(T, np.int32)
@@ -191,18 +218,29 @@ def build_forward_batch(
                 )
         if mrope_delta is not None:
             mrope_delta[i] = s.mrope_delta
-        if not mode.is_decode():
+        if not mode.is_decode() and not (
+            mode.is_mixed() and i >= num_prefill_seqs
+        ):
             nb = round_up(q, align) // align
             b0 = off // align
             block_seq[b0 : b0 + nb] = i
             block_q_off[b0 : b0 + nb] = np.arange(nb) * align
-    end = seg_offsets[-1] + (
-        1 if mode.is_decode() else round_up(len(seqs[-1].new_token_ids), align)
-    )
+    if mode.is_mixed():
+        end = seg_offsets[-1] + 1  # mixed_tp + n_d
+        last_p = seqs[num_prefill_seqs - 1]
+        used_blocks = (
+            seg_offsets[num_prefill_seqs - 1]
+            + round_up(len(last_p.new_token_ids), align)
+        ) // align
+    else:
+        end = seg_offsets[-1] + (
+            1 if mode.is_decode()
+            else round_up(len(seqs[-1].new_token_ids), align)
+        )
+        used_blocks = end // align
     cu_q_lens[n:] = end
     # Inactive trailing blocks: point past q_len so the kernel skips them.
     if not mode.is_decode():
-        used_blocks = end // align
         block_seq[used_blocks:] = max(n - 1, 0)
         block_q_off[used_blocks:] = 1 << 28  # >> any q_len -> inactive
 
@@ -254,4 +292,5 @@ def build_forward_batch(
         ),
         mode=mode,
         extend_align=align,
+        mixed_tp=mixed_tp,
     )

@@ -18,21 +18,31 @@ import jax.numpy as jnp
 
 
 class ForwardMode(enum.IntEnum):
-    EXTEND = 1  # ragged prefill / chunked prefill (mixed with decode later)
+    EXTEND = 1  # ragged prefill / chunked prefill
     DECODE = 2  # one new token per running seq
     IDLE = 3  # no work (DP-attention sync steps)
     TARGET_VERIFY = 4  # speculative verify over draft tokens
     DRAFT_EXTEND = 5
+    # Prefill chunk + running decode rows in ONE program (ref
+    # forward_batch_info.py:98 ForwardMode.MIXED): tokens [0, mixed_tp)
+    # are aligned extend segments; tokens [mixed_tp, T) are one-per-seq
+    # decode rows riding the same MLP/sampler launch so chunked prefill
+    # steps stop stalling running decodes.
+    MIXED = 6
 
     def is_extend(self) -> bool:
         return self in (
             ForwardMode.EXTEND,
             ForwardMode.TARGET_VERIFY,
             ForwardMode.DRAFT_EXTEND,
+            ForwardMode.MIXED,
         )
 
     def is_decode(self) -> bool:
         return self == ForwardMode.DECODE
+
+    def is_mixed(self) -> bool:
+        return self == ForwardMode.MIXED
 
 
 @jax.tree_util.register_dataclass
@@ -110,6 +120,10 @@ class ForwardBatch:
     extend_align: int = dataclasses.field(
         metadata=dict(static=True), default=64
     )
+    # MIXED only: padded token count of the extend region. Tokens
+    # [mixed_tp, T) are decode rows (one per seq, densely packed); their
+    # owning rows are read from seq_ids, so no static SEQ split is needed.
+    mixed_tp: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def padded_num_tokens(self) -> int:

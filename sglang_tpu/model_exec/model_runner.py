@@ -467,6 +467,13 @@ class ModelRunner:
         if fb.mode.is_decode():
             # Input token comes from the device future-map, not the host.
             fb = dataclasses.replace(fb, input_ids=next_buf[fb.req_slots])
+        elif fb.mode.is_mixed():
+            # Decode-tail tokens [mixed_tp:] read the future-map through
+            # their owning row's slot; the extend region keeps host inputs.
+            dec_tok = next_buf[fb.req_slots[fb.seq_ids[fb.mixed_tp:]]]
+            fb = dataclasses.replace(
+                fb, input_ids=fb.input_ids.at[fb.mixed_tp:].set(dec_tok)
+            )
         lora_state = None
         if lora_pack is not None:
             from sglang_tpu.lora.manager import build_lora_state

@@ -14,9 +14,10 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple, Type
 
 import jax
+import jax.numpy as jnp
 
 from sglang_tpu.mem.kv_pool import write_kv_xla
-from sglang_tpu.model_exec.forward_batch import ForwardBatch
+from sglang_tpu.model_exec.forward_batch import ForwardBatch, ForwardMode
 
 
 def _f8_packed_order() -> bool:
@@ -92,7 +93,22 @@ class AttentionBackend:
                 shared_len=None,
             )
         kv_layer = self.write_kv(kv[layer_id], k, v, fb)
-        if fb.mode.is_decode():
+        if fb.mode.is_mixed():
+            # MIXED (ref forward_batch_info.py:98): extend region
+            # [0, mixed_tp) through the ragged prefill path, decode tail
+            # [mixed_tp, T) through the decode path, one KV write + one
+            # MLP over all T tokens. The decode rows' per-seq metadata is
+            # gathered via seq_ids (row order is prefill-then-decode, no
+            # static seq split).
+            fb_p, fb_d, qp, qd = self._mixed_views(q, fb)
+            out_p = self.forward_extend(qp, kv_layer, fb_p, window=window,
+                                        logit_cap=logit_cap, scale=scale,
+                                        sinks=sinks)
+            out_d = self.forward_decode(qd, kv_layer, fb_d, window=window,
+                                        logit_cap=logit_cap, scale=scale,
+                                        sinks=sinks)
+            out = jnp.concatenate([out_p, out_d], axis=0)
+        elif fb.mode.is_decode():
             out = self.forward_decode(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
                                       sinks=sinks)
@@ -110,6 +126,57 @@ class AttentionBackend:
                                       sinks=sinks)
         kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
+
+    def _mixed_views(self, q, fb: ForwardBatch):
+        """Split a MIXED fb at the static token boundary mixed_tp into an
+        extend view (per-token fields sliced; block maps already cover only
+        the extend region) and a decode view (per-seq metadata gathered by
+        the tail tokens' seq_ids — decode-tail padding tokens alias the
+        last real row, whose duplicate compute is discarded)."""
+        import dataclasses as _dc
+
+        Tp = fb.mixed_tp
+        fb_p = _dc.replace(
+            fb,
+            mode=ForwardMode.EXTEND,
+            mixed_tp=0,
+            input_ids=fb.input_ids[:Tp],
+            positions=fb.positions[:Tp],
+            seq_ids=fb.seq_ids[:Tp],
+            out_cache_loc=fb.out_cache_loc[:Tp],
+            swa_out_cache_loc=(
+                fb.swa_out_cache_loc[:Tp]
+                if fb.swa_out_cache_loc is not None else None
+            ),
+            mrope_positions=(
+                fb.mrope_positions[:, :Tp]
+                if fb.mrope_positions is not None else None
+            ),
+        )
+        dec_sids = fb.seq_ids[Tp:]
+        fb_d = _dc.replace(
+            fb,
+            mode=ForwardMode.DECODE,
+            mixed_tp=0,
+            input_ids=fb.input_ids[Tp:],
+            positions=fb.positions[Tp:],
+            seq_ids=dec_sids,
+            out_cache_loc=fb.out_cache_loc[Tp:],
+            seq_lens=fb.seq_lens[dec_sids],
+            q_lens=fb.q_lens[dec_sids],
+            prefix_lens=fb.prefix_lens[dec_sids],
+            page_table=fb.page_table[dec_sids],
+            req_slots=fb.req_slots[dec_sids],
+            swa_page_table=(
+                fb.swa_page_table[dec_sids]
+                if fb.swa_page_table is not None else None
+            ),
+            swa_out_cache_loc=(
+                fb.swa_out_cache_loc[Tp:]
+                if fb.swa_out_cache_loc is not None else None
+            ),
+        )
+        return fb_p, fb_d, q[:Tp], q[Tp:]
 
     def _dequant(self, rows, num_heads=None):
         """Packed int32 rows [..., lanes] -> [..., nh, hd] compute dtype."""
@@ -283,7 +350,18 @@ class AttentionBackend:
         scale: float,
     ):
         latent = self.write_mla(kv[layer_id][0], rows, fb)
-        if fb.mode.is_decode():
+        if fb.mode.is_mixed():
+            fb_p, fb_d, qp, qd = self._mixed_views(q, fb)
+            out = jnp.concatenate(
+                [
+                    self.forward_mla_extend(qp, latent, fb_p, v_dim=v_dim,
+                                            scale=scale),
+                    self.forward_mla_decode(qd, latent, fb_d, v_dim=v_dim,
+                                            scale=scale),
+                ],
+                axis=0,
+            )
+        elif fb.mode.is_decode():
             out = self.forward_mla_decode(q, latent, fb, v_dim=v_dim,
                                           scale=scale)
         else:

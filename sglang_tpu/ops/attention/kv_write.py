@@ -106,7 +106,22 @@ def write_rows_pages(
     already in storage form [T, lanes]; 4-D pools use the (2, F/2)
     write-legal split."""
     T = rows.shape[0]
-    if pool.ndim == 3:
+    out_shape = pool.shape
+    if pool.ndim == 3 and pool.shape[-1] > 128:
+        # Wide packed rows span multiple 128-lane tiles; slicing one row
+        # of [T, lanes] then cuts the tiled sublane dim to 1 (Mosaic
+        # rejects it). View as [..., g, 128] so the per-row slice removes
+        # only untiled leading dims — same trick as the bf16 (2, F/2)
+        # split below.
+        lanes = pool.shape[-1]
+        if lanes % 128:  # odd widths: XLA scatter fallback
+            pages = locs // page_size
+            offs = locs % page_size
+            return pool.at[pages, offs].set(rows.astype(pool.dtype))
+        g = lanes // 128
+        pool = pool.reshape(pool.shape[0], pool.shape[1], g, 128)
+        rr = rows.astype(pool.dtype).reshape(T, g, 128)
+    elif pool.ndim == 3:
         rr = rows.astype(pool.dtype)
     else:
         fh = pool.shape[-1]
@@ -121,7 +136,7 @@ def write_rows_pages(
     kernel = functools.partial(
         _write_one_kernel, page_size=page_size, num_tokens=T
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
@@ -129,6 +144,7 @@ def write_rows_pages(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(locs, rr, pool)
+    return out.reshape(out_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
@@ -142,7 +158,25 @@ def write_kv_pages(
     page_size: int,
 ) -> tuple:
     T = krows.shape[0]
-    if k_layer.ndim == 3:  # int32-packed quantized pool: rows [T, lanes]
+    out_shape = k_layer.shape
+    if k_layer.ndim == 3 and k_layer.shape[-1] > 128:
+        # See write_rows_pages: multi-tile packed rows must be viewed as
+        # [..., g, 128] so row slices don't cut a tiled dim.
+        lanes = k_layer.shape[-1]
+        if lanes % 128:
+            pages = locs // page_size
+            offs = locs % page_size
+            return (
+                k_layer.at[pages, offs].set(krows.astype(k_layer.dtype)),
+                v_layer.at[pages, offs].set(vrows.astype(v_layer.dtype)),
+            )
+        g = lanes // 128
+        np_, ps_ = k_layer.shape[0], k_layer.shape[1]
+        k_layer = k_layer.reshape(np_, ps_, g, 128)
+        v_layer = v_layer.reshape(np_, ps_, g, 128)
+        kr = krows.astype(k_layer.dtype).reshape(T, g, 128)
+        vr = vrows.astype(v_layer.dtype).reshape(T, g, 128)
+    elif k_layer.ndim == 3:  # int32-packed quantized pool: rows [T, lanes]
         kr = krows.astype(k_layer.dtype)
         vr = vrows.astype(v_layer.dtype)
     else:
@@ -159,7 +193,7 @@ def write_kv_pages(
     kernel = functools.partial(
         _write_kernel, page_size=page_size, num_tokens=T
     )
-    return pl.pallas_call(
+    ko, vo = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -170,3 +204,4 @@ def write_kv_pages(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(locs, kr, vr, k_layer, v_layer)
+    return ko.reshape(out_shape), vo.reshape(out_shape)

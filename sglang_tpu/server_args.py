@@ -80,6 +80,12 @@ class ServerArgs:
     # Cascade (shared-prefix) decode attention: gather a batch-wide common
     # radix prefix once instead of per row.
     disable_cascade_attn: bool = False
+    # MIXED prefill+decode batches: running decode rows ride each chunked-
+    # prefill program as a densely packed tail so prefill steps stop
+    # stalling decode (ref --enable-mixed-chunk, forward_batch_info.py:98
+    # ForwardMode.MIXED; on by default here — it is a pure throughput win
+    # on TPU's static-bucket programs).
+    disable_mixed_chunk: bool = False
     disable_swa_kv_pool: bool = False  # hybrid pool for sliding-window layers
     # KV cache event publishing for external cache-aware routers
     # (JSON: {"endpoint": "tcp://*:5557", "topic": "kv-events"}).
