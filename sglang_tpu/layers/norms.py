@@ -19,9 +19,12 @@ from sglang_tpu.layers.base import ParamSpec, Params, SpecTree, join
 class LayerNorm:
     """Full LayerNorm (Starcoder2/GPT-class; Cohere uses bias=False)."""
 
-    def __init__(self, size: int, eps: float, dtype, bias: bool = True):
+    def __init__(self, size: int, eps: float, dtype, bias: bool = True,
+                 plus_one: bool = False):
+        # plus_one: out = x_norm * (1 + w) + b (Nemotron LayerNorm1P)
         self.size, self.eps, self.dtype = size, eps, dtype
         self.bias = bias
+        self.plus_one = plus_one
 
     def specs(self, prefix: str) -> SpecTree:
         s = {
@@ -42,6 +45,8 @@ class LayerNorm:
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         w = params[join(prefix, "weight")].astype(jnp.float32)
+        if self.plus_one:
+            w = w + 1.0
         xf = xf * w
         if self.bias:
             xf = xf + params[join(prefix, "bias")].astype(jnp.float32)

@@ -1,0 +1,146 @@
+"""GPT-2 decoder. Behavioral reference: HF modeling_gpt2
+(srt/models/gpt2.py lineage). Pre-rope era: learned absolute position
+embeddings (wpe) added to token embeddings, LayerNorm with bias,
+Conv1D-layout checkpoint tensors (already [in, out] — no transpose),
+fused c_attn qkv in q|k|v column order, gelu_new MLP, tied LM head.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import ACT_SINGLE
+from sglang_tpu.layers.base import ParamSpec, SpecTree, join
+from sglang_tpu.layers.linear import ColumnParallelLinear, RowParallelLinear
+from sglang_tpu.layers.norms import LayerNorm
+from sglang_tpu.model_exec.forward_batch import ForwardBatch
+from sglang_tpu.models.llama import LlamaAttention, LlamaForCausalLM
+from sglang_tpu.models.phi import PhiMLP
+
+
+class GPT2Attention(LlamaAttention):
+    def __init__(self, config: ModelConfig, layer_id: int):
+        config.attention_bias = True
+        super().__init__(config, layer_id)
+        self.o_proj = RowParallelLinear(self.nq * self.hd,
+                                        config.hidden_size, config.dtype,
+                                        bias=True)
+
+    def apply_rotary(self, fb: ForwardBatch, q, k):
+        return q, k  # absolute learned positions, no rope
+
+
+class GPT2DecoderLayer:
+    def __init__(self, config: ModelConfig, layer_id: int):
+        c = config
+        eps = float(getattr(c.hf_config, "layer_norm_epsilon", 1e-5) or 1e-5)
+        self.attn = GPT2Attention(c, layer_id)
+        self.mlp = PhiMLP(c, layer_id)
+        self.ln_1 = LayerNorm(c.hidden_size, eps, c.dtype)
+        self.ln_2 = LayerNorm(c.hidden_size, eps, c.dtype)
+
+    def specs(self, p: str) -> SpecTree:
+        s = {}
+        s.update(self.attn.specs(join(p, "attn")))
+        s.update(self.mlp.specs(join(p, "mlp")))
+        s.update(self.ln_1.specs(join(p, "ln_1")))
+        s.update(self.ln_2.specs(join(p, "ln_2")))
+        return s
+
+    def __call__(self, params, p, x, residual, fb, kv, attn_backend,
+                 lora=None):
+        h = self.ln_1(params, join(p, "ln_1"), x)
+        a, kv = self.attn(params, join(p, "attn"), h, fb, kv, attn_backend)
+        x = x + a
+        h = self.ln_2(params, join(p, "ln_2"), x)
+        return x + self.mlp(params, join(p, "mlp"), h), None, kv
+
+
+class GPT2LMHeadModel(LlamaForCausalLM):
+    def __init__(self, config: ModelConfig):
+        c = config
+        if not c.intermediate_size:  # GPT2Config n_inner default: 4h
+            c.intermediate_size = 4 * c.hidden_size
+        c.hidden_act = getattr(c.hf_config, "activation_function",
+                               "gelu_new")
+        c.tie_word_embeddings = True
+        super().__init__(c)
+        eps = float(getattr(c.hf_config, "layer_norm_epsilon", 1e-5) or 1e-5)
+        self.decoder_layers = [
+            GPT2DecoderLayer(c, i) for i in range(c.num_hidden_layers)
+        ]
+        self.final_norm = LayerNorm(c.hidden_size, eps, c.dtype)
+        self.n_positions = int(c.max_position_embeddings)
+
+    def param_specs(self) -> SpecTree:
+        s = super().param_specs()
+        s["wpe/weight"] = ParamSpec(
+            (self.n_positions, self.config.hidden_size), self.config.dtype,
+            P(), init_scale=0.02,
+        )
+        return s
+
+    def __call__(self, params, fb: ForwardBatch, kv, attn_backend,
+                 lora=None, input_embeds=None, embed_mask=None
+                 ) -> Tuple[jax.Array, tuple]:
+        x = self.embed(params, "embed", fb.input_ids)
+        if input_embeds is not None:
+            x = jnp.where(embed_mask[:, None], input_embeds.astype(x.dtype), x)
+        pos = jnp.clip(fb.positions, 0, self.n_positions - 1)
+        x = x + params["wpe/weight"][pos]
+        for i, layer in enumerate(self.decoder_layers):
+            x, _, kv = layer(params, f"layers/{i}", x, None, fb, kv,
+                             attn_backend)
+        x = self.final_norm(params, "final_norm", x)
+        return x, kv
+
+    def map_hf_weight(self, name: str, arr: np.ndarray):
+        # Conv1D checkpoints are [in, out] already; strip the optional
+        # "transformer." prefix.
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        if name == "wte.weight":
+            return [("embed/weight", None, arr)]
+        if name == "wpe.weight":
+            return [("wpe/weight", None, arr)]
+        if name in ("ln_f.weight", "ln_f.bias"):
+            return [(f"final_norm/{name.split('.')[1]}", None, arr)]
+        if name == "lm_head.weight":
+            return []  # tied
+        if name.startswith("h."):
+            idx, sub = name[2:].split(".", 1)
+            p = f"layers/{idx}"
+            h = self.config.hidden_size
+            if sub == "attn.c_attn.weight":  # [in, 3h] columns q|k|v
+                return [
+                    (f"{p}/attn/q_proj/weight", None, arr[:, :h]),
+                    (f"{p}/attn/kv_proj/weight", 0, arr[:, h : 2 * h]),
+                    (f"{p}/attn/kv_proj/weight", 1, arr[:, 2 * h :]),
+                ]
+            if sub == "attn.c_attn.bias":
+                return [
+                    (f"{p}/attn/q_proj/bias", None, arr[:h]),
+                    (f"{p}/attn/kv_proj/bias", 0, arr[h : 2 * h]),
+                    (f"{p}/attn/kv_proj/bias", 1, arr[2 * h :]),
+                ]
+            m = {
+                "attn.c_proj.weight": (f"{p}/attn/o_proj/weight", None),
+                "attn.c_proj.bias": (f"{p}/attn/o_proj/bias", None),
+                "mlp.c_fc.weight": (f"{p}/mlp/fc1/weight", None),
+                "mlp.c_fc.bias": (f"{p}/mlp/fc1/bias", None),
+                "mlp.c_proj.weight": (f"{p}/mlp/fc2/weight", None),
+                "mlp.c_proj.bias": (f"{p}/mlp/fc2/bias", None),
+                "ln_1.weight": (f"{p}/ln_1/weight", None),
+                "ln_1.bias": (f"{p}/ln_1/bias", None),
+                "ln_2.weight": (f"{p}/ln_2/weight", None),
+                "ln_2.bias": (f"{p}/ln_2/bias", None),
+            }
+            if sub in m:
+                return [(m[sub][0], m[sub][1], arr)]
+        return []

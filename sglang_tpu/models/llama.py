@@ -54,6 +54,7 @@ class LlamaAttention:
         self.qk_norm = (
             RMSNorm(self.hd, c.rms_norm_eps, dt) if config.qk_norm else None
         )
+        self.window = 0  # subclasses set a per-layer sliding window
 
     def apply_rotary(self, fb: ForwardBatch, q, k):
         """Hook for rope variants (Qwen2-VL mrope overrides)."""
@@ -87,7 +88,8 @@ class LlamaAttention:
             q = self.qk_norm(params, join(p, "q_norm"), q)
             k = self.qk_norm(params, join(p, "k_norm"), k)
         q, k = self.apply_rotary(fb, q, k)
-        out, kv = attn_backend(q, k, v, self.layer_id, kv, fb)
+        out, kv = attn_backend(q, k, v, self.layer_id, kv, fb,
+                               window=self.window)
         out_flat = out.reshape(T, -1)
         out = self.o_proj(params, join(p, "o_proj"), out_flat)
         if lora is not None:
@@ -101,7 +103,9 @@ class LlamaMLP:
         self.layer_id = layer_id
         self.gate_up = FusedColumnLinear(c.hidden_size, 2, c.intermediate_size, c.dtype)
         self.down = RowParallelLinear(c.intermediate_size, c.hidden_size, c.dtype)
-        self.act = ACT2FN[c.hidden_act]
+        # Lazy: subclasses with non-gated acts (relu2/gelu_new) replace
+        # this MLP after the base constructor runs.
+        self.act = ACT2FN.get(c.hidden_act)
 
     def specs(self, p: str) -> SpecTree:
         s = {}

@@ -32,11 +32,23 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    "GlmForCausalLM": ("sglang_tpu.models.glm", "GlmForCausalLM"),
+    "Glm4ForCausalLM": ("sglang_tpu.models.glm", "Glm4ForCausalLM"),
+    "Exaone4ForCausalLM": ("sglang_tpu.models.exaone4", "Exaone4ForCausalLM"),
+    "SmolLM3ForCausalLM": ("sglang_tpu.models.smollm3", "SmolLM3ForCausalLM"),
+    "ArceeForCausalLM": ("sglang_tpu.models.arcee", "ArceeForCausalLM"),
+    "Ernie4_5ForCausalLM": ("sglang_tpu.models.ernie4_5", "Ernie45ForCausalLM"),
+    "NemotronForCausalLM": ("sglang_tpu.models.nemotron", "NemotronForCausalLM"),
+    "PhiForCausalLM": ("sglang_tpu.models.phi", "PhiForCausalLM"),
+    "GPT2LMHeadModel": ("sglang_tpu.models.gpt2", "GPT2LMHeadModel"),
+    "GPTNeoXForCausalLM": ("sglang_tpu.models.gpt_neox", "GPTNeoXForCausalLM"),
     "BertModel": ("sglang_tpu.models.bert", "BertModel"),
     "MambaForCausalLM": ("sglang_tpu.models.mamba", "MambaForCausalLM"),
     "FalconMambaForCausalLM": ("sglang_tpu.models.mamba",
                                "MambaForCausalLM"),
     "JambaForCausalLM": ("sglang_tpu.models.jamba", "JambaForCausalLM"),
+    "Qwen3NextForCausalLM": ("sglang_tpu.models.qwen3_next",
+                             "Qwen3NextForCausalLM"),
     "LlamaForSequenceClassification": (
         "sglang_tpu.models.llama_classification",
         "LlamaForSequenceClassification",
