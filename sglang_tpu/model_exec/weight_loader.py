@@ -70,7 +70,20 @@ def load_model_weights(
 
     buffers: Dict[str, np.ndarray] = {}
     filled: Dict[str, int] = {}
-    for hf_name, tensor in _iter_checkpoint_tensors(model_path):
+    tensor_iter = _iter_checkpoint_tensors(model_path)
+    from sglang_tpu.quantization.checkpoint_formats import (
+        dequantize_stream,
+        load_checkpoint_quant_config,
+    )
+
+    ckpt_qcfg = load_checkpoint_quant_config(model_path)
+    if ckpt_qcfg is not None:
+        logger.info(
+            "pre-quantized checkpoint (%s): unpacking to dense weights at "
+            "load", ckpt_qcfg["method"],
+        )
+        tensor_iter = dequantize_stream(tensor_iter, ckpt_qcfg)
+    for hf_name, tensor in tensor_iter:
         for pname, slot, arr in model.map_hf_weight(hf_name, _to_numpy(tensor)):
             if pname not in specs:
                 logger.warning("mapped param %s not in spec tree; skipping", pname)
