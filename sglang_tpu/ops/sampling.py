@@ -8,9 +8,13 @@ Strategy (TPU-shaped):
 - greedy -> argmax
 - unrestricted sampling -> Gumbel-max (no sort, no cumsum over V)
 - top-k/top-p/min-p -> restrict to the top TOPK_CAP candidates via
-  lax.top_k, apply masks there, Gumbel-max within. top_p truncation beyond
-  TOPK_CAP candidates is approximated (mass outside the top 256 is
-  negligible); exactness for top_k <= TOPK_CAP.
+  lax.top_k, apply masks there, Gumbel-max within. Candidate probabilities
+  use the FULL-vocab softmax normalizer (exp(v - lse)), so the top_p cut
+  is absolute mass like the reference, not mass renormalized within the
+  cap. Rows whose keep-set provably ends inside the cap are exact here.
+- Rows whose nucleus/top_k/min_p set may extend past the cap take an
+  exact full-vocab branch (sort + cumsum -> per-row value threshold)
+  guarded by lax.cond, so its cost is only paid on steps that need it.
 """
 
 from __future__ import annotations
@@ -85,17 +89,21 @@ def sample(
 
     temps = jnp.maximum(st.temperatures, 1e-6)[:, None]
     scaled = logits / temps
+    lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)  # [B, 1]
 
     # --- restricted path: top-k / top-p / min-p within TOPK_CAP candidates ---
     top_vals, top_idx = jax.lax.top_k(scaled, min(TOPK_CAP, V))  # [B, C]
     C = top_vals.shape[1]
     ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
     keep = ranks < jnp.minimum(st.top_ks, C)[:, None]
-    probs = jax.nn.softmax(top_vals, axis=-1)
+    # ABSOLUTE probabilities (full-vocab softmax normalizer), so the
+    # top_p cut means the same mass as the reference's sort-over-V rule.
+    probs = jnp.exp(top_vals - lse)
     cum = jnp.cumsum(probs, axis=-1)
     # Keep tokens while cumulative prob (exclusive) < top_p.
-    keep &= (cum - probs) < st.top_ps[:, None]
-    keep &= probs >= (st.min_ps[:, None] * probs[:, :1])
+    keep_p = (cum - probs) < st.top_ps[:, None]
+    keep_m = probs >= (st.min_ps[:, None] * probs[:, :1])
+    keep &= keep_p & keep_m
     masked_vals = jnp.where(keep, top_vals, NEG_INF)
 
     gumbel_t = -jnp.log(
@@ -122,6 +130,44 @@ def sample(
 
     is_greedy = st.temperatures == 0.0
     needs_top = (st.top_ks < V) | (st.top_ps < 1.0) | (st.min_ps > 0.0)
+
+    if C < V:
+        # A row's keep-set may extend past the cap when every capped
+        # candidate is still admitted by each active filter; exactness
+        # then needs the full-vocab sort branch (lax.cond: its cost is
+        # only paid on steps where some row actually overflows the cap).
+        # If the LAST capped candidate is still kept, no filter cut the
+        # set inside the cap, so the true keep-set may extend beyond it.
+        needs_exact = (~is_greedy) & needs_top & keep[:, -1]
+
+        def _exact(_):
+            # Full-vocab descending sort -> exact per-row cut VALUE for
+            # the combined top_k/top_p rule, applied back in token order
+            # so the already-drawn full-vocab Gumbel field is reused.
+            svals = -jax.lax.sort(-scaled, dimension=1)  # [B, V] desc
+            sprobs = jnp.exp(svals - lse)
+            scum = jnp.cumsum(sprobs, axis=-1)
+            n_p = jnp.sum(
+                (scum - sprobs) < st.top_ps[:, None], axis=-1
+            ).astype(jnp.int32)
+            n = jnp.minimum(jnp.maximum(n_p, 1), st.top_ks)  # [B]
+            v_cut = jnp.take_along_axis(svals, (n - 1)[:, None], axis=1)
+            p_full = jnp.exp(scaled - lse)
+            keep_full = (scaled >= v_cut) & (
+                p_full >= st.min_ps[:, None] * sprobs[:, :1]
+            )
+            masked_full = jnp.where(keep_full, scaled, NEG_INF)
+            return jnp.argmax(masked_full + gumbel_v, axis=-1).astype(
+                jnp.int32
+            )
+
+        exact_tokens = jax.lax.cond(
+            jnp.any(needs_exact), _exact, lambda _: restricted_tokens, None
+        )
+        restricted_tokens = jnp.where(
+            needs_exact, exact_tokens, restricted_tokens
+        )
+
     sampled = jnp.where(needs_top, restricted_tokens, free_tokens)
     tokens = jnp.where(is_greedy, greedy_tokens, sampled)
     return tokens, _chosen_logprob(logits, tokens)
@@ -157,7 +203,10 @@ def spec_candidate_probs(
     C = top_vals.shape[1]
     ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
     keep = ranks < jnp.minimum(top_ks, C)[:, None]
-    probs = jax.nn.softmax(top_vals, axis=-1)
+    # Absolute (full-vocab softmax) probabilities for the top_p cut —
+    # same normalization as ops.sample; renormalized over the keep-set
+    # below, as the rejection-sampling math requires.
+    probs = jnp.exp(top_vals - jax.nn.logsumexp(scaled, axis=-1)[:, None])
     cum = jnp.cumsum(probs, axis=-1)
     keep &= (cum - probs) < top_ps[:, None]
     keep &= probs >= (min_ps[:, None] * probs[:, :1])
