@@ -237,7 +237,7 @@ class ScheduleCore:
         # (the zigzag deal assumes a pure extend layout), and PP (the
         # microbatch tick loop schedules modes itself).
         self.mixed_enabled = (
-            not server_args.disable_mixed_chunk
+            server_args.enable_mixed_chunk
             and not self.recurrent
             and not server_args.enable_cp
             and server_args.pp_size == 1

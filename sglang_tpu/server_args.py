@@ -82,10 +82,15 @@ class ServerArgs:
     disable_cascade_attn: bool = False
     # MIXED prefill+decode batches: running decode rows ride each chunked-
     # prefill program as a densely packed tail so prefill steps stop
-    # stalling decode (ref --enable-mixed-chunk, forward_batch_info.py:98
-    # ForwardMode.MIXED; on by default here — it is a pure throughput win
-    # on TPU's static-bucket programs).
-    disable_mixed_chunk: bool = False
+    # stalling running decodes (ref --enable-mixed-chunk,
+    # forward_batch_info.py:98 ForwardMode.MIXED). Opt-in, matching the
+    # reference default: it trims inter-token latency spikes during
+    # prefill but LOWERS closed-batch throughput on TPU — decode rows
+    # that ride prefill finish staggered, fragmenting the endgame decode
+    # batches and breaking the resident decode loop, and every
+    # (token-bucket x tail-bucket) combination is a new XLA program
+    # (measured 2747 -> 1600 tok/s on the 1B bench; PERF_NOTES.md).
+    enable_mixed_chunk: bool = False
     disable_swa_kv_pool: bool = False  # hybrid pool for sliding-window layers
     # KV cache event publishing for external cache-aware routers
     # (JSON: {"endpoint": "tcp://*:5557", "topic": "kv-events"}).

@@ -73,10 +73,10 @@ def _prompts():
 @pytest.fixture(scope="module")
 def mixed_vs_pure(tiny_llama_dir):
     prompts = _prompts()
-    core_off, _ = make_core(tiny_llama_dir, disable_mixed_chunk=True)
+    core_off, _ = make_core(tiny_llama_dir, enable_mixed_chunk=False)
     reqs_off = run_staggered(core_off, prompts, 24)
     assert core_off.num_mixed_steps == 0
-    core_on, _ = make_core(tiny_llama_dir)
+    core_on, _ = make_core(tiny_llama_dir, enable_mixed_chunk=True)
     reqs_on = run_staggered(core_on, prompts, 24)
     assert core_on.num_mixed_steps > 0, "mixing never triggered — test is vacuous"
     return reqs_off, reqs_on
@@ -133,7 +133,7 @@ def test_mixed_with_sampling_seeds(tiny_llama_dir):
     prompts = _prompts()[:3]
 
     def run(disable):
-        core, _ = make_core(tiny_llama_dir, disable_mixed_chunk=disable)
+        core, _ = make_core(tiny_llama_dir, enable_mixed_chunk=not disable)
         reqs = []
         for i, p in enumerate(prompts):
             sp = SamplingParams(temperature=0.8, max_new_tokens=12,
