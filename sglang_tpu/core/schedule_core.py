@@ -329,6 +329,10 @@ class ScheduleCore:
         self.kv_receiver = None
         self.pd_bootstrap = None
         self._pd_gather = None
+        # Decode-side prealloc queue (ref DisaggDecodePreallocQueue,
+        # srt/disaggregation/decode.py): requests arrive BEFORE their KV
+        # does; the step loop polls the receiver and auto-admits.
+        self.pd_prealloc: Dict[str, Req] = {}
         if self.pd_mode == "prefill":
             if runner.kv_pool.config.mla_dim:
                 raise NotImplementedError(
@@ -464,6 +468,11 @@ class ScheduleCore:
                 if pattern:
                     structures.append((st_["begin"], pattern))
             req._structag = structures or None
+        if self.pd_mode == "decode" and getattr(req, "bootstrap_room", None):
+            # KV is in flight from a prefill engine: park in the prealloc
+            # queue; the step loop admits when the transfer completes.
+            self.pd_prealloc[req.bootstrap_room] = req
+            return
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
@@ -484,6 +493,7 @@ class ScheduleCore:
     def has_work(self) -> bool:
         return bool(
             self.waiting or self.running or self.chunked_req or self.pending
+            or self.pd_prealloc
         )
 
     def step(self) -> List[StepOutput]:
@@ -498,7 +508,15 @@ class ScheduleCore:
                     raise AssertionError(
                         "KV invariant violations: " + "; ".join(errs[:4])
                     )
+        admitted = self._pd_poll_admissions() if self.pd_prealloc else False
         launched = False if self.paused else self._schedule_and_launch()
+        if (
+            not launched
+            and not admitted
+            and not self.pending
+            and self.pd_prealloc
+        ):
+            time.sleep(0.001)  # only waiting on in-flight KV; don't spin hot
         outputs: List[StepOutput] = []
         if self._early_outputs:
             outputs.extend(self._early_outputs)
@@ -1739,6 +1757,9 @@ class ScheduleCore:
         victim.cached_len = 0
         victim._device_seq_len = 0
         victim._device_step = len(victim.output_ids)
+        # PD prefill: resend KV from page 0 after re-prefill (the
+        # receive-side assembler overwrites by start_page).
+        victim._pd_sent_pages = 0
         self.running.remove(victim)
         self.waiting.insert(0, victim)
         logger.info("retracted %s (memory pressure)", victim.rid)
@@ -1817,6 +1838,16 @@ class ScheduleCore:
         for i, row in enumerate(pb.rows):
             req = row.req
             if row.kind == "chunk":
+                if (
+                    self.pd_mode == "prefill"
+                    and self.kv_sender is not None
+                    and req._epoch == row.epoch
+                    and not req.finished()
+                ):
+                    # Early-chunk send (ref scheduler.py:3598-3601): ship
+                    # the pages this chunk completed while the remaining
+                    # prefill chunks still compute.
+                    self._pd_send_ready_pages(req)
                 continue
             if req._epoch != row.epoch or req.finished():
                 continue  # stale (retracted or finished during overlap)
@@ -1940,6 +1971,7 @@ class ScheduleCore:
         req.cached_len = 0
         req._device_seq_len = 0
         req._device_step = len(req.output_ids)
+        req._pd_sent_pages = 0
         self.running.remove(req)
         self.waiting.insert(0, req)
 
@@ -2008,32 +2040,87 @@ class ScheduleCore:
         out[:, head:] = np.arange(max(a, L), b, dtype=np.int32) + req.mrope_delta
         return {"mrope_positions": out, "mrope_delta": req.mrope_delta}
 
-    def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
-        """Ship the finished prefill's KV pages to the decode fleet."""
-        from sglang_tpu.disaggregation.base import KVHandoff
+    def _pd_send_ready_pages(
+        self,
+        req: Req,
+        final: bool = False,
+        first_token: int = -1,
+        logprob: Optional[float] = None,
+    ) -> None:
+        """Ship newly completed KV pages as a KVChunk (ref early-chunk
+        send, scheduler.py:3598-3601). Mid-prefill only FULL pages go;
+        the final call sends the remainder plus the first token.
+
+        The gather's np.asarray waits for the chunk's launched program
+        (the pool handles it reads are that program's outputs), so bytes
+        on the wire are always post-write."""
+        from sglang_tpu.disaggregation.base import KVChunk
 
         ps = self.page_size
+        sent = getattr(req, "_pd_sent_pages", 0)
         fill = len(req.input_ids)
-        npages = cdiv(fill, ps)
-        kv_bytes = np.asarray(
-            self._pd_gather(
-                self.runner.kv_pool.kv,
-                np.asarray(req.pages[:npages], np.int32),
+        target = cdiv(fill, ps) if final else (req.prefill_progress // ps)
+        if target <= sent and not final:
+            return
+        if target > sent:
+            kv_bytes = np.asarray(
+                self._pd_gather(
+                    self.runner.kv_pool.kv,
+                    np.asarray(req.pages[sent:target], np.int32),
+                )
             )
-        )
+        else:  # final with nothing new (page-aligned fill already sent)
+            kv_bytes = np.zeros(
+                (0,) + self._pd_page_shape(), self._pd_page_dtype()
+            )
+        req._pd_sent_pages = target
         self.kv_sender.send(
-            KVHandoff(
+            KVChunk(
                 room=getattr(req, "bootstrap_room", req.rid),
-                token_ids=list(req.input_ids),
+                start_page=sent,
                 kv_pages=kv_bytes,
+                is_last=final,
+                token_ids=list(req.input_ids) if final else None,
                 first_token=first_token,
                 first_logprob=logprob,
             )
         )
 
-    def add_prebuilt_request(self, handoff, sampling_params, rid=None) -> Req:
-        """Decode-side admission of a PD handoff (ForwardMode.PREBUILT
-        analog, ref scheduler.py:3594): KV restored, decoding resumes."""
+    def _pd_page_shape(self):
+        kv = self.runner.kv_pool.kv
+        return (len(kv), 2) + tuple(kv[0][0].shape[1:])
+
+    def _pd_page_dtype(self):
+        return self.runner.kv_pool.kv[0][0].dtype
+
+    def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
+        """Ship the finished prefill's remaining KV pages + first token."""
+        self._pd_send_ready_pages(
+            req, final=True, first_token=first_token, logprob=logprob
+        )
+
+    def _pd_poll_admissions(self) -> bool:
+        """Decode-side auto-admission loop (ref DisaggDecodePreallocQueue
+        polling, srt/disaggregation/decode.py): admit every parked request
+        whose KV transfer has completed."""
+        if self.kv_receiver is None or not self.pd_prealloc:
+            return False
+        admitted = False
+        for room in list(self.pd_prealloc):
+            if len(self.running) >= self.args.max_running_requests:
+                break
+            handoff = self.kv_receiver.poll(room)
+            if handoff is None:
+                continue
+            req = self.pd_prealloc.pop(room)
+            self._admit_prebuilt(req, handoff)
+            admitted = True
+        return admitted
+
+    def _admit_prebuilt(self, req: Req, handoff) -> Req:
+        """Restore a handoff's KV into freshly allocated pages and resume
+        `req` directly in RUNNING (ForwardMode.PREBUILT analog, ref
+        scheduler.py:3594)."""
         from sglang_tpu.mem.hicache import copy_pages
         import jax.numpy as jnp
 
@@ -2043,6 +2130,12 @@ class ScheduleCore:
                 "decode engine with --disable-swa-kv-pool"
             )
         ps = self.page_size
+        if handoff.token_ids and list(req.input_ids) != list(handoff.token_ids):
+            logger.warning(
+                "PD room %s: decode-side prompt differs from handoff tokens; "
+                "using the handoff's", handoff.room,
+            )
+            req.input_ids = list(handoff.token_ids)
         fill = len(handoff.token_ids)
         npages = cdiv(fill + 1, ps)
         kv_npages = handoff.kv_pages.shape[0]
@@ -2069,10 +2162,9 @@ class ScheduleCore:
             kv[l] = (kl, vl)
         self.runner.kv_pool.swap(tuple(kv))
 
-        req = Req(rid or handoff.room, handoff.token_ids, sampling_params)
-        self.add_request(req)
-        self.waiting.remove(req)
         req.output_ids = [handoff.first_token]
+        if req.return_logprob and handoff.first_logprob is not None:
+            req.output_logprobs = [handoff.first_logprob]
         req.status = ReqStatus.RUNNING
         req.pages = pages
         req.cached_len = (fill // ps) * ps
@@ -2084,6 +2176,16 @@ class ScheduleCore:
         self.runner.override_next_tokens([req.req_slot], [handoff.first_token])
         self.running.append(req)
         return req
+
+    def add_prebuilt_request(self, handoff, sampling_params, rid=None) -> Req:
+        """Decode-side admission of a PD handoff by explicit call (tests,
+        external orchestrators); serving uses the auto-admission loop."""
+        req = Req(rid or handoff.room, handoff.token_ids, sampling_params)
+        self.add_request(req)
+        if req in self.waiting:
+            self.waiting.remove(req)
+        self.pd_prealloc.pop(getattr(req, "bootstrap_room", None), None)
+        return self._admit_prebuilt(req, handoff)
 
     def _check_stop_strings(self, req: Req) -> Optional[FinishReason]:
         if self.tokenizer is None:

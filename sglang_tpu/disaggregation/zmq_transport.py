@@ -21,7 +21,9 @@ from urllib.parse import parse_qs, urlparse
 
 from sglang_tpu.disaggregation.base import (
     BootstrapServer,
+    ChunkAssembler,
     KVHandoff,
+    KVMessage,
     KVReceiver,
     KVSender,
 )
@@ -30,21 +32,26 @@ logger = logging.getLogger(__name__)
 
 
 class ZmqKVSender(KVSender):
-    """Prefill side: PUSH connected to the decode engine's PULL."""
+    """Prefill side: PUSH connected to the decode engine's PULL.
 
-    def __init__(self, addr: str):
+    Flow control: a bounded SNDHWM (messages, each one page-chunk) makes
+    send() block when the decode side falls behind instead of queueing
+    unbounded KV bytes in the prefill engine's host memory."""
+
+    def __init__(self, addr: str, sndhwm: int = 64):
         import zmq
 
         self._sock = zmq.Context.instance().socket(zmq.PUSH)
+        self._sock.setsockopt(zmq.SNDHWM, sndhwm)
         self._sock.connect(addr)
 
-    def send(self, handoff: KVHandoff) -> None:
-        self._sock.send(pickle.dumps(handoff, protocol=5))
+    def send(self, msg: KVMessage) -> None:
+        self._sock.send(pickle.dumps(msg, protocol=5))
 
 
 class ZmqKVReceiver(KVReceiver):
-    """Decode side: PULL bound at `addr`; a drain thread files incoming
-    handoffs by room."""
+    """Decode side: PULL bound at `addr`; a drain thread assembles
+    incoming chunk streams and files complete handoffs by room."""
 
     def __init__(self, addr: str):
         import zmq
@@ -53,6 +60,7 @@ class ZmqKVReceiver(KVReceiver):
         self._sock = zmq.Context.instance().socket(zmq.PULL)
         self._sock.bind(addr)
         self._store: Dict[str, KVHandoff] = {}
+        self._assembler = ChunkAssembler()
         self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
@@ -60,15 +68,24 @@ class ZmqKVReceiver(KVReceiver):
     def _drain(self) -> None:
         while True:
             try:
-                h: KVHandoff = pickle.loads(self._sock.recv())
+                msg: KVMessage = pickle.loads(self._sock.recv())
             except Exception:  # noqa: BLE001 (context terminated)
                 return
             with self._lock:
-                self._store[h.room] = h
+                done = self._assembler.add(msg)
+                if done is not None:
+                    self._store[done.room] = done
 
     def poll(self, room: str) -> Optional[KVHandoff]:
         with self._lock:
             return self._store.pop(room, None)
+
+    def poll_any(self) -> Optional[KVHandoff]:
+        with self._lock:
+            if not self._store:
+                return None
+            room = next(iter(self._store))
+            return self._store.pop(room)
 
 
 class HttpBootstrapServer(BootstrapServer):

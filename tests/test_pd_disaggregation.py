@@ -8,7 +8,7 @@ continues — outputs must equal a single-engine run.
 import numpy as np
 import pytest
 
-from sglang_tpu.core.req import Req
+from sglang_tpu.core.req import Req, ReqStatus
 from sglang_tpu.core.schedule_core import ScheduleCore
 from sglang_tpu.disaggregation.fake import FakeKVReceiver, reset_store
 from sglang_tpu.model_exec.model_runner import ModelRunner
@@ -135,3 +135,138 @@ def test_pd_zmq_transport_with_bootstrap(tiny_llama_dir, tmp_path):
     drive(decode)
     assert dreq.output_ids == base.output_ids
     decode.pd_bootstrap.shutdown()
+
+
+def test_pd_chunked_inflight_send(tiny_llama_dir):
+    """A multi-chunk prefill ships full pages WHILE later chunks still
+    compute (ref early-chunk send, scheduler.py:3598-3601); the decode
+    engine auto-admits the assembled handoff from its prealloc queue."""
+    from sglang_tpu.disaggregation.base import KVChunk
+    from sglang_tpu.disaggregation.fake import sent_messages
+
+    reset_store()
+    prompt = list(range(3, 3 + 20))  # 3 chunks at chunked_prefill_size=8
+    n_new = 6
+
+    single, _ = make_core(tiny_llama_dir, "null")
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp.normalize()
+    base = Req("base", prompt, sp)
+    single.add_request(base)
+    drive(single)
+
+    prefill, _ = make_core(tiny_llama_dir, "prefill", chunked_prefill_size=8)
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp2.normalize()
+    preq = Req("roomC", prompt, sp2)
+    preq.bootstrap_room = "roomC"
+    prefill.add_request(preq)
+    drive(prefill)
+
+    msgs = [m for m in sent_messages() if m.room == "roomC"]
+    assert all(isinstance(m, KVChunk) for m in msgs)
+    assert len(msgs) >= 2, "expected in-flight chunks before the final send"
+    assert not msgs[0].is_last and msgs[0].start_page == 0
+    assert msgs[-1].is_last and msgs[-1].token_ids == prompt
+    # chunk boundaries tile the request without overlap
+    covered = sorted((m.start_page, m.kv_pages.shape[0]) for m in msgs)
+    pos = 0
+    for start, k in covered:
+        assert start == pos
+        pos += k
+    assert pos == (len(prompt) + 3) // 4  # cdiv(20, page_size=4)
+
+    # decode engine: request parked BEFORE KV (already arrived here, but
+    # the admission path is the prealloc poll either way)
+    decode, _ = make_core(tiny_llama_dir, "decode")
+    sp3 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp3.normalize()
+    dreq = Req("roomC", prompt, sp3)
+    dreq.bootstrap_room = "roomC"
+    decode.add_request(dreq)
+    assert "roomC" in decode.pd_prealloc and not decode.waiting
+    drive(decode)
+    assert dreq.output_ids == base.output_ids
+
+
+def test_pd_auto_admission_waits_for_kv(tiny_llama_dir):
+    """The decode engine parks a request whose KV has not arrived, does
+    not schedule it, then admits and finishes once the transfer lands."""
+    reset_store()
+    prompt = [11, 12, 13, 14, 15]
+    n_new = 5
+
+    single, _ = make_core(tiny_llama_dir, "null")
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp.normalize()
+    base = Req("base", prompt, sp)
+    single.add_request(base)
+    drive(single)
+
+    decode, _ = make_core(tiny_llama_dir, "decode")
+    sp3 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp3.normalize()
+    dreq = Req("roomW", prompt, sp3)
+    dreq.bootstrap_room = "roomW"
+    decode.add_request(dreq)
+    assert decode.has_work()
+    for _ in range(3):  # KV not there yet: step must idle, not crash
+        decode.step()
+    assert dreq.status != ReqStatus.RUNNING and not dreq.output_ids
+
+    prefill, _ = make_core(tiny_llama_dir, "prefill")
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp2.normalize()
+    preq = Req("roomW", prompt, sp2)
+    preq.bootstrap_room = "roomW"
+    prefill.add_request(preq)
+    drive(prefill)
+
+    drive(decode)
+    assert not decode.pd_prealloc
+    assert dreq.output_ids == base.output_ids
+
+
+def test_pd_tp2_both_sides(tiny_llama_dir):
+    """PD with tp=2 GSPMD-sharded engines on both sides: the wire carries
+    the gathered (unsharded) page bytes; outputs equal a tp=1 single run."""
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.parallel.mesh import create_mesh
+
+    reset_store()
+    prompt = [5, 9, 33, 41, 2, 77, 18, 60, 24]
+    n_new = 6
+
+    single, _ = make_core(tiny_llama_dir, "null")
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp.normalize()
+    base = Req("base", prompt, sp)
+    single.add_request(base)
+    drive(single)
+
+    def make_tp2(mode):
+        args = ServerArgs(
+            model_path=tiny_llama_dir, dtype="float32",
+            attention_backend="xla_native", page_size=4,
+            max_total_tokens=2048, max_running_requests=8,
+            tp_size=2, disaggregation_mode=mode,
+        )
+        mesh_ctx = create_mesh(tp_size=2)
+        return ScheduleCore(args, ModelRunner(args, mesh_ctx=mesh_ctx))
+
+    prefill = make_tp2("prefill")
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp2.normalize()
+    preq = Req("roomT", prompt, sp2)
+    preq.bootstrap_room = "roomT"
+    prefill.add_request(preq)
+    drive(prefill)
+
+    decode = make_tp2("decode")
+    sp3 = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    sp3.normalize()
+    dreq = Req("roomT", prompt, sp3)
+    dreq.bootstrap_room = "roomT"
+    decode.add_request(dreq)
+    drive(decode)
+    assert dreq.output_ids == base.output_ids
