@@ -249,6 +249,9 @@ class ScheduleCore:
             and not self.recurrent
             # cascade's batch-shared-prefix math depends on co-batching
             and not server_args.enable_deterministic_inference
+            # DSA sparse scoring must see the WHOLE context in the
+            # per-row page table; cascade strips the shared prefix.
+            and not getattr(runner.model, "dsa_index_dim", 0)
         )
 
         # ViT embedding cache keyed by image content hash (ref

@@ -65,6 +65,11 @@ class KVPoolConfig:
     # over it (models/deepseek_v2.py absorbed path). ~8x less KV than the
     # naive decompressed form for DeepSeek-V2/V3.
     mla_dim: int = 0
+    # DSA index-K cache (ref srt/layers/attention/dsa/ + DeepSeek V3.2
+    # index_head_dim): per-layer bf16 pool [NP, ps, 2, d/2] riding the
+    # SECOND slot of the MLA layer tuple — same pages/page table as the
+    # latent pool, so allocation/radix/eviction need no changes.
+    dsa_index_dim: int = 0
     # fp8 KV quantization (ref --kv-cache-dtype fp8_e5m2|fp8_e4m3,
     # srt/layers/quantization/kv_cache.py). When set, per-layer arrays are
     # int32-packed f8 rows `[NP, ps, F/4]` (ops/quant_kv.py for the byte
@@ -107,6 +112,11 @@ class KVPoolConfig:
         itemsize = 1 if self.quant else np.dtype(self.dtype).itemsize
         if self.mla_dim:
             page_bytes = self.page_size * self.mla_dim * itemsize
+            if self.dsa_index_dim:
+                page_bytes += (
+                    self.page_size * self.dsa_index_dim
+                    * np.dtype(self.dtype).itemsize
+                )
         else:
             page_bytes = 2 * self.page_size * self.folded_dim * itemsize
         return sum(
@@ -177,11 +187,24 @@ class KVCachePool:
             store_dtype = config.dtype
 
         mla = bool(config.mla_dim)
+        idx_shape = None
+        if mla and config.dsa_index_dim:
+            # Index-K cache (always the model compute dtype, never fp8):
+            # same page geometry as the latent pool.
+            idx_shape = (
+                config.num_pages, config.page_size, 2,
+                config.dsa_index_dim // 2,
+            )
 
         def alloc():
             if mla:
                 return tuple(
-                    (jnp.zeros(s, store_dtype), None) for s in shapes
+                    (
+                        jnp.zeros(s, store_dtype),
+                        jnp.zeros(idx_shape, config.dtype)
+                        if idx_shape else None,
+                    )
+                    for s in shapes
                 )
             return tuple(
                 (jnp.zeros(s, store_dtype), jnp.zeros(s, store_dtype))
@@ -190,7 +213,14 @@ class KVCachePool:
 
         if mesh_ctx is not None:
             sharding = NamedSharding(mesh_ctx.mesh, spec)
-            per_layer = (sharding, None) if mla else (sharding, sharding)
+            if mla:
+                idx_sharding = (
+                    NamedSharding(mesh_ctx.mesh, P(None, None, None, None))
+                    if idx_shape else None
+                )
+                per_layer = (sharding, idx_sharding)
+            else:
+                per_layer = (sharding, sharding)
             self.kv = jax.jit(
                 alloc,
                 out_shardings=tuple(

@@ -284,6 +284,7 @@ class ModelRunner:
             layer_windows=layer_windows,
             swa_num_pages=swa_num_pages,
             mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
+            dsa_index_dim=int(getattr(self.model, "dsa_index_dim", 0) or 0),
             quant=kv_quant,
         )
         if getattr(self.model, "is_recurrent", False):
@@ -344,6 +345,7 @@ class ModelRunner:
         budget = int(limit * self.server_args.mem_fraction_static) - used
         mla_dim = int(getattr(self.model, "mla_dim", 0) or 0)
         row = mla_dim or 2 * c.num_key_value_heads * c.head_dim
+        row += int(getattr(self.model, "dsa_index_dim", 0) or 0)
         per_token = (
             c.num_hidden_layers * row * np.dtype(self.kv_dtype_np()).itemsize
         )

@@ -75,6 +75,69 @@ def _apply_interleaved_rope(x, cos, sin):
     return out.astype(dtype)
 
 
+class DSAIndexer:
+    """DeepSeek V3.2 lightning indexer (ref srt/layers/attention/dsa/
+    dsa_indexer.py Indexer + kernels/ops/attention/dsa fp8_index).
+
+    Scores every cached token with a cheap shared-key head:
+        score[t, j] = sum_h gate[t, h] * relu(q[t, h] . k[j])
+    where q = wq_b(q_lora) (roped on the first qk_rope_head_dim dims,
+    NEOX convention — unlike the main MLA rope, which is interleaved),
+    k = k_norm(wk(x)) (roped likewise, cached per token), and
+    gate = weights_proj(x) * n_heads^-0.5 * head_dim^-0.5 (both scale
+    factors pre-absorbed here; the reference's fp8 q_scale is moot in
+    bf16). The reference's Hadamard rotate_activation is dropped: it is
+    applied to both q and k, so logits are preserved; it only conditions
+    the fp8 index cache we don't quantize."""
+
+    def __init__(self, config: ModelConfig, q_lora_rank: int):
+        from sglang_tpu.layers.norms import LayerNorm
+        from sglang_tpu.layers.rotary import RotaryEmbedding
+
+        c = config
+        hf = c.hf_config
+        self.h = hf.index_n_heads
+        self.d = hf.index_head_dim
+        self.rope_d = hf.qk_rope_head_dim
+        self.topk = hf.index_topk
+        dt = c.dtype
+        self.wq_b = ColumnParallelLinear(q_lora_rank, self.h * self.d, dt)
+        self.wk = ColumnParallelLinear(c.hidden_size, self.d, dt)
+        self.weights_proj = ColumnParallelLinear(c.hidden_size, self.h, dt)
+        if getattr(hf, "index_k_norm_type", "layer") == "rms":
+            self.k_norm = RMSNorm(self.d, 1e-6, dt)
+        else:
+            self.k_norm = LayerNorm(self.d, 1e-5, dt)
+        self.rotary = RotaryEmbedding(
+            self.d, self.rope_d, c.context_length, c.rope_theta,
+            c.rope_scaling,
+        )
+        self.gate_scale = self.h**-0.5 * self.d**-0.5
+
+    def specs(self, p: str) -> SpecTree:
+        s = {}
+        s.update(self.wq_b.specs(join(p, "wq_b")))
+        s.update(self.wk.specs(join(p, "wk")))
+        s.update(self.weights_proj.specs(join(p, "weights_proj")))
+        s.update(self.k_norm.specs(join(p, "k_norm")))
+        return s
+
+    def __call__(self, params, p, x, q_lora, fb: ForwardBatch):
+        T = x.shape[0]
+        q = self.wq_b(params, join(p, "wq_b"), q_lora).reshape(
+            T, self.h, self.d
+        )
+        k = self.k_norm(
+            params, join(p, "k_norm"), self.wk(params, join(p, "wk"), x)
+        ).reshape(T, 1, self.d)
+        q, k = self.rotary(fb.positions, q, k)
+        gates = (
+            self.weights_proj(params, join(p, "weights_proj"), x)
+            * self.gate_scale
+        )
+        return q, k[:, 0, :], gates
+
+
 class DeepseekV2Attention:
     def __init__(self, config: ModelConfig, layer_id: int):
         c = config
@@ -109,6 +172,12 @@ class DeepseekV2Attention:
             self.rope, c.context_length, c.rope_theta, c.rope_scaling
         )
         self.scale = self.qk_hd**-0.5
+        # DSA (DeepSeek V3.2): an index_topk attr on the HF config enables
+        # the lightning indexer + sparse attention (ref is_deepseek_dsa,
+        # srt/configs/model_config.py:106).
+        self.indexer = None
+        if getattr(hf, "index_topk", None) and self.q_lora_rank:
+            self.indexer = DSAIndexer(c, self.q_lora_rank)
 
     def specs(self, p: str) -> SpecTree:
         s = {}
@@ -122,6 +191,8 @@ class DeepseekV2Attention:
         s.update(self.kv_a_norm.specs(join(p, "kv_a_norm")))
         s.update(self.kv_b.specs(join(p, "kv_b")))
         s.update(self.o_proj.specs(join(p, "o_proj")))
+        if self.indexer is not None:
+            s.update(self.indexer.specs(join(p, "indexer")))
         return s
 
     def __call__(self, params, p, x, fb: ForwardBatch, kv, attn_backend,
@@ -129,10 +200,13 @@ class DeepseekV2Attention:
         from sglang_tpu.quantization import full_weight
 
         T = x.shape[0]
+        q_lora = None
         if self.q_lora_rank:
-            q = self.q_a(params, join(p, "q_a"), x)
-            q = self.q_a_norm(params, join(p, "q_a_norm"), q)
-            q = self.q_b(params, join(p, "q_b"), q)
+            q_lora = self.q_a_norm(
+                params, join(p, "q_a_norm"),
+                self.q_a(params, join(p, "q_a"), x),
+            )
+            q = self.q_b(params, join(p, "q_b"), q_lora)
         else:
             q = self.q_proj(params, join(p, "q_proj"), x)
         q = q.reshape(T, self.nh, self.qk_hd)
@@ -162,10 +236,20 @@ class DeepseekV2Attention:
         q_m = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, nh, c+rope]
         rows = jnp.concatenate([c_latent, k_pe], axis=-1)  # [T, c+rope]
 
-        out_lat, kv = attn_backend.mla(
-            q_m, rows, self.layer_id, kv, fb,
-            v_dim=self.kv_lora_rank, scale=self.scale,
-        )  # [T, nh, kv_lora_rank]
+        if self.indexer is not None:
+            idx_q, idx_k, gates = self.indexer(
+                params, join(p, "indexer"), x, q_lora, fb
+            )
+            out_lat, kv = attn_backend.mla_sparse(
+                q_m, rows, idx_q, idx_k, gates, self.layer_id, kv, fb,
+                v_dim=self.kv_lora_rank, scale=self.scale,
+                index_topk=self.indexer.topk,
+            )
+        else:
+            out_lat, kv = attn_backend.mla(
+                q_m, rows, self.layer_id, kv, fb,
+                v_dim=self.kv_lora_rank, scale=self.scale,
+            )  # [T, nh, kv_lora_rank]
         out = jnp.einsum(
             "thc,chd->thd", out_lat, w_uv,
             preferred_element_type=out_lat.dtype,
@@ -295,6 +379,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         # Latent KV pool row width (ModelRunner sizes the pool from this;
         # ref MLATokenToKVPool memory_pool.py:3910).
         self.mla_dim = hf.kv_lora_rank + hf.qk_rope_head_dim
+        # DSA (V3.2): sizes the per-layer index-K cache pool (0 = no DSA).
+        self.dsa_index_dim = (
+            int(hf.index_head_dim)
+            if getattr(hf, "index_topk", None) else 0
+        )
         self.embed = VocabEmbedding(c.vocab_size, c.hidden_size, c.dtype)
         self.decoder_layers = [
             DeepseekV2DecoderLayer(c, i) for i in range(c.num_hidden_layers)
@@ -326,6 +415,17 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             "self_attn.kv_a_layernorm.weight": (f"{p}/attn/kv_a_norm/weight", None, ""),
             "self_attn.kv_b_proj.weight": (f"{p}/attn/kv_b/weight", None, "t"),
             "self_attn.o_proj.weight": (f"{p}/attn/o_proj/weight", None, "t"),
+            # DSA lightning indexer (V3.2)
+            "self_attn.indexer.wq_b.weight": (
+                f"{p}/attn/indexer/wq_b/weight", None, "t"),
+            "self_attn.indexer.wk.weight": (
+                f"{p}/attn/indexer/wk/weight", None, "t"),
+            "self_attn.indexer.weights_proj.weight": (
+                f"{p}/attn/indexer/weights_proj/weight", None, "t"),
+            "self_attn.indexer.k_norm.weight": (
+                f"{p}/attn/indexer/k_norm/weight", None, ""),
+            "self_attn.indexer.k_norm.bias": (
+                f"{p}/attn/indexer/k_norm/bias", None, ""),
             "input_layernorm.weight": (f"{p}/input_norm/weight", None, ""),
             "post_attention_layernorm.weight": (f"{p}/post_norm/weight", None, ""),
             # dense MLP layers

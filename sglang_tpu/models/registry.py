@@ -32,6 +32,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GraniteForCausalLM": ("sglang_tpu.models.granite", "GraniteForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    # V3.2 (DSA sparse attention; enabled by index_topk on the config)
+    "DeepseekV32ForCausalLM": ("sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "GlmForCausalLM": ("sglang_tpu.models.glm", "GlmForCausalLM"),
     "Glm4ForCausalLM": ("sglang_tpu.models.glm", "Glm4ForCausalLM"),
     "Exaone4ForCausalLM": ("sglang_tpu.models.exaone4", "Exaone4ForCausalLM"),

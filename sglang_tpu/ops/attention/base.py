@@ -391,6 +391,165 @@ class AttentionBackend:
     def forward_mla_extend(self, q, latent, fb, *, v_dim, scale):
         raise NotImplementedError
 
+    # ---- DSA (DeepSeek Sparse Attention, V3.2) ----
+    # Ref: srt/layers/attention/dsa/{dsa_indexer.py,dsa_topk_backend.py} +
+    # kernels/ops/attention/dsa (fp8_index / sparse_attention_fwd). The
+    # lightning indexer scores every context token with a cheap MQA head
+    # (index_head_dim << mla_dim), takes a per-query top-k of positions,
+    # and the real MLA attention touches ONLY those latent rows. TPU
+    # recast: the index-K cache rides the SECOND slot of the MLA layer
+    # tuple (same pages/page table as the latent pool), scoring is a
+    # dense masked einsum over the padded context, the top-k is
+    # lax.top_k at a STATIC index_topk, and the sparse gather is a
+    # take_along_axis over flat slot ids — all static shapes, no
+    # data-dependent control flow. The reference's Hadamard
+    # rotate_activation is dropped: it is logit-preserving (applied to
+    # both q and k) and only aids fp8 quantization, which the bf16 index
+    # pool here does not use.
+
+    def mla_sparse(
+        self,
+        q: jax.Array,       # [T, nh, D] absorbed MLA query
+        rows: jax.Array,    # [T, D] latent rows to cache
+        idx_q: jax.Array,   # [T, h, d] indexer queries (roped)
+        idx_k: jax.Array,   # [T, d] indexer keys (normed + roped)
+        gates: jax.Array,   # [T, h] head gates (scales pre-absorbed)
+        layer_id: int,
+        kv,
+        fb: ForwardBatch,
+        v_dim: int,
+        scale: float,
+        index_topk: int,
+    ):
+        latent = self.write_mla(kv[layer_id][0], rows, fb)
+        idx_pool = self._write_plain(kv[layer_id][1], idx_k, fb)
+        args = dict(v_dim=v_dim, scale=scale, index_topk=index_topk)
+        if fb.mode.is_mixed():
+            fb_p, fb_d, qp, qd = self._mixed_views(q, fb)
+            Tp = fb.mixed_tp
+            out = jnp.concatenate(
+                [
+                    self.forward_dsa_extend(
+                        qp, latent, idx_pool, idx_q[:Tp], gates[:Tp],
+                        fb_p, **args,
+                    ),
+                    self.forward_dsa_decode(
+                        qd, latent, idx_pool, idx_q[Tp:], gates[Tp:],
+                        fb_d, **args,
+                    ),
+                ],
+                axis=0,
+            )
+        elif fb.mode.is_decode():
+            out = self.forward_dsa_decode(
+                q, latent, idx_pool, idx_q, gates, fb, **args
+            )
+        else:
+            out = self.forward_dsa_extend(
+                q, latent, idx_pool, idx_q, gates, fb, **args
+            )
+        kv = kv[:layer_id] + ((latent, idx_pool),) + kv[layer_id + 1:]
+        return out, kv
+
+    def _write_plain(self, pool, rows, fb: ForwardBatch):
+        """Unquantized row write into a [NP, ps, 2, d/2] pool (the index-K
+        cache stays bf16 even when the latent pool is fp8-packed)."""
+        T = rows.shape[0]
+        pages = fb.out_cache_loc // self.page_size
+        offs = fb.out_cache_loc % self.page_size
+        fh = pool.shape[-1]
+        return pool.at[pages, offs].set(
+            rows.reshape(T, 2, fh).astype(pool.dtype)
+        )
+
+    def _dsa_scores(self, idx_q, ik, gates):
+        """score[., c] = sum_h gate[., h] * relu(idx_q[., h] . ik[., c])
+        (ref fp8_index: relu(q@k) * q_s, summed over heads; the
+        n_heads^-0.5 and d^-0.5 factors are pre-absorbed into gates)."""
+        s = jnp.einsum(
+            "thd,tcd->thc",
+            idx_q.astype(jnp.float32),
+            ik.astype(jnp.float32),
+        )
+        return jnp.einsum("thc,th->tc", jax.nn.relu(s),
+                          gates.astype(jnp.float32))
+
+    def _dsa_gather_latent(self, latent, slots, top_idx):
+        """Gather latent rows at per-row selected context positions.
+        slots [T, C] flat slot ids; top_idx [T, K] -> [T, K, D]."""
+        sel = jnp.take_along_axis(slots, top_idx, axis=1)  # [T, K]
+        pages = sel // self.page_size
+        offs = sel % self.page_size
+        g = latent[pages, offs]  # [T, K, ...]
+        if self.kv_quant:
+            return self._dequant(g.reshape(g.shape[0], g.shape[1], -1), 1)
+        return g.reshape(g.shape[0], g.shape[1], -1)
+
+    def _dsa_attend(self, q, rows, valid, v_dim, scale):
+        """Dense MQA attention over the gathered top-k rows [T, K, D]."""
+        scores = jnp.einsum(
+            "thd,tkd->thk",
+            q.astype(jnp.float32),
+            rows.astype(jnp.float32),
+        ) * scale
+        neg = jnp.float32(-1e30)
+        scores = jnp.where(valid[:, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "thk,tkv->thv", probs, rows[:, :, :v_dim].astype(jnp.float32)
+        )
+        return out.astype(q.dtype)
+
+    def forward_dsa_decode(self, q, latent, idx_pool, idx_q, gates, fb,
+                           *, v_dim, scale, index_topk):
+        from sglang_tpu.mem.kv_pool import kv_flat
+
+        B = q.shape[0]
+        pt = fb.page_table
+        C = pt.shape[1] * self.page_size
+        if C <= index_topk:
+            # Entire padded context fits in the top-k budget: dense path
+            # is exact and cheaper (ref _should_skip_logits_computation).
+            return self.forward_mla_decode(q, latent, fb, v_dim=v_dim,
+                                           scale=scale)
+        ikp = kv_flat(idx_pool)
+        ik = ikp[pt].reshape(B, C, -1)  # [B, C, d]
+        score = self._dsa_scores(idx_q, ik, gates)
+        ctx = jnp.arange(C, dtype=jnp.int32)
+        neg = jnp.float32(-1e30)
+        score = jnp.where(ctx[None, :] < fb.seq_lens[:, None], score, neg)
+        top_vals, top_idx = jax.lax.top_k(score, index_topk)
+        valid = top_vals > neg / 2
+        from sglang_tpu.ops.attention.xla_backend import _flat_slot_indices
+
+        slots = _flat_slot_indices(pt, self.page_size)
+        rows = self._dsa_gather_latent(latent, slots, top_idx)
+        return self._dsa_attend(q, rows, valid, v_dim, scale)
+
+    def forward_dsa_extend(self, q, latent, idx_pool, idx_q, gates, fb,
+                           *, v_dim, scale, index_topk):
+        from sglang_tpu.mem.kv_pool import kv_flat
+        from sglang_tpu.ops.attention.xla_backend import _flat_slot_indices
+
+        T = q.shape[0]
+        slots = _flat_slot_indices(fb.page_table, self.page_size)[fb.seq_ids]
+        C = slots.shape[1]
+        if C <= index_topk:
+            return self.forward_mla_extend(q, latent, fb, v_dim=v_dim,
+                                           scale=scale)
+        ikp = kv_flat(idx_pool)
+        ik = ikp.reshape(-1, ikp.shape[-1])[
+            slots.reshape(-1)
+        ].reshape(T, C, -1)
+        score = self._dsa_scores(idx_q, ik, gates)
+        ctx = jnp.arange(C, dtype=jnp.int32)
+        neg = jnp.float32(-1e30)
+        score = jnp.where(ctx[None, :] <= fb.positions[:, None], score, neg)
+        top_vals, top_idx = jax.lax.top_k(score, index_topk)
+        valid = top_vals > neg / 2
+        rows = self._dsa_gather_latent(latent, slots, top_idx)
+        return self._dsa_attend(q, rows, valid, v_dim, scale)
+
 
 ATTENTION_BACKENDS: Dict[str, Type[AttentionBackend]] = {}
 
