@@ -118,6 +118,8 @@ class HttpServer:
                 input_embeds=body.get("input_embeds"),
                 priority=body.get("priority", 0),
                 session_params=body.get("session_params"),
+                image_data=body.get("image_data"),
+                audio_data=body.get("audio_data"),
             )
         except Exception as e:  # noqa: BLE001
             return _json_error(str(e))
@@ -840,6 +842,207 @@ class HttpServer:
             }
         )
 
+    # ---------------------------------------------------------------- audio
+    async def _read_transcription_request(self, request: web.Request):
+        """Accept multipart/form-data (OpenAI client convention) or JSON
+        with a base64 `file` field. Returns (audio_bytes_or_b64, fields)."""
+        ctype = request.headers.get("Content-Type", "")
+        if ctype.startswith("multipart/"):
+            fields = {}
+            audio = None
+            async for part in await request.multipart():
+                if part.name == "file":
+                    audio = await part.read(decode=False)
+                else:
+                    fields[part.name] = (await part.text())
+            return audio, fields
+        body = await request.json()
+        return body.get("file"), body
+
+    async def _run_audio_chat(self, audio, fields, instruction: str):
+        """Drive the audio-chat model (Qwen2-Audio-class) with one audio
+        clip + an instruction; returns the generated text + meta.
+
+        Ref: srt/entrypoints/openai/serving_transcription.py — ASR models
+        are served through the chat path with an adapter-built prompt."""
+        prompt = fields.get("prompt") or instruction
+        lang = fields.get("language")
+        if lang:
+            prompt = f"{prompt} Language: {lang}."
+        body = {
+            "messages": [{
+                "role": "user",
+                "content": [
+                    {"type": "input_audio", "input_audio": {"data": audio}},
+                    {"type": "text", "text": " " + prompt},
+                ],
+            }],
+            "temperature": float(fields.get("temperature") or 0.0),
+            "max_tokens": int(fields.get("max_tokens") or 440),
+        }
+        gri = self.openai.chat_to_gri(body)
+        out = None
+        async for out in self.tm.generate_request(gri):
+            pass
+        return out
+
+    async def _audio_endpoint(self, request, instruction):
+        try:
+            audio, fields = await self._read_transcription_request(request)
+            if audio is None:
+                return _json_error("missing `file`")
+            out = await self._run_audio_chat(audio, fields, instruction)
+        except ValueError as e:
+            return _json_error(str(e))
+        text = out["text"] if out else ""
+        fmt = (fields.get("response_format") or "json").lower()
+        if fmt == "text":
+            return web.Response(text=text, content_type="text/plain")
+        resp = {"text": text}
+        if fmt == "verbose_json":
+            resp.update(
+                task="transcribe", language=fields.get("language") or "",
+                duration=None, segments=[],
+                usage=out["meta_info"] if out else {},
+            )
+        return web.json_response(resp)
+
+    async def v1_audio_transcriptions(self, request: web.Request):
+        """OpenAI /v1/audio/transcriptions (ref http_server.py:1772):
+        audio-chat models (Qwen2-Audio-class) transcribe via an
+        instruction prompt."""
+        return await self._audio_endpoint(
+            request, "Transcribe the audio into text."
+        )
+
+    async def v1_audio_translations(self, request: web.Request):
+        return await self._audio_endpoint(
+            request, "Translate the audio into English text."
+        )
+
+    async def v1_realtime(self, request: web.Request):
+        """Minimal OpenAI Realtime API subset over WebSocket (ref
+        http_server.py:1812 /v1/realtime + entrypoints/openai/realtime):
+        session.update, input_audio_buffer.append/commit/clear,
+        response.create -> response.output_text.delta stream +
+        response.done. Input audio: base64 pcm16 (little-endian) at
+        session.input_audio_sample_rate (default 16000)."""
+        import base64 as _b64
+
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        sid = f"sess_{uuid.uuid4().hex[:12]}"
+        session = {"instructions": "", "input_audio_sample_rate": 16000}
+        await ws.send_json(
+            {"type": "session.created",
+             "session": {"id": sid, "object": "realtime.session"}}
+        )
+        pcm = bytearray()
+        committed = []  # committed audio clips (np float32 waveforms)
+
+        async def _respond(ev):
+            import numpy as np
+
+            from sglang_tpu.multimodal.audio import _resample_linear
+
+            instr = (
+                (ev.get("response") or {}).get("instructions")
+                or session["instructions"]
+                or "Transcribe the audio into text."
+            )
+            content = []
+            for wav in committed:
+                content.append(
+                    {"type": "input_audio", "input_audio": {"data": wav}}
+                )
+            content.append({"type": "text", "text": " " + instr})
+            body = {
+                "messages": [{"role": "user", "content": content}],
+                "temperature": 0.0,
+                "max_tokens": 440,
+            }
+            rid = f"resp_{uuid.uuid4().hex[:12]}"
+            try:
+                gri = self.openai.chat_to_gri(body)
+                gri.stream = True
+                sent = 0
+                async for out in self.tm.generate_request(gri):
+                    delta = out["text"][sent:]
+                    sent = len(out["text"])
+                    if delta:
+                        await ws.send_json(
+                            {"type": "response.output_text.delta",
+                             "response_id": rid, "delta": delta}
+                        )
+                await ws.send_json(
+                    {"type": "response.output_text.done",
+                     "response_id": rid}
+                )
+                await ws.send_json(
+                    {"type": "response.done",
+                     "response": {"id": rid, "status": "completed"}}
+                )
+            except Exception as e:  # noqa: BLE001
+                await ws.send_json(
+                    {"type": "error",
+                     "error": {"type": "server_error", "message": str(e)}}
+                )
+
+        async for msg in ws:
+            if msg.type != web.WSMsgType.TEXT:
+                break
+            try:
+                ev = json.loads(msg.data)
+            except Exception:
+                await ws.send_json(
+                    {"type": "error",
+                     "error": {"type": "invalid_request_error",
+                               "message": "invalid JSON"}}
+                )
+                continue
+            et = ev.get("type")
+            if et == "session.update":
+                session.update(ev.get("session") or {})
+                await ws.send_json(
+                    {"type": "session.updated",
+                     "session": {"id": sid, **session}}
+                )
+            elif et == "input_audio_buffer.append":
+                pcm.extend(_b64.b64decode(ev.get("audio", "")))
+            elif et == "input_audio_buffer.clear":
+                pcm.clear()
+                await ws.send_json({"type": "input_audio_buffer.cleared"})
+            elif et == "input_audio_buffer.commit":
+                import numpy as np
+
+                from sglang_tpu.multimodal.audio import (
+                    SAMPLE_RATE,
+                    _resample_linear,
+                )
+
+                x = (
+                    np.frombuffer(bytes(pcm), np.int16).astype(np.float32)
+                    / 32768.0
+                )
+                sr = int(session.get("input_audio_sample_rate", 16000))
+                if sr != SAMPLE_RATE:
+                    x = _resample_linear(x, sr, SAMPLE_RATE)
+                committed.append(x)
+                pcm.clear()
+                await ws.send_json(
+                    {"type": "input_audio_buffer.committed",
+                     "item_id": f"item_{len(committed)}"}
+                )
+            elif et == "response.create":
+                await _respond(ev)
+            else:
+                await ws.send_json(
+                    {"type": "error",
+                     "error": {"type": "invalid_request_error",
+                               "message": f"unsupported event {et!r}"}}
+                )
+        return ws
+
     # --------------------------------------------------------------- wiring
     def build_app(self) -> web.Application:
         app = web.Application(client_max_size=64 * 1024 * 1024)
@@ -885,6 +1088,9 @@ class HttpServer:
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_post("/v1/messages", self.v1_messages)
+        r.add_post("/v1/audio/transcriptions", self.v1_audio_transcriptions)
+        r.add_post("/v1/audio/translations", self.v1_audio_translations)
+        r.add_get("/v1/realtime", self.v1_realtime)
         r.add_post("/api/chat", self.ollama_chat)
         return app
 

@@ -107,6 +107,24 @@ class OpenAIServing:
             self._img_placeholder = ph
         return self._img_placeholder
 
+    def _audio_placeholder(self) -> str:
+        """Per-model audio placeholder TEXT (Qwen2-Audio: <|AUDIO|>),
+        resolved by decoding cfg.audio_token_index."""
+        if getattr(self, "_aud_placeholder", None) is None:
+            ph = "<|AUDIO|>"
+            try:
+                cfg, _ = self.tm._get_mm()
+                tid = getattr(cfg, "audio_token_id",
+                              getattr(cfg, "audio_token_index", None))
+                if tid is not None and self.tm.tokenizer is not None:
+                    dec = self.tm.tokenizer.decode([int(tid)])
+                    if dec:
+                        ph = dec
+            except Exception:
+                pass
+            self._aud_placeholder = ph
+        return self._aud_placeholder
+
     # ------------------------------------------------------------ completions
     def completions_to_gri(self, body: Dict[str, Any]) -> GenerateReqInput:
         prompt = body.get("prompt")
@@ -199,6 +217,7 @@ class OpenAIServing:
         # stands in for each image; TokenizerManager expands it).
         # Ref: serving_chat.py multimodal content handling.
         image_data = []
+        audio_data = []
         norm_messages = []
         for m in messages:
             content = m.get("content")
@@ -212,6 +231,24 @@ class OpenAIServing:
                             url = url["url"]
                         image_data.append(url)
                         texts.append(self._image_placeholder())
+                    elif ptype == "input_audio":
+                        # OpenAI audio part: {input_audio: {data: b64,
+                        # format: "wav"}}; also accept audio_url like the
+                        # reference's serving_chat.
+                        ia = part.get("input_audio") or {}
+                        data = ia.get("data")
+                        if data is None and part.get("audio_url"):
+                            data = part["audio_url"]
+                            if isinstance(data, dict):
+                                data = data["url"]
+                        audio_data.append(data)
+                        texts.append(self._audio_placeholder())
+                    elif ptype == "audio_url":
+                        url = part["audio_url"]
+                        if isinstance(url, dict):
+                            url = url["url"]
+                        audio_data.append(url)
+                        texts.append(self._audio_placeholder())
                     elif ptype == "text":
                         texts.append(part.get("text", ""))
                 m = dict(m, content="".join(texts))
@@ -243,6 +280,7 @@ class OpenAIServing:
             return_logprob=bool(body.get("logprobs")),
             top_logprobs_num=top_lp,
             image_data=image_data or None,
+            audio_data=audio_data or None,
         )
 
     def chat_response(self, body: Dict, outs, created: int) -> Dict:

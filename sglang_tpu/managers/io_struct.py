@@ -40,6 +40,9 @@ class GenerateReqInput:
     label_token_ids: Optional[Any] = None
     # Multimodal (round-2 surface)
     image_data: Optional[Any] = None
+    # Audio clips (path / WAV bytes / base64 / data URI / np waveform),
+    # one per audio placeholder token (ref GenerateReqInput.audio_data).
+    audio_data: Optional[Any] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:

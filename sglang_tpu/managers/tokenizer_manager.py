@@ -133,35 +133,53 @@ class TokenizerManager:
         cfg, proc = self._get_mm()
         if proc is None:
             raise ValueError(
-                f"model {self.server_args.model_path} has no image processor"
+                f"model {self.server_args.model_path} has no mm processor"
             )
-        img_tok = getattr(cfg, "image_token_id",
-                          getattr(cfg, "image_token_index", None))
-        images = gri.image_data
-        if not isinstance(images, list):
-            images = [images]
-        processed = [proc(load_image(d)) for d in images]
+        is_audio = getattr(proc, "modality", "image") == "audio"
+        if is_audio:
+            mm_tok = getattr(cfg, "audio_token_id",
+                             getattr(cfg, "audio_token_index", None))
+            items = gri.audio_data if gri.audio_data is not None \
+                else gri.image_data
+        else:
+            mm_tok = getattr(cfg, "image_token_id",
+                             getattr(cfg, "image_token_index", None))
+            items = gri.image_data
+        if not isinstance(items, list):
+            items = [items]
+        if is_audio:
+            processed = [proc(d) for d in items]
+            payloads = [dict(
+                pixel_values=pr.features,
+                grid_thw=(pr.num_frames,),
+                mm_hash=pr.mm_hash,
+                num_tokens=pr.num_tokens,
+            ) for pr in processed]
+        else:
+            processed = [proc(load_image(d)) for d in items]
+            payloads = [dict(
+                pixel_values=pr.pixel_values,
+                grid_thw=pr.grid_thw,
+                mm_hash=pr.mm_hash,
+                num_tokens=pr.num_tokens,
+            ) for pr in processed]
         out_ids: List[int] = []
         mm_inputs = []
-        img_i = 0
+        mm_i = 0
         for tok in input_ids:
-            if tok == img_tok and img_i < len(processed):
-                pr = processed[img_i]
-                img_i += 1
-                mm_inputs.append(dict(
-                    pixel_values=pr.pixel_values,
-                    grid_thw=pr.grid_thw,
-                    mm_hash=pr.mm_hash,
-                    offset=len(out_ids),
-                    num_tokens=pr.num_tokens,
-                ))
-                out_ids.extend([img_tok] * pr.num_tokens)
+            if tok == mm_tok and mm_i < len(payloads):
+                pl = dict(payloads[mm_i])
+                mm_i += 1
+                pl["offset"] = len(out_ids)
+                mm_inputs.append(pl)
+                out_ids.extend([mm_tok] * pl["num_tokens"])
             else:
                 out_ids.append(tok)
-        if img_i != len(processed):
+        if mm_i != len(payloads):
+            kind = "audios" if is_audio else "images"
             raise ValueError(
-                f"{len(processed)} images but only {img_i} image tokens in "
-                "the prompt"
+                f"{len(payloads)} {kind} but only {mm_i} placeholder tokens "
+                "in the prompt"
             )
         return out_ids, mm_inputs
 
@@ -248,7 +266,8 @@ class TokenizerManager:
         sp.normalize()
         input_ids = self._tokenize(gri)
         mm_inputs = None
-        if getattr(gri, "image_data", None) is not None:
+        if (getattr(gri, "image_data", None) is not None
+                or getattr(gri, "audio_data", None) is not None):
             input_ids, mm_inputs = self._process_images(gri, input_ids)
         ctx_limit = self.server_args.context_length
         if ctx_limit and len(input_ids) >= ctx_limit:

@@ -60,6 +60,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
                                       "LlavaForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": ("sglang_tpu.models.qwen2_vl",
                                         "Qwen2VLForConditionalGeneration"),
+    "Qwen2AudioForConditionalGeneration": ("sglang_tpu.models.qwen2_audio",
+                                           "Qwen2AudioForConditionalGeneration"),
 }
 
 

@@ -166,9 +166,17 @@ class Qwen2VLImageProcessor:
         )
 
 
+def _qwen2_audio_processor(hf_config):
+    from sglang_tpu.multimodal.audio import Qwen2AudioProcessor
+
+    return Qwen2AudioProcessor(hf_config)
+
+
 _PROCESSORS = {
     "LlavaForConditionalGeneration": LlavaImageProcessor,
     "Qwen2VLForConditionalGeneration": Qwen2VLImageProcessor,
+    # Audio modality (processor.modality == "audio"):
+    "Qwen2AudioForConditionalGeneration": _qwen2_audio_processor,
 }
 
 
