@@ -421,6 +421,17 @@ class HttpServer:
             {"success": ok, "message": message}, status=200 if ok else 400
         )
 
+    async def elastic_ep(self, request: web.Request) -> web.Response:
+        """POST {"dead_ranks": [..]} — elastic-EP scale event (ref
+        srt/elastic_ep/elastic_ep.py): MoE routing excludes dead EP
+        shards; [] restores full-width routing."""
+        body = await request.json()
+        dead = body.get("dead_ranks", [])
+        ok, message = await self.tm.elastic_ep(dead)
+        return web.json_response(
+            {"success": ok, "message": message}, status=200 if ok else 400
+        )
+
     async def abort_request(self, request: web.Request) -> web.Response:
         body = await request.json()
         await self.tm.abort_request(body.get("rid", ""))
@@ -1074,6 +1085,7 @@ class HttpServer:
             self.expert_distribution,
         )
         r.add_post("/eplb_rebalance", self.eplb_rebalance)
+        r.add_post("/elastic_ep", self.elastic_ep)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)

@@ -129,6 +129,134 @@ def imbalance(load: np.ndarray, phy2log: np.ndarray, ep: int) -> float:
     return float(shard.max() / mean)
 
 
+def compute_redundant_placement(
+    load: np.ndarray,
+    ep: int,
+    num_physical: int,
+    rmax: int,
+    dead_shards: Tuple[int, ...] = (),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """DeepSeek-EPLB-style placement with replication (ref
+    srt/eplb/eplb_algorithms/deepseek.py) plus elastic-EP shard exclusion
+    (ref srt/elastic_ep/elastic_ep.py:23 recast: routing-level elasticity —
+    dead shards keep their slots but no logical expert maps to them).
+
+    Returns (phy2log [P], log2phy [E, rmax], logcnt [E]). Dead shards'
+    slots are filled round-robin (arrays stay fully materialized under
+    GSPMD) but excluded from log2phy, so no token ever routes there.
+    """
+    E = load.shape[0]
+    P = num_physical
+    assert P % ep == 0
+    cap = P // ep
+    live = [s for s in range(ep) if s not in set(dead_shards)]
+    if not live:
+        raise ValueError("all EP shards marked dead")
+    budget = cap * len(live)
+    if budget < E:
+        raise ValueError(
+            f"{len(live)} live shards x {cap} slots = {budget} < {E} "
+            f"experts; cannot cover every expert"
+        )
+    # 1) Replication counts: greedily grant extra slots to the expert with
+    #    the highest per-replica load (each replica halves its share).
+    reps = np.ones(E, np.int64)
+    max_reps = min(rmax, len(live))
+    for _ in range(budget - E):
+        score = load / reps
+        score = np.where(reps >= max_reps, -1.0, score)
+        e = int(np.argmax(score))
+        if score[e] < 0:
+            break  # everything at max replication; leftover slots stay filler
+        reps[e] += 1
+    # 2) Pack replica instances onto live shards: heavy first, least-loaded
+    #    shard with free capacity, avoiding shards already holding a
+    #    replica of the same expert when possible.
+    items = []  # (share, expert)
+    for e in range(E):
+        items.extend([(float(load[e]) / reps[e], e)] * int(reps[e]))
+    items.sort(key=lambda t: -t[0])
+    shard_load = {s: 0.0 for s in live}
+    shard_items: Dict[int, List[int]] = {s: [] for s in live}
+    for share, e in items:
+        free = [s for s in live if len(shard_items[s]) < cap]
+        pref = [s for s in free if e not in shard_items[s]] or free
+        s = min(pref, key=lambda s: shard_load[s])
+        shard_items[s].append(e)
+        shard_load[s] += share
+    # 3) Fillers for any unpacked live slots and all dead-shard slots.
+    phy2log = np.zeros(P, np.int32)
+    routable = np.zeros(P, bool)
+    for s in live:
+        fill = shard_items[s] + [
+            i % E for i in range(cap - len(shard_items[s]))
+        ]
+        phy2log[s * cap:(s + 1) * cap] = fill
+        routable[s * cap:s * cap + len(shard_items[s])] = True
+    for s in set(dead_shards):
+        phy2log[s * cap:(s + 1) * cap] = np.arange(cap, dtype=np.int32) % E
+    # 4) Invert to log2phy/logcnt over routable slots only.
+    log2phy = np.zeros((E, rmax), np.int32)
+    logcnt = np.zeros(E, np.int32)
+    for p in range(P):
+        if not routable[p]:
+            continue
+        e = int(phy2log[p])
+        if logcnt[e] < rmax:
+            log2phy[e, logcnt[e]] = p
+            logcnt[e] += 1
+    assert (logcnt > 0).all()
+    for e in range(E):
+        log2phy[e, logcnt[e]:] = log2phy[e, 0]  # pad with the primary
+    return phy2log, log2phy, logcnt
+
+
+def rebalance_params_redundant(
+    params,
+    placements: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]],
+):
+    """Param updates for replicated placements: new physical slot p gets
+    the weights of logical expert phy2log[p], sourced from that expert's
+    CURRENT primary slot; log2phy/logcnt are rewritten."""
+    import jax.numpy as jnp
+
+    updates = {}
+    for prefix, (phy2log, log2phy, logcnt) in placements.items():
+        l2p_key = f"{prefix}/eplb_log2phy"
+        if l2p_key not in params:
+            logger.warning("no log2phy param for %s; skipping", prefix)
+            continue
+        cur_l2p = np.asarray(params[l2p_key])
+        cur_primary = cur_l2p[:, 0] if cur_l2p.ndim == 2 else cur_l2p  # [E]
+        gather_idx = cur_primary[phy2log]  # [P]
+        gi = jnp.asarray(gather_idx)
+        for suffix in ("w_gate_up", "w_down", "w_gate_up/qscale",
+                       "w_down/qscale"):
+            key = f"{prefix}/{suffix}"
+            if key in params:
+                updates[key] = params[key][gi]
+        updates[l2p_key] = jnp.asarray(log2phy)
+        cnt_key = f"{prefix}/eplb_logcnt"
+        if cnt_key in params:
+            updates[cnt_key] = jnp.asarray(logcnt)
+    return updates
+
+
+def imbalance_redundant(load: np.ndarray, log2phy: np.ndarray,
+                        logcnt: np.ndarray, num_physical: int,
+                        ep: int) -> float:
+    """max/mean shard load with each expert's load split over its ROUTABLE
+    replicas (filler/dead slots carry none)."""
+    cap = num_physical // ep
+    shard = np.zeros(ep)
+    for e in range(load.shape[0]):
+        share = load[e] / max(int(logcnt[e]), 1)
+        for r in range(int(logcnt[e])):
+            shard[int(log2phy[e, r]) // cap] += share
+    mean = shard.mean() or 1.0
+    return float(shard.max() / mean)
+
+
 def rebalance_params(params, placements: Dict[str, np.ndarray],
                      num_experts: Dict[str, int]):
     """Produce updated params: for each MoE prefix, permute the expert dim

@@ -38,6 +38,11 @@ class ParamSpec:
     # tensor; checkpoints are assembled in float then quantized.
     quant_method: Any = None  # Optional[str]
     quant_axes: Tuple[int, ...] = (0,)
+    # Host-side hook applied to the assembled float buffer before
+    # quantization/device_put. Used by EPLB redundant experts: checkpoints
+    # carry E logical experts but the physical array holds P = E + R
+    # slots; the hook replicates the initial replica rows (layers/moe.py).
+    post_load: Any = None  # Optional[Callable[[np.ndarray], np.ndarray]]
 
 
 SpecTree = Dict[str, ParamSpec]
@@ -93,7 +98,7 @@ def init_dummy_params(
                 )
             params[name] = arr
             continue
-        if spec.quant_method:
+        if spec.quant_method or spec.post_load is not None:
             # Quantization happens host-side (materialize_param): generate
             # the floats with numpy too — np.asarray of a device-generated
             # tensor would DOWNLOAD it (hundreds of MB per param through
@@ -105,6 +110,8 @@ def init_dummy_params(
                 rng.standard_normal(spec.shape, dtype=np.float32)
                 * spec.init_scale
             )
+            if spec.post_load is not None:
+                arr_np = spec.post_load(arr_np)
             params.update(materialize_param(name, spec, arr_np, mesh_ctx))
             continue
         key = jax.random.fold_in(

@@ -58,6 +58,50 @@ def get_moe_a2a() -> Optional[str]:
     return _MOE_A2A
 
 
+# Two-batch overlap (ref srt/batch_overlap/two_batch_overlap.py:78). The
+# reference hand-schedules two microbatches so microbatch B's MoE
+# all-to-all rides under microbatch A's attention/GEMM compute on
+# separate CUDA streams. The TPU recast: split the token stream into two
+# INDEPENDENT dataflow chains through the dispatch (two ragged-a2a +
+# grouped-GEMM sequences with no edge between them) inside one XLA
+# program — XLA's async collectives + latency-hiding scheduler then
+# start chain B's all-to-all while chain A's GEMMs occupy the MXU.
+# Streams/events are the CUDA mechanism; independent dataflow is the
+# XLA mechanism. Bonus: each chain's worst-case recv buffer (T*K rows)
+# halves. Single-batch overlap (SBO, ref batch_overlap/sbo.py) — shared-
+# expert compute riding under the routed dispatch — is already
+# structural here: shared experts are a sibling chain of the FusedMoE
+# call in every model that has them (e.g. models/deepseek_v2.py), so XLA
+# may always overlap them; there is nothing to switch.
+_TBO: bool = False
+
+
+def set_tbo(enabled: bool) -> None:
+    global _TBO
+    _TBO = bool(enabled)
+
+
+def get_tbo() -> bool:
+    return _TBO
+
+
+# EPLB redundant experts (ref --ep-num-redundant-experts,
+# srt/eplb/eplb_algorithms/deepseek.py): each MoE layer carries
+# P = E + R physical expert slots; hot logical experts occupy several
+# slots (on different EP shards) and tokens fan out across the replicas.
+# R must be divisible by ep_size (every shard holds P/ep slots).
+_NUM_REDUNDANT: int = 0
+
+
+def set_redundant_experts(n: int) -> None:
+    global _NUM_REDUNDANT
+    _NUM_REDUNDANT = int(n)
+
+
+def get_redundant_experts() -> int:
+    return _NUM_REDUNDANT
+
+
 def _ragged_a2a(operand, output, in_off, send_sz, out_off, recv_sz,
                 axis_name):
     """jax.lax.ragged_all_to_all, with a semantically identical
@@ -108,6 +152,16 @@ class FusedMoE:
         self.ep_size = ctx.ep_size if (
             ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
         ) else 1
+        # Redundant expert slots (EPLB replication). Physical slot count P
+        # must stay divisible by ep for the expert-dim sharding.
+        self.num_redundant = get_redundant_experts()
+        if self.num_redundant and self.ep_size > 1:
+            if self.num_redundant % self.ep_size != 0:
+                raise ValueError(
+                    f"--ep-num-redundant-experts {self.num_redundant} not "
+                    f"divisible by ep_size {self.ep_size}"
+                )
+        self.num_physical = num_experts + self.num_redundant
         from sglang_tpu.quantization import get_quant_method
 
         # Expert weights quantize per (expert, out-channel); the dequant
@@ -118,6 +172,8 @@ class FusedMoE:
 
     def specs(self, prefix: str) -> SpecTree:
         E, H, I = self.num_experts, self.hidden_size, self.intermediate_size
+        R = self.num_redundant
+        NP_ = self.num_physical
         if self.ep_size > 1:
             # EP: shard the EXPERT dim over the tp-axis devices.
             gu_spec = P(AXIS_TP, None, None, None)
@@ -131,22 +187,49 @@ class FusedMoE:
         from sglang_tpu.eplb import MOE_LAYER_REGISTRY
 
         MOE_LAYER_REGISTRY[prefix] = E
-        return {
+
+        replicate = None
+        if R:
+            def replicate(buf, E=E, R=R):
+                # Initial placement: physical slot E+j replicates logical
+                # expert j (j < R); checkpoints only fill rows 0..E-1.
+                buf[E:E + R] = buf[:R]
+                return buf
+
+        specs = {
             join(prefix, "router"): ParamSpec((H, E), self.dtype, P()),
             join(prefix, "w_gate_up"): ParamSpec(
-                (E, H, 2, I), self.dtype, gu_spec,
+                (NP_, H, 2, I), self.dtype, gu_spec,
                 quant_method=self.quant, quant_axes=(1,),
+                post_load=replicate,
             ),
             join(prefix, "w_down"): ParamSpec(
-                (E, I, H), self.dtype, dn_spec,
+                (NP_, I, H), self.dtype, dn_spec,
                 quant_method=self.quant, quant_axes=(1,),
-            ),
-            # EPLB placement map (sglang_tpu/eplb.py): logical expert ->
-            # physical slot; identity until a rebalance rewrites it.
-            join(prefix, "eplb_log2phy"): ParamSpec(
-                (E,), jnp.int32, P(), init_value=np.arange(E, dtype=np.int32)
+                post_load=replicate,
             ),
         }
+        if R:
+            # Replicated placement: log2phy [E, Rmax] (replica slots,
+            # padded with the primary), logcnt [E] live-replica counts.
+            rmax = R + 1
+            l2p = np.tile(np.arange(E, dtype=np.int32)[:, None], (1, rmax))
+            l2p[:R, 1] = E + np.arange(R, dtype=np.int32)
+            cnt = np.ones(E, np.int32)
+            cnt[:R] = 2
+            specs[join(prefix, "eplb_log2phy")] = ParamSpec(
+                (E, rmax), jnp.int32, P(), init_value=l2p
+            )
+            specs[join(prefix, "eplb_logcnt")] = ParamSpec(
+                (E,), jnp.int32, P(), init_value=cnt
+            )
+        else:
+            # EPLB placement map (sglang_tpu/eplb.py): logical expert ->
+            # physical slot; identity until a rebalance rewrites it.
+            specs[join(prefix, "eplb_log2phy")] = ParamSpec(
+                (E,), jnp.int32, P(), init_value=np.arange(E, dtype=np.int32)
+            )
+        return specs
 
     def _expert_weights(self, params: Params, prefix: str, dtype):
         """(w_gate_up, w_down), dequantized when quantization is on."""
@@ -178,7 +261,18 @@ class FusedMoE:
 
         maybe_record(prefix, topk_idx, E)
         # EPLB placement: logical -> physical expert slots.
-        topk_idx = params[join(prefix, "eplb_log2phy")][topk_idx]
+        l2p = params[join(prefix, "eplb_log2phy")]
+        if l2p.ndim == 2:
+            # Redundant experts: fan tokens over an expert's replicas by
+            # token position (deterministic, batch-order stable).
+            cnt = params[join(prefix, "eplb_logcnt")][topk_idx]  # [T, K]
+            pos = jnp.arange(topk_idx.shape[0], dtype=jnp.int32)[:, None]
+            rep = (pos + jnp.arange(K, dtype=jnp.int32)[None, :]) % cnt
+            topk_idx = jnp.take_along_axis(
+                l2p[topk_idx], rep[..., None], axis=-1
+            )[..., 0]
+        else:
+            topk_idx = l2p[topk_idx]
         return self.compute_experts(params, prefix, x, topk_weights, topk_idx)
 
     @staticmethod
@@ -200,15 +294,28 @@ class FusedMoE:
     def compute_experts(self, params: Params, prefix: str, x: jax.Array,
                         topk_weights: jax.Array, topk_idx: jax.Array
                         ) -> jax.Array:
-        """Dropless grouped-GEMM expert compute given routing decisions."""
+        """Dropless grouped-GEMM expert compute given routing decisions.
+
+        topk_idx carries PHYSICAL slot ids (post-EPLB placement); all
+        group bookkeeping below runs over the P = E + R physical slots."""
         T, H = x.shape
-        E, K = self.num_experts, topk_idx.shape[-1]
+        E, K = self.num_physical, topk_idx.shape[-1]
         if (
             self.ep_size > 1
             and get_moe_a2a() == "ragged"
             and T % self.ep_size == 0
         ):
             w_gu, w_dn = self._expert_weights(params, prefix, x.dtype)
+            if get_tbo() and T % (2 * self.ep_size) == 0 and T >= 2 * self.ep_size:
+                # Two-batch overlap: two independent dispatch chains.
+                h = T // 2
+                out_a = self._experts_ep_a2a(
+                    x[:h], topk_weights[:h], topk_idx[:h], w_gu, w_dn
+                )
+                out_b = self._experts_ep_a2a(
+                    x[h:], topk_weights[h:], topk_idx[h:], w_gu, w_dn
+                )
+                return jnp.concatenate([out_a, out_b], axis=0).astype(x.dtype)
             return self._experts_ep_a2a(
                 x, topk_weights, topk_idx, w_gu, w_dn
             ).astype(x.dtype)
@@ -246,7 +353,7 @@ class FusedMoE:
         over only the RECEIVED rows, and reverses the exchange. Traffic
         per shard = its sent + received rows; GEMM reads drop ep-fold vs
         the padded-groups formulation."""
-        E, K = self.num_experts, topk_i.shape[-1]
+        E, K = self.num_physical, topk_i.shape[-1]
         ep = self.ep_size
         El = E // ep
         T, H = x.shape
@@ -333,7 +440,7 @@ class FusedMoE:
         processes the FULL sorted stream with zero-weight padding groups for
         the rows owned by other shards (their outputs are exactly zero —
         silu(0)*0 through zero down-weights), then psum combines shards."""
-        E = self.num_experts
+        E = self.num_physical
         ep = self.ep_size
         El = E // ep
         TK = x_sorted.shape[0]

@@ -245,8 +245,11 @@ class ExpertDistributionResp:
 @dataclasses.dataclass
 class EplbRebalanceReq:
     """Recompute expert placement from recorded loads and permute expert
-    weights (ref srt/eplb/eplb_manager.py rebalance)."""
-    pass
+    weights (ref srt/eplb/eplb_manager.py rebalance). When dead_ranks is
+    not None this is an elastic-EP scale event (ref
+    srt/elastic_ep/elastic_ep.py): placement excludes those EP shards
+    (empty list = restore all shards)."""
+    dead_ranks: Optional[list] = None
 
 
 @dataclasses.dataclass

@@ -69,7 +69,12 @@ class Scheduler:
                                server_args.trust_remote_code)
         )
         self.runner = ModelRunner(server_args)
-        self.core = ScheduleCore(server_args, self.runner, tokenizer)
+        if server_args.enable_pdmux:
+            from sglang_tpu.multiplex import PDMuxCoordinator
+
+            self.core = PDMuxCoordinator(server_args, self.runner, tokenizer)
+        else:
+            self.core = ScheduleCore(server_args, self.runner, tokenizer)
         self._req_meta = {}  # rid -> (skip_special, spaces_between, stop, no_trim)
 
     def handle_msg(self, msg) -> None:
@@ -128,7 +133,10 @@ class Scheduler:
                 self.to_detok, ExpertDistributionResp(success=True, data=data)
             )
         elif isinstance(msg, EplbRebalanceReq):
-            ok, message = self.runner.eplb_rebalance()
+            if msg.dead_ranks is not None:
+                ok, message = self.runner.elastic_ep_scale(msg.dead_ranks)
+            else:
+                ok, message = self.runner.eplb_rebalance()
             send_pyobj(
                 self.to_detok, EplbRebalanceResp(success=ok, message=message)
             )

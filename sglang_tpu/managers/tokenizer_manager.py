@@ -519,6 +519,19 @@ class TokenizerManager:
         resp = await self._control_rpc(EplbRebalanceReq(), EplbRebalanceResp)
         return resp.success, resp.message
 
+    async def elastic_ep(self, dead_ranks):
+        """Elastic EP scale event: route MoE tokens around dead EP shards
+        (ref srt/elastic_ep/elastic_ep.py)."""
+        from sglang_tpu.managers.io_struct import (
+            EplbRebalanceReq,
+            EplbRebalanceResp,
+        )
+
+        resp = await self._control_rpc(
+            EplbRebalanceReq(dead_ranks=list(dead_ranks)), EplbRebalanceResp
+        )
+        return resp.success, resp.message
+
     async def health(self) -> bool:
         try:
             resp = await self._control_rpc(HealthCheckReq(), HealthCheckResp, 30)

@@ -112,9 +112,15 @@ class ModelRunner:
         # when emitting their param specs (ref --quantization,
         # srt/layers/quantization/base_config.py).
         set_quant_method(server_args.quantization)
-        from sglang_tpu.layers.moe import set_moe_a2a
+        from sglang_tpu.layers.moe import (
+            set_moe_a2a,
+            set_redundant_experts,
+            set_tbo,
+        )
 
         set_moe_a2a(server_args.moe_a2a_backend)
+        set_tbo(server_args.enable_two_batch_overlap)
+        set_redundant_experts(server_args.ep_num_redundant_experts)
 
         model_cls = get_model_class(model_config.architectures)
         self.model = model_cls(model_config)
@@ -387,6 +393,8 @@ class ModelRunner:
         ep = self.mesh_ctx.ep_size if self.mesh_ctx else 1
         if ep <= 1:
             return False, "ep_size <= 1; nothing to balance"
+        if self.server_args.ep_num_redundant_experts:
+            return self._eplb_rebalance_redundant(loads, ep)
         def cur_phy2log(k, E):
             l2p = np.asarray(self.params[f"{k}/eplb_log2phy"])
             p2l = np.empty(E, np.int32)
@@ -409,6 +417,75 @@ class ModelRunner:
             f"rebalanced {len(placements)} layers; "
             f"max/mean load {before:.3f} -> {after:.3f}"
         )
+
+    def _eplb_rebalance_redundant(self, loads, ep, dead_shards=()):
+        """Replicated-placement rebalance (redundant experts / elastic EP).
+        Ref: srt/eplb/eplb_algorithms/deepseek.py (replication) +
+        srt/elastic_ep/elastic_ep.py (shard exclusion)."""
+        from sglang_tpu import eplb
+
+        R = self.server_args.ep_num_redundant_experts
+        rmax = R + 1
+        placements = {}
+        before, after = [], []
+        for k, load in loads.items():
+            E = load.shape[0]
+            NP_ = E + R
+            cur_l2p = np.asarray(self.params[f"{k}/eplb_log2phy"])
+            cur_cnt = np.asarray(self.params[f"{k}/eplb_logcnt"])
+            before.append(
+                eplb.imbalance_redundant(load, cur_l2p, cur_cnt, NP_, ep)
+            )
+            p2l, l2p, cnt = eplb.compute_redundant_placement(
+                load, ep, NP_, rmax, dead_shards=tuple(dead_shards)
+            )
+            placements[k] = (p2l, l2p, cnt)
+            after.append(eplb.imbalance_redundant(load, l2p, cnt, NP_, ep))
+        updates = eplb.rebalance_params_redundant(self.params, placements)
+        self.params = {**self.params, **updates}
+        msg = (
+            f"rebalanced {len(placements)} layers (redundant={R}"
+            + (f", dead_shards={sorted(dead_shards)}" if dead_shards else "")
+            + f"); max/mean load {np.mean(before):.3f} -> {np.mean(after):.3f}"
+        )
+        return True, msg
+
+    def elastic_ep_scale(self, dead_ranks):
+        """Elastic EP (ref srt/elastic_ep/elastic_ep.py:23): routing-level
+        shard exclusion. A dead EP shard's expert slots stop receiving
+        tokens (every logical expert is re-covered by replicas on live
+        shards); the SPMD program itself is unchanged — a full mesh
+        rebuild remains the slow-path recovery. Requires redundant expert
+        slots for coverage. Pass an empty list to restore all shards."""
+        from sglang_tpu import eplb
+
+        ep = self.mesh_ctx.ep_size if self.mesh_ctx else 1
+        if ep <= 1:
+            return False, "ep_size <= 1; nothing to scale"
+        R = self.server_args.ep_num_redundant_experts
+        if not R:
+            return False, (
+                "elastic EP needs --ep-num-redundant-experts > 0 for "
+                "expert coverage on live shards"
+            )
+        dead = sorted(set(int(r) for r in dead_ranks))
+        if any(r < 0 or r >= ep for r in dead):
+            return False, f"dead rank out of range [0, {ep})"
+        loads = {
+            k: np.asarray(v, np.float64)
+            for k, v in eplb.RECORDER.dump().items()
+            if k in eplb.MOE_LAYER_REGISTRY
+        }
+        # Without recorded loads, balance uniformly.
+        for k, E in eplb.MOE_LAYER_REGISTRY.items():
+            if k not in loads and f"{k}/eplb_log2phy" in (self.params or {}):
+                loads[k] = np.ones(E, np.float64)
+        if not loads:
+            return False, "no MoE layers registered"
+        try:
+            return self._eplb_rebalance_redundant(loads, ep, dead_shards=dead)
+        except ValueError as e:
+            return False, str(e)
 
     def release_memory(self, tags) -> None:
         """Free device memory for colocated RL training (ref

@@ -116,9 +116,10 @@ def load_model_weights(
             continue
         from sglang_tpu.layers.base import materialize_param
 
-        params.update(
-            materialize_param(pname, spec, buffers.pop(pname), mesh_ctx)
-        )
+        buf = buffers.pop(pname)
+        if spec.post_load is not None:
+            buf = spec.post_load(buf)
+        params.update(materialize_param(pname, spec, buf, mesh_ctx))
     if missing:
         raise ValueError(f"missing weights for params: {missing[:8]}... "
                          f"({len(missing)} total)")
@@ -193,7 +194,12 @@ def update_params_from_named_tensors(
     for pname, buf in touched.items():
         from sglang_tpu.layers.base import materialize_param
 
-        new_params.update(
-            materialize_param(pname, specs[pname], buf, mesh_ctx)
-        )
+        spec = specs[pname]
+        if spec.post_load is not None:
+            # Redundant-expert replication assumes the INITIAL placement;
+            # RL weight pushes onto a live-rebalanced layout should reset
+            # placements first (matching the reference's expert-location
+            # reset before update_weights).
+            buf = spec.post_load(buf)
+        new_params.update(materialize_param(pname, spec, buf, mesh_ctx))
     return new_params

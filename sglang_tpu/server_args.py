@@ -129,6 +129,18 @@ class ServerArgs:
     # each expert shard exactly its tokens via jax.lax.ragged_all_to_all
     # (layers/moe.py); default keeps the padded-groups formulation.
     moe_a2a_backend: Optional[str] = None
+    # EPLB redundant experts (ref --ep-num-redundant-experts,
+    # srt/eplb/eplb_algorithms/deepseek.py): R extra physical expert slots
+    # per MoE layer hold replicas of hot experts; /eplb_rebalance packs
+    # replicated placements and /elastic_ep routes around dead EP shards.
+    # Must be divisible by ep_size.
+    ep_num_redundant_experts: int = 0
+    # Two-batch overlap (ref --enable-two-batch-overlap,
+    # srt/batch_overlap/two_batch_overlap.py): split the MoE token stream
+    # into two independent dispatch chains so XLA's latency-hiding
+    # scheduler can ride one chain's all-to-all under the other's grouped
+    # GEMMs (layers/moe.py set_tbo). Only affects EP + ragged-a2a runs.
+    enable_two_batch_overlap: bool = False
     # Decode context parallelism (ref srt/layers/dcp/): context pages
     # shard over the tp-axis devices with an LSE merge — THE way MLA
     # models parallelize decode attention (the single latent head cannot
@@ -198,6 +210,17 @@ class ServerArgs:
     mm_image_token_limit: int = 4096
 
     # Disaggregation (PD)
+    # PD multiplexing (ref --enable-pdmux, srt/multiplex/): colocate a
+    # prefill-role and a decode-role scheduler on ONE chip. The reference
+    # partitions SMs via green contexts; the TPU recast time-division
+    # multiplexes with a decode-first tick and statically splits the KV
+    # pool's page space between the roles (multiplex/pdmux.py).
+    enable_pdmux: bool = False
+    # Prefill-role share of the KV pool pages under PDMux.
+    pdmux_prefill_ratio: float = 0.35
+    # Chunked-prefill size for the prefill role (bounds decode ITL; the
+    # SM-split analog). Default min(chunked_prefill_size, 2048).
+    pdmux_prefill_chunk: Optional[int] = None
     disaggregation_mode: str = "null"  # null | prefill | decode
     disaggregation_bootstrap_port: int = 8998
     # Transport between prefill and decode engines: "fake" (in-process,
