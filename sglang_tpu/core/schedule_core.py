@@ -479,6 +479,13 @@ class ScheduleCore:
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
+        for room, req in list(self.pd_prealloc.items()):
+            # parked PD-decode requests (KV never arrived — e.g. the
+            # gateway's prefill dispatch failed) abort by rid too
+            if req.rid == rid:
+                del self.pd_prealloc[room]
+                self._finish_req(req, FinishReason("abort"))
+                return
         for req in self.waiting:
             if req.rid == rid:
                 req.status = ReqStatus.ABORTED
@@ -2117,6 +2124,18 @@ class ScheduleCore:
                 continue
             req = self.pd_prealloc.pop(room)
             self._admit_prebuilt(req, handoff)
+            # The first token was sampled on the PREFILL engine and rode
+            # the handoff; this engine's stream must still deliver it
+            # (the gateway's client only talks to the decode side).
+            self._early_outputs.append(StepOutput(
+                rid=req.rid,
+                new_token=handoff.first_token,
+                finish_reason=None,
+                logprob=handoff.first_logprob,
+                completion_tokens=1,
+                cached_tokens=req.cached_len,
+                prompt_tokens=len(req.input_ids),
+            ))
             admitted = True
         return admitted
 

@@ -120,6 +120,7 @@ class HttpServer:
                 session_params=body.get("session_params"),
                 image_data=body.get("image_data"),
                 audio_data=body.get("audio_data"),
+                bootstrap_room=body.get("bootstrap_room"),
             )
         except Exception as e:  # noqa: BLE001
             return _json_error(str(e))
@@ -259,8 +260,16 @@ class HttpServer:
 
     async def open_session(self, request: web.Request) -> web.Response:
         body = await request.json() if request.can_read_body else {}
-        sid = self.tm.open_session(body.get("session_id"))
+        sid = self.tm.open_session(body.get("session_id"),
+                                   timeout=body.get("timeout"))
         return web.json_response({"session_id": sid})
+
+    async def session_tree(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        tree = self.tm.get_session_tree(body.get("session_id", ""))
+        if tree is None:
+            return _json_error("unknown session", status=404)
+        return web.json_response({"tree": tree})
 
     async def close_session(self, request: web.Request) -> web.Response:
         body = await request.json()
@@ -1090,6 +1099,7 @@ class HttpServer:
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
+        r.add_post("/session_tree", self.session_tree)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
@@ -1145,4 +1155,11 @@ def launch_server(server_args: ServerArgs) -> None:
 
     assert_jax_platform()
     configure_logger(server_args.log_level)
+    from sglang_tpu.environ import envs
+    from sglang_tpu.plugins import REGISTRY, load_plugins
+
+    plugin_spec = server_args.plugins or envs.SGLANG_TPU_PLUGINS.get()
+    if plugin_spec:
+        load_plugins(plugin_spec)
+        REGISTRY.fire_startup(server_args)
     asyncio.run(_serve(server_args))

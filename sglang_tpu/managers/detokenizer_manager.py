@@ -107,7 +107,7 @@ class DetokenizerCore:
                 and isinstance(fr.get("matched"), int)
                 and not no_trim
             )
-            if not skip_token:
+            if not skip_token and token is not None:
                 st.full_text += st.decoder.step([token])
             if fr is None:
                 # hold back a potential stop-string prefix
@@ -132,7 +132,7 @@ class DetokenizerCore:
                 del self.states[rid]
             out.rids.append(rid)
             out.delta_texts.append(delta)
-            out.output_ids.append([token])
+            out.output_ids.append([token] if token is not None else [])
             out.finish_reasons.append(fr)
             out.logprobs.append(batch.logprobs[i])
             out.top_logprobs.append(batch.top_logprobs[i])

@@ -43,6 +43,11 @@ class GenerateReqInput:
     # Audio clips (path / WAV bytes / base64 / data URI / np waveform),
     # one per audio placeholder token (ref GenerateReqInput.audio_data).
     audio_data: Optional[Any] = None
+    # PD disaggregation (ref GenerateReqInput.bootstrap_room): pairs this
+    # request across a prefill engine and a decode engine. On a prefill
+    # engine the KV handoff is published under this room; on a decode
+    # engine the request parks until that room's KV arrives.
+    bootstrap_room: Optional[str] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -121,6 +126,7 @@ class TokenizedGenerateReqInput:
     # produced by TokenizerManager's processor; the scheduler runs the
     # ViT at admission (cached by mm_hash). Ref: srt/multimodal.
     mm_inputs: Optional[Any] = None
+    bootstrap_room: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -98,6 +98,9 @@ class Scheduler:
             if mm_inputs:
                 self.core.attach_mm_inputs(req, mm_inputs)
             req.label_token_ids = getattr(msg, "label_token_ids", None)
+            room = getattr(msg, "bootstrap_room", None)
+            if room:
+                req.bootstrap_room = room
             self._req_meta[msg.rid] = (
                 sp.skip_special_tokens,
                 sp.spaces_between_special_tokens,
@@ -107,6 +110,16 @@ class Scheduler:
             self.core.add_request(req)
         elif isinstance(msg, AbortReq):
             self.core.abort_request(msg.rid)
+            # Resolve the client's stream immediately (a parked/waiting
+            # request never reaches the step loop, so no output would
+            # otherwise flow back — e.g. PD decode whose prefill died).
+            send_pyobj(
+                self.to_detok,
+                self.outputs_to_msg([StepOutput(
+                    rid=msg.rid, new_token=None,
+                    finish_reason={"type": "abort"},
+                )]),
+            )
         elif isinstance(msg, FlushCacheReq):
             ok = self.core.flush_cache()
             send_pyobj(self.to_detok, FlushCacheResp(success=ok))

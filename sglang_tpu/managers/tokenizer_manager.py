@@ -84,10 +84,13 @@ class TokenizerManager:
 
         self.rid_to_state: Dict[str, ReqState] = {}
         self.metrics = None  # TokenizerMetrics, set when --enable-metrics
-        # Sessions: multi-turn context reuse (ref srt/session/
-        # session_controller.py). Context tokens accumulate per session;
-        # KV reuse across turns comes from the radix cache automatically.
-        self.sessions: Dict[str, List[int]] = {}
+        # Sessions: multi-turn context with BRANCHING (ref srt/session/
+        # session_controller.py) — session_params {id, rid, offset,
+        # replace, drop_previous_output} fork the turn tree; KV reuse
+        # across branches comes from the radix cache automatically.
+        from sglang_tpu.managers.session import Session
+
+        self.sessions: Dict[str, Session] = {}
         self._control_waiters: Dict[type, deque] = {}
         self.ready = asyncio.Event()
         # Multi-tokenizer analog (ref --tokenizer-worker-num, srt/managers/
@@ -291,6 +294,7 @@ class TokenizerManager:
             ),
             mm_inputs=mm_inputs,
             label_token_ids=getattr(gri, "label_token_ids", None),
+            bootstrap_room=getattr(gri, "bootstrap_room", None),
         )
 
     async def generate_request(
@@ -370,15 +374,35 @@ class TokenizerManager:
             yield r
 
     async def _generate_one(self, gri: GenerateReqInput):
+        from sglang_tpu.plugins import REGISTRY as _plugins
+
+        if _plugins._request_hooks:
+            _plugins.fire_request(gri)
         treq = await asyncio.get_running_loop().run_in_executor(
             self._tok_pool, self._to_tokenized, gri
         )
-        session_id = (gri.session_params or {}).get("id")
+        sess_params = gri.session_params or {}
+        session_id = sess_params.get("id")
+        sess = parent_node = None
         if session_id is not None:
-            ctx = self.sessions.get(session_id)
-            if ctx is None:
+            sess = self.sessions.get(session_id)
+            if sess is None:
                 raise ValueError(f"unknown session {session_id!r}")
+            parent_node = sess.resolve_parent(sess_params.get("rid"))
+            if sess_params.get("replace"):
+                # fork-and-replace: abort the parent's other descendants
+                for dead_rid in sess.prune_children(parent_node):
+                    if dead_rid in self.rid_to_state:
+                        await self.abort_request(dead_rid)
+            ctx = sess.context(
+                parent_node,
+                offset=sess_params.get("offset"),
+                drop_previous_output=bool(
+                    sess_params.get("drop_previous_output")
+                ),
+            )
             treq.input_ids = ctx + treq.input_ids
+            sess.add_turn(treq.rid, parent_node, treq.input_ids)
         state = ReqState(rid=treq.rid, queue=asyncio.Queue())
         self.rid_to_state[treq.rid] = state
         await self.send_sock.send(pickle.dumps(treq, protocol=5))
@@ -392,13 +416,14 @@ class TokenizerManager:
                 if gri.stream or item["finish_reason"] is not None:
                     yield out
                 if item["finish_reason"] is not None:
-                    if session_id is not None:
-                        self.sessions[session_id] = (
-                            list(treq.input_ids) + list(state.output_ids)
-                        )
+                    if sess is not None:
+                        sess.commit(treq.rid, state.output_ids)
                     return
         finally:
             self.rid_to_state.pop(treq.rid, None)
+            if sess is not None and treq.rid in sess.nodes \
+                    and not sess.nodes[treq.rid].committed:
+                sess.drop_uncommitted(treq.rid)
 
     def _build_output(self, gri, treq, state: ReqState, item) -> Dict[str, Any]:
         meta = {
@@ -438,15 +463,25 @@ class TokenizerManager:
             "meta_info": meta,
         }
 
-    def open_session(self, session_id: Optional[str] = None) -> str:
-        import uuid as _uuid
+    def open_session(self, session_id: Optional[str] = None,
+                     timeout: Optional[float] = None) -> str:
+        from sglang_tpu.managers.session import Session
 
-        sid = session_id or _uuid.uuid4().hex
-        self.sessions.setdefault(sid, [])
-        return sid
+        sess = Session(session_id, timeout=timeout)
+        self.sessions.setdefault(sess.session_id, sess)
+        self._reap_timed_out_sessions()
+        return sess.session_id
 
     def close_session(self, session_id: str) -> bool:
         return self.sessions.pop(session_id, None) is not None
+
+    def get_session_tree(self, session_id: str) -> Optional[str]:
+        sess = self.sessions.get(session_id)
+        return sess.tree_str() if sess is not None else None
+
+    def _reap_timed_out_sessions(self) -> None:
+        for sid in [s for s, v in self.sessions.items() if v.is_timed_out()]:
+            del self.sessions[sid]
 
     async def abort_request(self, rid: str) -> None:
         await self.send_sock.send(
