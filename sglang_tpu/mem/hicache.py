@@ -300,10 +300,12 @@ class HiCacheController:
             page_shape = (2, cfg.page_size, 2, cfg.half_dim)
         n_host = max_host_pages or max(int(cfg.num_pages * host_ratio), 16)
         storage = None
-        if storage_dir:
-            tier_cls = (MmapStorageTier if storage_backend == "mmap"
-                        else FileStorageTier)
-            storage = tier_cls(storage_dir, storage_max_bytes)
+        if storage_dir or "://" in (storage_backend or ""):
+            from sglang_tpu.mem.storage import create_storage_backend
+
+            storage = create_storage_backend(
+                storage_backend, storage_dir, storage_max_bytes
+            )
         self.host = HostKVTier(
             cfg.num_layers, page_shape, cfg.page_size, n_host,
             cfg.storage_dtype, storage=storage,

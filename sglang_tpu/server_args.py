@@ -68,8 +68,11 @@ class ServerArgs:
     # write_back (store on device-tree eviction), write_through (store at
     # radix insert), write_through_selective (store on second insert).
     hicache_write_policy: str = "write_back"
-    # ref --hicache-storage-backend: "file" (one file per page) or "mmap"
-    # (arena file; point hicache_storage_dir at /dev/shm for shm).
+    # ref --hicache-storage-backend (srt/mem_cache/storage/
+    # backend_factory.py): file | mmap (point hicache_storage_dir at
+    # /dev/shm for shm) | native (C++ batched-IO arena) | sqlite | zlib
+    # | resp://host:port (any Redis-compatible server) | zmq://tcp://...
+    # (ZmqStorageServer). See sglang_tpu/mem/storage/.
     hicache_storage_backend: str = "file"
     hicache_disable_prefetch: bool = False
     schedule_conservativeness: float = 1.0
@@ -230,6 +233,9 @@ class ServerArgs:
     # (resolved via the bootstrap URL when unset).
     disaggregation_kv_addr: Optional[str] = None
     disaggregation_bootstrap_url: Optional[str] = None
+    # Plugin modules, comma-separated (ref srt/plugins/): each must expose
+    # sglang_tpu_plugin(registry). Also via SGLANG_TPU_PLUGINS.
+    plugins: Optional[str] = None
 
     def __post_init__(self):
         if self.tokenizer_path is None:

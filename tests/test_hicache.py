@@ -149,13 +149,14 @@ def test_hicache_prefetch_hit(tiny_llama_dir):
         assert core.hicache.num_prefetch_hits > 0
 
 
-def test_hicache_mmap_storage_backend(tiny_llama_dir, tmp_path):
-    """The arena-file (mmap) L3 backend round-trips pages byte-exactly."""
+def _roundtrip_with_storage(tmp_path, tiny_llama_dir, backend):
+    """Shared L3-backend scenario: spill under host pressure, fault back
+    in, outputs byte-exact (used by tests/test_storage_backends.py too)."""
     core, _ = make_core(
         tiny_llama_dir,
         hicache_max_host_pages=4,
-        hicache_storage_dir=str(tmp_path / "l3m"),
-        hicache_storage_backend="mmap",
+        hicache_storage_dir=str(tmp_path / f"l3_{backend}"),
+        hicache_storage_backend=backend,
     )
     prompt = list(range(3, 3 + 36))
     r1 = run_one(core, "m1", prompt, n_new=8)
@@ -166,3 +167,8 @@ def test_hicache_mmap_storage_backend(tiny_llama_dir, tmp_path):
     assert st is not None and st.num_put > 0
     r2 = run_one(core, "m2", prompt, n_new=8)
     assert r2.output_ids == r1.output_ids
+
+
+def test_hicache_mmap_storage_backend(tiny_llama_dir, tmp_path):
+    """The arena-file (mmap) L3 backend round-trips pages byte-exactly."""
+    _roundtrip_with_storage(tmp_path, tiny_llama_dir, backend="mmap")
