@@ -105,6 +105,14 @@ class Engine:
         configure_logger(server_args.log_level)
         self.server_args = server_args
 
+        from sglang_tpu.environ import envs
+        from sglang_tpu.plugins import REGISTRY, load_plugins
+
+        plugin_spec = server_args.plugins or envs.SGLANG_TPU_PLUGINS.get()
+        if plugin_spec:
+            load_plugins(plugin_spec)
+            REGISTRY.fire_startup(server_args)
+
         # Dedicated asyncio loop thread for the TokenizerManager.
         self._loop = asyncio.new_event_loop()
         self._loop_thread = threading.Thread(

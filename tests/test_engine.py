@@ -172,6 +172,55 @@ def test_sessions_multi_turn(engine):
     assert engine.close_session(sid)
 
 
+def test_session_branching(engine):
+    """Fork from an earlier turn via session_params.rid (ref
+    srt/session/session_controller.py tree semantics)."""
+    sp = {"temperature": 0, "max_new_tokens": 3, "ignore_eos": True}
+    sid = engine.open_session()
+    o1 = engine.generate(prompt="w80 w81", sampling_params=dict(sp),
+                         session_params={"id": sid}, rid="turn1")
+    o2 = engine.generate(prompt="w82", sampling_params=dict(sp),
+                         session_params={"id": sid}, rid="turn2")
+    # branch a SIBLING of turn2 off turn1: context is turn1's, not turn2's
+    o3 = engine.generate(prompt="w83", sampling_params=dict(sp),
+                         session_params={"id": sid, "rid": "turn1"},
+                         rid="turn3")
+    assert o3["meta_info"]["prompt_tokens"] == o2["meta_info"]["prompt_tokens"]
+    # continue from the branch: prompt grows past turn3
+    o4 = engine.generate(prompt="w84", sampling_params=dict(sp),
+                         session_params={"id": sid, "rid": "turn3"})
+    assert o4["meta_info"]["prompt_tokens"] > o3["meta_info"]["prompt_tokens"]
+    tree = engine.tokenizer_manager.get_session_tree(sid)
+    assert "turn1" in tree and tree.index("turn3") > tree.index("turn1")
+    assert engine.close_session(sid)
+    _ = o1
+
+
+def test_session_replace_and_drop_output(engine):
+    sp = {"temperature": 0, "max_new_tokens": 3, "ignore_eos": True}
+    sid = engine.open_session()
+    engine.generate(prompt="w90 w91", sampling_params=dict(sp),
+                    session_params={"id": sid}, rid="root")
+    engine.generate(prompt="w92", sampling_params=dict(sp),
+                    session_params={"id": sid, "rid": "root"}, rid="a")
+    # replace=True prunes 'a' (and descendants) before forking 'b'
+    engine.generate(prompt="w93", sampling_params=dict(sp),
+                    session_params={"id": sid, "rid": "root",
+                                    "replace": True}, rid="b")
+    sess = engine.tokenizer_manager.sessions[sid]
+    assert "a" not in sess.nodes and "b" in sess.nodes
+    assert [c.rid for c in sess.nodes["root"].children] == ["b"]
+    # drop_previous_output: context excludes the parent's generated tokens
+    o_drop = engine.generate(prompt="w94", sampling_params=dict(sp),
+                             session_params={"id": sid, "rid": "root",
+                                             "drop_previous_output": True})
+    o_keep = engine.generate(prompt="w94", sampling_params=dict(sp),
+                             session_params={"id": sid, "rid": "root"})
+    assert (o_keep["meta_info"]["prompt_tokens"]
+            - o_drop["meta_info"]["prompt_tokens"]) == 3  # the 3 output toks
+    assert engine.close_session(sid)
+
+
 def test_release_resume_memory(engine, tiny_llama_dir):
     import time as _t
 
