@@ -65,8 +65,14 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
 }
 
 
+# Directly-registered classes (plugins): consulted before the table.
+_DIRECT_CLASSES: Dict[str, type] = {}
+
+
 def get_model_class(architectures):
     for arch in architectures:
+        if arch in _DIRECT_CLASSES:
+            return _DIRECT_CLASSES[arch]
         if arch in _MODEL_TABLE:
             module, cls = _MODEL_TABLE[arch]
             return getattr(importlib.import_module(module), cls)
@@ -75,3 +81,8 @@ def get_model_class(architectures):
 
 def register_model(arch: str, module: str, cls: str) -> None:
     _MODEL_TABLE[arch] = (module, cls)
+
+
+def register_model_class(arch: str, cls: type) -> None:
+    """Plugin surface: register an architecture by class object."""
+    _DIRECT_CLASSES[arch] = cls
