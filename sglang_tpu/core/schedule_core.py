@@ -318,6 +318,25 @@ class ScheduleCore:
             )
             self.pipeline_depth = 1
         self.num_spec_accepted = 0
+
+        # Diffusion-LLM block denoising (ref srt/dllm/): generation in
+        # fixed blocks via the tree-verify extend program (all-ones
+        # in-block mask = bidirectional intra-block attention).
+        self.dllm = None
+        if getattr(server_args, "dllm_algorithm", None):
+            from sglang_tpu.dllm import DllmConfig, get_algorithm
+
+            if self.drafter is not None or self.draft_worker is not None:
+                raise ValueError(
+                    "--dllm-algorithm is incompatible with speculative "
+                    "decoding"
+                )
+            archs = getattr(runner.model_config, "architectures", None) or []
+            self.dllm = get_algorithm(
+                DllmConfig.from_server_args(server_args, archs)
+            )
+            self.pipeline_depth = 1  # denoise rounds are host-synced
+            self.num_dllm_rounds = 0
         # /pause_generation: no NEW batches launch while paused (pending
         # device work still drains; queues are preserved).
         self.paused = False
@@ -580,6 +599,10 @@ class ScheduleCore:
                 # resident state's device fb — it would replay stale
                 # metadata; drop it (re-armed on the next pure decode).
                 self._resident = None
+        if batch is None and self.dllm is not None:
+            # dLLM replaces token-by-token decode with block denoise
+            # rounds (ref srt/dllm/mixin/scheduler.py).
+            return self._try_dllm_round()
         if batch is None and (self.drafter is not None
                               or self.draft_worker is not None):
             if self._run_spec_verify_step():
@@ -1392,6 +1415,86 @@ class ScheduleCore:
             worker.observe_and_extend(observe_entries, hidden_dev)
         return True
 
+    # ---- dLLM block denoising ----
+    def _try_dllm_round(self) -> bool:
+        """One denoise round over every running dLLM request (ref
+        srt/dllm/algorithm/base.py _run_sync, recast as a scheduler
+        round): forward the current blocks through the tree-verify extend
+        program (all-ones intra-block mask = bidirectional attention over
+        the block, causal over the prefix), then let the algorithm unmask
+        positions. A block that was complete ON ENTRY was just forwarded
+        with its final ids — its KV is final — so it is emitted and the
+        next block armed."""
+        L = self.dllm.block_size
+        rows, seq_inputs = [], []
+        for req in list(self.running):
+            block = getattr(req, "_dllm_block", None)
+            if block is None or req.finished():
+                continue
+            prefix = len(req.all_ids)
+            if cdiv(prefix + L, self.page_size) > len(req.pages):
+                if not self._extend_pages(req, prefix + L):
+                    self._retract_one()
+                    if req.status != ReqStatus.RUNNING:
+                        continue
+                    if not self._extend_pages(req, prefix + L):
+                        continue
+            rows.append((req, prefix))
+            seq_inputs.append(SeqInput(
+                block.tolist(), prefix, req.pages, req_slot=req.req_slot,
+                custom_positions=(prefix + np.arange(L)).astype(np.int32),
+                tree_mask=np.ones((L, L), np.bool_),
+            ))
+        if not rows:
+            return False
+        fb = build_forward_batch(
+            seq_inputs, self.page_size, ForwardMode.EXTEND,
+            trash_slot=self.runner.trash_slot, align=16,
+        )
+        tokens_dev, logprobs_dev, _ = self.runner.forward_verify(fb)
+        tokens = np.asarray(tokens_dev)
+        conf = np.exp(np.asarray(logprobs_dev, np.float64))
+        seg = np.asarray(fb.cu_q_lens)
+        self.num_dllm_rounds += 1
+        for i, (req, prefix) in enumerate(rows):
+            start = int(seg[i])
+            block = req._dllm_block
+            new_block, done_entry = self.dllm.step(
+                block, tokens[start:start + L], conf[start:start + L]
+            )
+            if not done_entry:
+                req._dllm_block = new_block.astype(np.int32)
+                continue
+            # Emit the completed block (its KV was just rewritten from
+            # the final ids by this round's forward).
+            finished = False
+            emitted = 0
+            for tok in block.tolist():
+                req.output_ids.append(int(tok))
+                self.num_generated_tokens += 1
+                emitted += 1
+                fr = req.check_finished(int(tok))
+                if fr is None and (req.sampling_params.stop
+                                   or req.sampling_params.stop_regex):
+                    fr = self._check_stop_strings(req)
+                self._early_outputs.append(StepOutput(
+                    rid=req.rid,
+                    new_token=int(tok),
+                    finish_reason=fr.to_json() if fr else None,
+                    completion_tokens=len(req.output_ids),
+                    cached_tokens=req.cached_report,
+                    prompt_tokens=len(req.input_ids),
+                ))
+                if fr is not None:
+                    self._finish_req(req, fr)
+                    finished = True
+                    break
+            req._device_seq_len = prefix + emitted
+            req._device_step = len(req.output_ids)
+            if not finished:
+                req._dllm_block = np.full(L, self.dllm.mask_id, np.int32)
+        return True
+
     # ---- decode ----
     def _get_mixed_decode_rows(self, exclude_ids):
         """Decode rows to append to a prefill batch (MIXED mode).
@@ -1863,6 +1966,13 @@ class ScheduleCore:
                 continue  # stale (retracted or finished during overlap)
             if row.device_step != len(req.output_ids):
                 continue  # phantom overlap step beyond a finish; drop
+            if self.dllm is not None and row.kind == "final":
+                # dLLM: the prefill's AR-sampled token is meaningless for
+                # a diffusion LM — arm the first denoise block instead.
+                req._dllm_block = np.full(
+                    self.dllm.block_size, self.dllm.mask_id, np.int32
+                )
+                continue
             token = int(tokens[i])
             if self.token_oracle:
                 token = oracle_next_token(

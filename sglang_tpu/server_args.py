@@ -236,6 +236,14 @@ class ServerArgs:
     # Plugin modules, comma-separated (ref srt/plugins/): each must expose
     # sglang_tpu_plugin(registry). Also via SGLANG_TPU_PLUGINS.
     plugins: Optional[str] = None
+    # Diffusion LLM (ref srt/dllm/, --dllm-algorithm): block denoise
+    # generation for LLaDA/SDAR-class models. Algorithms: low_confidence
+    # | joint_threshold. Block size / mask id resolve from DLLM_PARAMS
+    # for known architectures; set explicitly for others.
+    dllm_algorithm: Optional[str] = None
+    dllm_block_size: Optional[int] = None
+    dllm_mask_id: Optional[int] = None
+    dllm_threshold: float = 0.95
 
     def __post_init__(self):
         if self.tokenizer_path is None:
