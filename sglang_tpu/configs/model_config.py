@@ -100,6 +100,22 @@ class ModelConfig:
         ) is None:
             src = text
         g = lambda k, d=None: getattr(src, k, d)
+        if getattr(src, "d_model", None) and getattr(
+            src, "ffn_config", None
+        ) is not None:
+            # DBRX-style naming: flat fields alias via attribute_map, but
+            # the MoE/attention knobs nest under attn_config/ffn_config
+            # (HF configuration_dbrx.py).
+            attn = getattr(src, "attn_config", None)
+            ffn = src.ffn_config
+            src.max_position_embeddings = getattr(src, "max_seq_len", 8192)
+            if attn is not None:
+                src.num_key_value_heads = getattr(attn, "kv_n_heads", None)
+                src.rope_theta = getattr(attn, "rope_theta", 10000.0)
+            src.intermediate_size = getattr(ffn, "ffn_hidden_size", None)
+            src.moe_intermediate_size = getattr(ffn, "ffn_hidden_size", None)
+            src.num_experts = getattr(ffn, "moe_num_experts", 0)
+            src.num_experts_per_tok = getattr(ffn, "moe_top_k", 0)
         # Attention-free models (Mamba/SSM) have no head fields.
         num_heads = g("num_attention_heads") or 1
         hidden = g("hidden_size")

@@ -266,7 +266,15 @@ class DeepseekV2MoE:
         self.top_k = hf.num_experts_per_tok
         self.n_group = getattr(hf, "n_group", 1) or 1
         self.topk_group = getattr(hf, "topk_group", 1) or 1
-        self.topk_method = getattr(hf, "topk_method", "greedy")
+        self.topk_method = getattr(hf, "topk_method", "greedy") or "greedy"
+        # HF's V3 port drops scoring_func/topk_method and hardcodes the
+        # sigmoid router — detect by model_type (V3/V3.2 checkpoints).
+        self.sigmoid_routing = (
+            getattr(hf, "scoring_func", None) == "sigmoid"
+            or self.topk_method == "noaux_tc"
+            or str(getattr(hf, "model_type", "")).startswith("deepseek_v3")
+        )
+        self.norm_topk = bool(getattr(hf, "norm_topk_prob", False))
         self.routed_scaling = getattr(hf, "routed_scaling_factor", 1.0)
         self.moe = FusedMoE(
             num_experts=self.n_experts,
@@ -288,6 +296,12 @@ class DeepseekV2MoE:
 
     def specs(self, p: str) -> SpecTree:
         s = self.moe.specs(p)
+        if self.sigmoid_routing:
+            from jax.sharding import PartitionSpec as P
+
+            s[join(p, "router_bias")] = ParamSpec(
+                (self.n_experts,), jnp.float32, P(), init_scale=0.0
+            )
         if self.shared:
             s.update(self.sh_gate_up.specs(join(p, "shared_gate_up")))
             s.update(self.sh_down.specs(join(p, "shared_down")))
@@ -295,11 +309,22 @@ class DeepseekV2MoE:
 
     def _route(self, params, p, x):
         """HF DeepseekV2MoEGate numerics: softmax scores, (group-limited)
-        top-k, scaled by routed_scaling_factor, NOT renormalized."""
+        top-k, scaled by routed_scaling_factor, NOT renormalized.
+        DeepSeek-V3 (scoring_func=sigmoid / topk_method=noaux_tc):
+        sigmoid scores + e_score_correction_bias selection, top-2-sum
+        group scores, optional renormalize (glm4_moe.sigmoid_group_topk)."""
         logits = jnp.dot(
             x.astype(jnp.float32),
             params[join(p, "router")].astype(jnp.float32),
         )
+        if self.sigmoid_routing:
+            from sglang_tpu.models.glm4_moe import sigmoid_group_topk
+
+            return sigmoid_group_topk(
+                jax.nn.sigmoid(logits), params[join(p, "router_bias")],
+                self.top_k, self.n_group, self.topk_group, self.norm_topk,
+                self.routed_scaling,
+            )
         scores = jax.nn.softmax(logits, axis=-1)  # [T, E]
         if self.topk_method == "group_limited_greedy" and self.n_group > 1:
             T = scores.shape[0]
@@ -434,6 +459,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             "mlp.down_proj.weight": (f"{p}/mlp/down/weight", None, "t"),
             # MoE router + shared experts
             "mlp.gate.weight": (f"{p}/mlp/router", None, "t"),
+            "mlp.gate.e_score_correction_bias": (
+                f"{p}/mlp/router_bias", None, ""),
             "mlp.shared_experts.gate_proj.weight": (
                 f"{p}/mlp/shared_gate_up/weight", 0, "t"),
             "mlp.shared_experts.up_proj.weight": (

@@ -51,6 +51,13 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "JambaForCausalLM": ("sglang_tpu.models.jamba", "JambaForCausalLM"),
     "Qwen3NextForCausalLM": ("sglang_tpu.models.qwen3_next",
                              "Qwen3NextForCausalLM"),
+    "OlmoeForCausalLM": ("sglang_tpu.models.olmoe", "OlmoeForCausalLM"),
+    "DbrxForCausalLM": ("sglang_tpu.models.dbrx", "DbrxForCausalLM"),
+    "Glm4MoeForCausalLM": ("sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
+    # GLM-4.6/4.5V text stack reuses the same arch
+    "Glm4vMoeForCausalLM": ("sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
+    "GraniteMoeForCausalLM": ("sglang_tpu.models.granite_moe",
+                              "GraniteMoeForCausalLM"),
     "LlamaForSequenceClassification": (
         "sglang_tpu.models.llama_classification",
         "LlamaForSequenceClassification",

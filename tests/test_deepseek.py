@@ -202,3 +202,34 @@ def test_deepseek_nextn_draft_matches_plain_greedy(tiny_dsv2_dir):
     from sglang_tpu.models.deepseek_nextn import DeepseekNextN
 
     assert isinstance(core.draft_worker.model, DeepseekNextN)
+
+
+def test_deepseek_v3_sigmoid_routing_parity(tmp_path_factory):
+    """DeepSeek-V3 noaux_tc routing: sigmoid scores + e_score_correction
+    bias, top-2-sum group scores, renormalize (HF DeepseekV3TopkRouter)."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(6)
+    cfg = DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=None, kv_lora_rank=32,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5, first_k_dense_replace=1,
+        max_position_embeddings=256,
+    )
+    model = DeepseekV3ForCausalLM(cfg)
+    with torch.no_grad():
+        for layer in model.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.3, 0.3)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_dsv3")
+    model.save_pretrained(path, safe_serialization=True)
+    prompt = [3, 14, 15, 9, 26, 5, 35, 89, 79, 32, 38, 46]
+    ref = _hf_greedy(str(path), prompt, 8)
+    ours = _our_greedy(str(path), prompt, 8)
+    assert ours[: len(ref)] == ref, f"ours={ours} ref={ref}"
