@@ -48,6 +48,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "MambaForCausalLM": ("sglang_tpu.models.mamba", "MambaForCausalLM"),
     "FalconMambaForCausalLM": ("sglang_tpu.models.mamba",
                                "MambaForCausalLM"),
+    "Mamba2ForCausalLM": ("sglang_tpu.models.mamba2",
+                          "Mamba2ForCausalLM"),
     "JambaForCausalLM": ("sglang_tpu.models.jamba", "JambaForCausalLM"),
     "Qwen3NextForCausalLM": ("sglang_tpu.models.qwen3_next",
                              "Qwen3NextForCausalLM"),
