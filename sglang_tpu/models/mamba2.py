@@ -52,7 +52,8 @@ class Mamba2Dims:
                               or getattr(hf, "rms_norm_eps", 1e-5))
 
 
-def mamba2_specs(m: Mamba2Dims, p: str, H: int, dt) -> SpecTree:
+def mamba2_specs(m: Mamba2Dims, p: str, H: int, dt,
+                 gated_rmsnorm: bool = True) -> SpecTree:
     I, N, K, nh = m.d_inner, m.d_state, m.d_conv, m.n_heads
     proj_out = 2 * I + 2 * m.n_groups * N + nh
     s = {
@@ -61,9 +62,10 @@ def mamba2_specs(m: Mamba2Dims, p: str, H: int, dt) -> SpecTree:
         join(p, "dt_bias"): ParamSpec((nh,), jnp.float32),
         join(p, "A_log"): ParamSpec((nh,), jnp.float32),
         join(p, "D"): ParamSpec((nh,), jnp.float32),
-        join(p, "gated_norm/weight"): ParamSpec((I,), dt),
         join(p, "out_proj/weight"): ParamSpec((I, H), dt),
     }
+    if gated_rmsnorm:
+        s[join(p, "gated_norm/weight")] = ParamSpec((I,), dt)
     if m.conv_bias:
         s[join(p, "conv/bias")] = ParamSpec((m.conv_dim,), dt)
     if m.proj_bias:
@@ -74,14 +76,22 @@ def mamba2_specs(m: Mamba2Dims, p: str, H: int, dt) -> SpecTree:
 
 def mamba2_mixer(m: Mamba2Dims, params, p, x, conv_st, ssm_st,
                  fb: ForwardBatch, norm_before_gate: bool = False,
-                 grouped_norm: bool = False):
-    """One mamba-2 block over the ragged token stream. x [T, H]."""
+                 grouped_norm: bool = False, x_mult: float = 1.0,
+                 mup=None, gated_rmsnorm: bool = True):
+    """One mamba-2 block over the ragged token stream. x [T, H].
+
+    x_mult/mup/gated_rmsnorm/norm_before_gate cover the FalconH1 mup
+    variants (ssm_in_multiplier, compute_mup_vector, mamba_rms_norm)."""
     T = x.shape[0]
     I, N, K, nh, hd, G = (m.d_inner, m.d_state, m.d_conv, m.n_heads,
                           m.head_dim, m.n_groups)
+    if x_mult != 1.0:
+        x = x * jnp.asarray(x_mult, x.dtype)
     proj = jnp.dot(x, params[join(p, "in_proj/weight")])
     if m.proj_bias:
         proj = proj + params[join(p, "in_proj/bias")]
+    if mup is not None:
+        proj = proj * mup.astype(proj.dtype)
     gate = proj[:, :I]
     xBC = proj[:, I:I + m.conv_dim]
     dt_raw = proj[:, I + m.conv_dim:]  # [T, nh]
@@ -148,6 +158,13 @@ def mamba2_mixer(m: Mamba2Dims, params, p, x, conv_st, ssm_st,
     # gated RMSNorm (HF MambaRMSNormGated): norm(y * silu(gate)) * w;
     # norm_before_gate (FalconH1 flavor) norms y first, then gates.
     gf = jax.nn.silu(gate.astype(jnp.float32))
+    if not gated_rmsnorm:  # FalconH1 mamba_rms_norm=False: gate only
+        y = y * gf
+        out = jnp.dot(y.astype(x.dtype),
+                      params[join(p, "out_proj/weight")])
+        if m.proj_bias:
+            out = out + params[join(p, "out_proj/bias")]
+        return _mamba2_writeback(m, fb, out, conv_st, ssm_st, hs, xBC)
     w = params[join(p, "gated_norm/weight")].astype(jnp.float32)
 
     def _rms(v):
@@ -167,8 +184,17 @@ def mamba2_mixer(m: Mamba2Dims, params, p, x, conv_st, ssm_st,
     out = jnp.dot(y.astype(x.dtype), params[join(p, "out_proj/weight")])
     if m.proj_bias:
         out = out + params[join(p, "out_proj/bias")]
+    return _mamba2_writeback(m, fb, out, conv_st, ssm_st, hs, xBC)
 
-    # ---- write back final states (mamba1 scheme, conv_dim channels)
+
+def _mamba2_writeback(m: Mamba2Dims, fb: ForwardBatch, out, conv_st,
+                      ssm_st, hs, xBC):
+    """Write back final per-request states (mamba1 scheme, conv_dim
+    channels); returns (out, new_conv, new_ssm)."""
+    T = xBC.shape[0]
+    K = m.d_conv
+    bslots = (fb.state_slots if fb.state_slots is not None
+              else fb.req_slots)
     last_rows = fb.cu_q_lens[:-1] + jnp.maximum(fb.q_lens - 1, 0)
     new_ssm = ssm_st.at[bslots].set(hs[last_rows].astype(ssm_st.dtype))
     st_old = conv_st[bslots]

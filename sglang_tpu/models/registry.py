@@ -50,6 +50,16 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
                                "MambaForCausalLM"),
     "Mamba2ForCausalLM": ("sglang_tpu.models.mamba2",
                           "Mamba2ForCausalLM"),
+    "BambaForCausalLM": ("sglang_tpu.models.bamba", "BambaForCausalLM"),
+    "FalconH1ForCausalLM": ("sglang_tpu.models.falcon_h1",
+                            "FalconH1ForCausalLM"),
+    "GraniteMoeHybridForCausalLM": ("sglang_tpu.models.granite_moe_hybrid",
+                                    "GraniteMoeHybridForCausalLM"),
+    "Lfm2ForCausalLM": ("sglang_tpu.models.lfm2", "Lfm2ForCausalLM"),
+    "MiniMaxForCausalLM": ("sglang_tpu.models.minimax",
+                           "MiniMaxForCausalLM"),
+    "MiniMaxText01ForCausalLM": ("sglang_tpu.models.minimax",
+                                 "MiniMaxForCausalLM"),
     "JambaForCausalLM": ("sglang_tpu.models.jamba", "JambaForCausalLM"),
     "Qwen3NextForCausalLM": ("sglang_tpu.models.qwen3_next",
                              "Qwen3NextForCausalLM"),
