@@ -55,6 +55,7 @@ class LlamaAttention:
             RMSNorm(self.hd, c.rms_norm_eps, dt) if config.qk_norm else None
         )
         self.window = 0  # subclasses set a per-layer sliding window
+        self.alibi_slopes = None  # subclasses set [nq] slopes (Bloom/MPT)
 
     def apply_rotary(self, fb: ForwardBatch, q, k):
         """Hook for rope variants (Qwen2-VL mrope overrides)."""
@@ -89,7 +90,8 @@ class LlamaAttention:
             k = self.qk_norm(params, join(p, "k_norm"), k)
         q, k = self.apply_rotary(fb, q, k)
         out, kv = attn_backend(q, k, v, self.layer_id, kv, fb,
-                               window=self.window)
+                               window=self.window,
+                               alibi_slopes=self.alibi_slopes)
         out_flat = out.reshape(T, -1)
         out = self.o_proj(params, join(p, "o_proj"), out_flat)
         if lora is not None:

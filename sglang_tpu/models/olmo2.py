@@ -49,7 +49,8 @@ class Olmo2Attention(LlamaAttention):
         k = k_flat.reshape(T, self.nk, self.hd)
         v = v_flat.reshape(T, self.nk, self.hd)
         q, k = self.rotary(fb.positions, q, k)
-        out, kv = attn_backend(q, k, v, self.layer_id, kv, fb)
+        out, kv = attn_backend(q, k, v, self.layer_id, kv, fb,
+                               window=self.window)
         out = self.o_proj(params, join(p, "o_proj"), out.reshape(T, -1))
         return out, kv
 

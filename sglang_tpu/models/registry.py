@@ -56,6 +56,22 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "GraniteMoeHybridForCausalLM": ("sglang_tpu.models.granite_moe_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
     "Lfm2ForCausalLM": ("sglang_tpu.models.lfm2", "Lfm2ForCausalLM"),
+    "BloomForCausalLM": ("sglang_tpu.models.bloom", "BloomForCausalLM"),
+    "MptForCausalLM": ("sglang_tpu.models.mpt", "MptForCausalLM"),
+    "OPTForCausalLM": ("sglang_tpu.models.opt", "OPTForCausalLM"),
+    "PersimmonForCausalLM": ("sglang_tpu.models.persimmon",
+                             "PersimmonForCausalLM"),
+    "GPTBigCodeForCausalLM": ("sglang_tpu.models.gpt_bigcode",
+                              "GPTBigCodeForCausalLM"),
+    "FalconForCausalLM": ("sglang_tpu.models.falcon", "FalconForCausalLM"),
+    "RWForCausalLM": ("sglang_tpu.models.falcon", "FalconForCausalLM"),
+    "CohereForCausalLM": ("sglang_tpu.models.cohere", "CohereForCausalLM"),
+    "Olmo3ForCausalLM": ("sglang_tpu.models.olmo3", "Olmo3ForCausalLM"),
+    "FlexOlmoForCausalLM": ("sglang_tpu.models.flex_olmo",
+                            "FlexOlmoForCausalLM"),
+    "ApertusForCausalLM": ("sglang_tpu.models.apertus",
+                           "ApertusForCausalLM"),
+    "SeedOssForCausalLM": ("sglang_tpu.models.llama", "LlamaForCausalLM"),
     "MiniMaxForCausalLM": ("sglang_tpu.models.minimax",
                            "MiniMaxForCausalLM"),
     "MiniMaxText01ForCausalLM": ("sglang_tpu.models.minimax",

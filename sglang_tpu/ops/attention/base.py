@@ -77,6 +77,7 @@ class AttentionBackend:
         logit_cap: float = 0.0,  # tanh soft-capping (0 = off)
         scale: float | None = None,  # per-layer scale override
         sinks=None,  # [nq] learned per-head sink logits (GPT-OSS style)
+        alibi_slopes=None,  # [nq] ALiBi slopes (Bloom/MPT); xla_native only
     ) -> Tuple[jax.Array, tuple]:
         if window and window > 0 and fb.swa_page_table is not None:
             # Hybrid SWA pool: sliding layers address their own smaller
@@ -103,27 +104,33 @@ class AttentionBackend:
             fb_p, fb_d, qp, qd = self._mixed_views(q, fb)
             out_p = self.forward_extend(qp, kv_layer, fb_p, window=window,
                                         logit_cap=logit_cap, scale=scale,
-                                        sinks=sinks)
+                                        sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
             out_d = self.forward_decode(qd, kv_layer, fb_d, window=window,
                                         logit_cap=logit_cap, scale=scale,
-                                        sinks=sinks)
+                                        sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
             out = jnp.concatenate([out_p, out_d], axis=0)
         elif fb.mode.is_decode():
             out = self.forward_decode(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
-                                      sinks=sinks)
+                                      sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
         elif fb.spec_tree_mask is not None:
             out = self.forward_tree_verify(q, kv_layer, fb, window=window,
                                            logit_cap=logit_cap, scale=scale,
-                                           sinks=sinks)
+                                           sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
         elif self.cp:
             out = self.forward_extend_cp(q, kv_layer, fb, window=window,
                                          logit_cap=logit_cap, scale=scale,
-                                         sinks=sinks)
+                                         sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
         else:
             out = self.forward_extend(q, kv_layer, fb, window=window,
                                       logit_cap=logit_cap, scale=scale,
-                                      sinks=sinks)
+                                      sinks=sinks,
+                                        alibi_slopes=alibi_slopes)
         kv = kv[:layer_id] + (kv_layer,) + kv[layer_id + 1:]
         return out, kv
 

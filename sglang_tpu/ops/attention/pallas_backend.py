@@ -230,15 +230,16 @@ class PallasBackend(AttentionBackend):
         return local(q, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None, sinks=None):
-        if sinks is not None:
-            # The pallas extend kernel has no sink term yet; sink models
-            # (GPT-OSS) take the XLA extend path.
+                       logit_cap=0.0, scale=None, sinks=None,
+                       alibi_slopes=None):
+        if sinks is not None or alibi_slopes is not None:
+            # The pallas extend kernel has no sink/ALiBi term yet; sink
+            # (GPT-OSS) and ALiBi (Bloom/MPT) models take the XLA path.
             from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 
             return XlaNativeBackend.forward_extend(
                 self, q, kv_layer, fb, window=window, logit_cap=logit_cap,
-                scale=scale, sinks=sinks,
+                scale=scale, sinks=sinks, alibi_slopes=alibi_slopes,
             )
         scale = scale or self.scale
         ps, hd = self.page_size, self.head_dim

@@ -88,11 +88,13 @@ class XlaNativeBackend(AttentionBackend):
         return scores
 
     def forward_decode(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None, sinks=None):
+                       logit_cap=0.0, scale=None, sinks=None,
+                       alibi_slopes=None):
         if (
             getattr(self, "dcp", False)
             and not (window and window > 0)
             and sinks is None
+            and alibi_slopes is None
             and fb.shared_pages is None
         ):
             from sglang_tpu.parallel.mesh import get_mesh_context
@@ -118,6 +120,15 @@ class XlaNativeBackend(AttentionBackend):
         scores = self._softcap(scores, logit_cap)
         C = k.shape[1]
         ctx = jnp.arange(C, dtype=jnp.int32)
+        if alibi_slopes is not None:
+            # ALiBi (Bloom/MPT): bias = slope_h * (key_pos - query_pos);
+            # the pool context index IS the absolute key position, the
+            # decode query sits at seq_len-1.
+            dist = (ctx[None, :] - (fb.seq_lens[:, None] - 1)).astype(
+                jnp.float32
+            )  # [B, C], <= 0 where visible
+            sl = alibi_slopes.astype(jnp.float32).reshape(1, nk, group, 1)
+            scores = scores + sl * dist[:, None, None, :]
         mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
         if window and window > 0:
             mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
@@ -144,6 +155,13 @@ class XlaNativeBackend(AttentionBackend):
             ) * (scale or self.scale)
             ss = self._softcap(ss, logit_cap)
             ctx_s = jnp.arange(Cs, dtype=jnp.int32)
+            if alibi_slopes is not None:
+                dist_s = (ctx_s[None, :]
+                          - (fb.seq_lens[:, None] - 1)).astype(jnp.float32)
+                sl = alibi_slopes.astype(jnp.float32).reshape(
+                    1, nk, group, 1
+                )
+                ss = ss + sl * dist_s[:, None, None, :]
             ss = jnp.where((ctx_s < fb.shared_len)[None, None, None, :], ss,
                            NEG_INF)
             m = jnp.maximum(
@@ -434,7 +452,12 @@ class XlaNativeBackend(AttentionBackend):
         return out.astype(q.dtype)
 
     def forward_tree_verify(self, q, kv_layer, fb: ForwardBatch, window=0,
-                            logit_cap=0.0, scale=None, sinks=None):
+                            logit_cap=0.0, scale=None, sinks=None,
+                            alibi_slopes=None):
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "tree-verify does not support ALiBi models yet"
+            )
         """Speculative tree verify (ref eagle_worker_v2.py:1492 recast):
         every sequence carries Rq new tokens laid out at pool slots
         [prefix, prefix+Rq); token r attends the WHOLE prefix plus the
@@ -472,7 +495,8 @@ class XlaNativeBackend(AttentionBackend):
         return self._unperm_out(out).reshape(T, nq, hd).astype(q.dtype)
 
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
-                       logit_cap=0.0, scale=None, sinks=None):
+                       logit_cap=0.0, scale=None, sinks=None,
+                       alibi_slopes=None):
         T, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
@@ -486,6 +510,12 @@ class XlaNativeBackend(AttentionBackend):
         ) * (scale or self.scale)
         scores = self._softcap(scores, logit_cap)
         ctx = jnp.arange(slots.shape[1], dtype=jnp.int32)
+        if alibi_slopes is not None:
+            dist = (ctx[None, :] - fb.positions[:, None]).astype(
+                jnp.float32
+            )  # [T, C]
+            sl = alibi_slopes.astype(jnp.float32).reshape(1, nk, group, 1)
+            scores = scores + sl * dist[:, None, None, :]
         # Causal over absolute positions: token with position p sees ctx [0, p].
         mask = ctx[None, :] <= fb.positions[:, None]  # [T, C]
         if window and window > 0:
