@@ -42,6 +42,13 @@ CONFIGS = {
     ),
 }
 
+# A/B knobs: BENCH_QUANT overrides the 8b config's weight quantization
+# (int8 | w8a8_int8 | fp8 | none); SGLANG_TPU_F8_NATIVE=1 switches fp8-KV
+# pools to native-f8 storage (mem/kv_pool.py quant_native).
+if os.environ.get("BENCH_QUANT"):
+    _q = os.environ["BENCH_QUANT"]
+    CONFIGS["8b"]["quantization"] = None if _q == "none" else _q
+
 
 def run_config(name: str) -> float:
     import jax.numpy as jnp

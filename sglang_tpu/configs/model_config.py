@@ -116,6 +116,23 @@ class ModelConfig:
             src.moe_intermediate_size = getattr(ffn, "ffn_hidden_size", None)
             src.num_experts = getattr(ffn, "moe_num_experts", 0)
             src.num_experts_per_tok = getattr(ffn, "moe_top_k", 0)
+        archs = list(getattr(hf_config, "architectures", []) or [])
+        if any("Whisper" in a for a in archs):
+            # Encoder-decoder ASR: the serving runtime (KV pool, attention)
+            # is sized for the DECODER. WhisperConfig's attribute_map
+            # aliases (num_hidden_layers etc.) point at the ENCODER and
+            # __setattr__ redirects through the map, so read decoder fields
+            # via a shadowing getter instead of mutating the config.
+            _wh = {
+                "num_hidden_layers": src.decoder_layers,
+                "num_attention_heads": src.decoder_attention_heads,
+                "num_key_value_heads": src.decoder_attention_heads,
+                "intermediate_size": src.decoder_ffn_dim,
+                "max_position_embeddings": src.max_target_positions,
+                "hidden_act": "gelu",
+            }
+            _src = src
+            g = lambda k, d=None: _wh.get(k, getattr(_src, k, d))
         # Attention-free models (Mamba/SSM) have no head fields.
         num_heads = g("num_attention_heads") or 1
         hidden = g("hidden_size")

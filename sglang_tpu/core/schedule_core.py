@@ -644,7 +644,8 @@ class ScheduleCore:
             any_top = 20 if any_top <= 20 else any_top
         mm_pack = None
         if mode.is_extend() and any(
-            r.req.mm_positions is not None for r in rows
+            r.req.mm_positions is not None and r.req.mm_embeds is not None
+            for r in rows
         ):
             mm_pack = self._build_mm_pack(rows, seq_inputs, fb)
         lora_row_ids = None
@@ -798,7 +799,7 @@ class ScheduleCore:
         seg = np.asarray(fb.cu_q_lens)
         for i, (row, si) in enumerate(zip(rows, seq_inputs)):
             req = row.req
-            if req.mm_positions is None:
+            if req.mm_positions is None or req.mm_embeds is None:
                 continue
             chunk_start = si.prefix_len
             chunk_end = chunk_start + len(si.new_token_ids)
@@ -961,6 +962,10 @@ class ScheduleCore:
             budget -= q
             self.num_prefill_tokens += q
             self.num_cached_tokens += cached
+            if getattr(req, "cross_kv", None) is not None:
+                # Encoder-decoder: install cross-K/V at the (possibly new,
+                # after retraction) slot. Kept on the req for re-admission.
+                self.runner.write_cross_kv(req.req_slot, *req.cross_kv)
             admitted.append(req)
             req.status = ReqStatus.RUNNING
             req.start_time = time.time()
@@ -2101,6 +2106,28 @@ class ScheduleCore:
         """Encode images (ViT under jit, mm-hash cached) and attach the
         embedding-injection fields + mrope positions to the request."""
         model = self.runner.model
+        if getattr(model, "is_encoder_decoder", False):
+            # Whisper-class ASR: the encoder output becomes per-request
+            # cross-attention K/V (models/whisper.py), installed at the
+            # request's slot on admission — no placeholder expansion. The
+            # radix key for position 0 is salted with the audio hash so
+            # different audios never share decoder-KV prefixes.
+            mi = mm_inputs[0]
+            h = mi["mm_hash"]
+            ckv = self.mm_embed_cache.get(("xkv", h))
+            if ckv is None:
+                ckv = self.runner.encode_cross_kv(mi["pixel_values"])
+                self.mm_embed_cache[("xkv", h)] = ckv
+                while len(self.mm_embed_cache) > self.mm_cache_max:
+                    self.mm_embed_cache.popitem(last=False)
+            else:
+                self.mm_embed_cache.move_to_end(("xkv", h))
+                self.mm_cache_hits += 1
+            req.cross_kv = ckv
+            req.mm_positions = [0]
+            req.mm_embeds = None
+            req.mm_hashes = [h]
+            return
         hidden = self.runner.model_config.hidden_size
         positions: List[int] = []
         embeds: List[np.ndarray] = []

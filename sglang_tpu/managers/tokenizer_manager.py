@@ -150,6 +150,20 @@ class TokenizerManager:
             items = gri.image_data
         if not isinstance(items, list):
             items = [items]
+        if getattr(proc, "encoder_decoder", False):
+            # Whisper-class ASR: the prompt is the DECODER start sequence
+            # (ref srt/entrypoints/openai/serving_transcription.py builds
+            # it via HF get_decoder_prompt_ids); the audio bypasses token
+            # expansion and becomes cross-attention context.
+            pr = proc(items[0])
+            out_ids = self._whisper_decoder_prompt(gri)
+            return out_ids, [dict(
+                pixel_values=pr.features,
+                grid_thw=None,
+                mm_hash=pr.mm_hash,
+                num_tokens=0,
+                offset=0,
+            )]
         if is_audio:
             processed = [proc(d) for d in items]
             payloads = [dict(
@@ -185,6 +199,35 @@ class TokenizerManager:
                 "in the prompt"
             )
         return out_ids, mm_inputs
+
+    def _whisper_decoder_prompt(self, gri) -> List[int]:
+        """[<|startoftranscript|>, <|lang|>, <|task|>, <|notimestamps|>] —
+        HF WhisperTokenizer.get_decoder_prompt_ids semantics. Language
+        comes from a 'Language: xx.' hint in the request text (the audio
+        endpoints append it); task=translate when the text asks for
+        translation; defaults: en / transcribe."""
+        import re as _re
+
+        tok = self.tokenizer
+        tid = tok.convert_tokens_to_ids
+        text = gri.text if isinstance(gri.text, str) else ""
+        lang = "en"
+        m = _re.search(r"[Ll]anguage:\s*([a-z]{2,3})", text)
+        if m:
+            lang = m.group(1)
+        task = "translate" if "ranslate" in text else "transcribe"
+        unk = getattr(tok, "unk_token_id", None)
+        ids = []
+        for t in (
+            "<|startoftranscript|>", f"<|{lang}|>", f"<|{task}|>",
+            "<|notimestamps|>",
+        ):
+            i = tid(t)
+            if i is not None and i != unk:
+                ids.append(int(i))
+        if not ids:  # pathological tokenizer: fall back to BOS
+            ids = [int(getattr(tok, "bos_token_id", 0) or 0)]
+        return ids
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> None:

@@ -294,7 +294,7 @@ class HiCacheController:
             )
         # Host page = both split-pool pages (storage-native layout; for
         # quantized pools that is the int32-packed row form).
-        if cfg.quant:
+        if cfg.quant and not cfg.quant_native:
             page_shape = (2, cfg.page_size, cfg.folded_dim // 4)
         else:
             page_shape = (2, cfg.page_size, 2, cfg.half_dim)

@@ -76,6 +76,14 @@ class KVPoolConfig:
     # layout and why int32 transport); `dtype` above is then the COMPUTE
     # dtype attention dequantizes into, not the storage dtype.
     quant: Optional[str] = None  # "fp8_e5m2" | "fp8_e4m3"
+    # NATIVE f8 storage (SGLANG_TPU_F8_NATIVE=1): pool arrays keep the
+    # bf16 layout [NP, ps, 2, F/2] but with a float8 element type, and the
+    # XLA backend reads them with a plain gather + convert — no int32
+    # bitcast unpack (whose XLA lowering costs ~52ms/step at 1B bs=256:
+    # 25.9ms relayout copies + 13.5ms broadcast + 13.3ms f8
+    # materialization, PERF_NOTES.md). Pallas kernels cannot DMA sub-int32
+    # pools, so this mode forces the xla_native backend.
+    quant_native: bool = False
 
     def layer_num_pages(self, layer_id: int) -> int:
         if (
@@ -89,7 +97,13 @@ class KVPoolConfig:
     @property
     def storage_dtype(self):
         """Device array dtype (int32 transport when quantized)."""
-        return jnp.int32 if self.quant else self.dtype
+        if self.quant:
+            if self.quant_native:
+                from sglang_tpu.ops.quant_kv import F8_DTYPES
+
+                return F8_DTYPES[self.quant]
+            return jnp.int32
+        return self.dtype
 
     @property
     def num_slots(self) -> int:
@@ -151,7 +165,7 @@ class KVCachePool:
             and not config.mla_dim  # latent rows are shared across heads
             and config.num_kv_heads % (2 * mesh_ctx.tp_size) == 0
         )
-        if config.quant:
+        if config.quant and not config.quant_native:
             # int32-packed f8 rows: [NP, ps, F/4] (ops/quant_kv.py). No head
             # sharding yet in quant mode — replicate (correct, costs memory).
             shard_heads = False
@@ -168,7 +182,7 @@ class KVCachePool:
         else:
             spec = P(None, None, None, AXIS_TP if shard_heads else None)
         self.layer_spec = spec
-        if config.quant:
+        if config.quant and not config.quant_native:
             lanes = (config.mla_dim or config.folded_dim) // 4
             shapes = [
                 (config.layer_num_pages(l), config.page_size, lanes)
@@ -184,7 +198,7 @@ class KVCachePool:
                 (config.layer_num_pages(l), config.page_size, 2, fh)
                 for l in range(config.num_layers)
             ]
-            store_dtype = config.dtype
+            store_dtype = config.storage_dtype  # f8 when quant_native
 
         mla = bool(config.mla_dim)
         idx_shape = None

@@ -150,6 +150,7 @@ class ModelRunner:
             server_args.model_path,
             load_format=server_args.load_format,
             seed=server_args.random_seed,
+            weight_cache_mode=server_args.weight_cache_mode,
         )
         logger.info("weights loaded in %.1fs", time.perf_counter() - t0)
 
@@ -157,13 +158,19 @@ class ModelRunner:
         backend_name = server_args.attention_backend or (
             "pallas" if jax.default_backend() == "tpu" else "xla_native"
         )
+        if self.kv_quant_native():
+            # Native-f8 pools are plain gathers + converts — an XLA-only
+            # formulation (Pallas cannot DMA sub-int32 pools).
+            backend_name = "xla_native"
         backend_cls = get_attention_backend(backend_name)
         self.attn_backend = backend_cls(
             model_config.num_attention_heads,
             model_config.num_key_value_heads,
             model_config.head_dim,
             server_args.page_size,
-            kv_quant=self.kv_quant_format(),
+            # native mode: the pool dtype itself is f8; no pack/unpack.
+            kv_quant=(None if self.kv_quant_native()
+                      else self.kv_quant_format()),
             compute_dtype=model_config.dtype,
             dcp=server_args.enable_dcp,
         )
@@ -292,6 +299,7 @@ class ModelRunner:
             mla_dim=int(getattr(self.model, "mla_dim", 0) or 0),
             dsa_index_dim=int(getattr(self.model, "dsa_index_dim", 0) or 0),
             quant=kv_quant,
+            quant_native=self.kv_quant_native(),
         )
         if getattr(self.model, "is_recurrent", False):
             # SSM models: slot-indexed state arrays instead of paged KV.
@@ -316,6 +324,22 @@ class ModelRunner:
             self.kv_pool = KVCachePool(
                 cfg, self.mesh_ctx, dcp_shard=self.dcp_pool_sharded
             )
+        if hasattr(self.model, "cross_kv_shapes"):
+            # Encoder-decoder models (models/whisper.py): slot-indexed
+            # cross-attention K/V pairs ride the kv tuple TAIL (indices
+            # [num_layers, 2*num_layers)); decoder layers gather them by
+            # fb.state_slots. Written once per request (write_cross_kv).
+            tail = tuple(
+                (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                for shape, dt in self.model.cross_kv_shapes(
+                    sa.max_running_requests
+                )
+            )
+            self.kv_pool.kv = tuple(self.kv_pool.kv) + tail
+            self._write_cross = jax.jit(
+                self._write_cross_impl, donate_argnums=(0,),
+                static_argnames=("n_layers",),
+            )
         self.max_total_tokens = (num_pages - 1) * sa.page_size
         logger.info(
             "KV pool: %d pages x %d tokens (swa pool: %s pages, %d sliding "
@@ -326,6 +350,34 @@ class ModelRunner:
             sum(1 for w in layer_windows if w > 0),
             cfg.bytes_total() / (1 << 30),
         )
+
+    @staticmethod
+    def _write_cross_impl(kv, slot, ck, cv, *, n_layers: int):
+        """Install one request's cross K/V ([L, S, nh, hd] each) at its
+        slot across the kv tuple's tail entries."""
+        out = list(kv)
+        for i in range(n_layers):
+            k_arr, v_arr = out[n_layers + i]
+            out[n_layers + i] = (
+                k_arr.at[slot].set(ck[i].astype(k_arr.dtype)),
+                v_arr.at[slot].set(cv[i].astype(v_arr.dtype)),
+            )
+        return tuple(out)
+
+    def write_cross_kv(self, slot: int, ck, cv) -> None:
+        """Write a request's encoder cross-K/V into the kv tail (encoder-
+        decoder models; called by the scheduler at admission)."""
+        n = self.model_config.num_hidden_layers
+        self.kv_pool.kv = self._write_cross(
+            self.kv_pool.kv, jnp.asarray(slot, jnp.int32), ck, cv,
+            n_layers=n,
+        )
+
+    def encode_cross_kv(self, feats):
+        """Run the audio encoder + cross projections once (jitted)."""
+        if not hasattr(self, "_encode_cross"):
+            self._encode_cross = jax.jit(self.model.encode_cross)
+        return self._encode_cross(self.params, jnp.asarray(feats))
 
     def _layer_windows(self):
         """Per-layer sliding windows from the constructed model (0 = full
@@ -518,6 +570,19 @@ class ModelRunner:
         if d == "fp8_e4m3":
             return "fp8_e4m3"
         return None
+
+    def kv_quant_native(self) -> bool:
+        """Native-f8 pool storage A/B knob (SGLANG_TPU_F8_NATIVE=1): store
+        quantized pools as float8 arrays in the bf16 layout instead of
+        int32-packed lanes (mem/kv_pool.py quant_native). GQA/MHA only —
+        the MLA latent path still consumes packed rows."""
+        import os
+
+        return bool(
+            self.kv_quant_format()
+            and os.environ.get("SGLANG_TPU_F8_NATIVE", "0") == "1"
+            and not getattr(self.model, "mla_dim", 0)
+        )
 
     def kv_dtype_np(self):
         c = self.model_config

@@ -72,6 +72,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "ApertusForCausalLM": ("sglang_tpu.models.apertus",
                            "ApertusForCausalLM"),
     "SeedOssForCausalLM": ("sglang_tpu.models.llama", "LlamaForCausalLM"),
+    "WhisperForConditionalGeneration": ("sglang_tpu.models.whisper",
+                                        "WhisperForConditionalGeneration"),
     "MiniMaxForCausalLM": ("sglang_tpu.models.minimax",
                            "MiniMaxForCausalLM"),
     "MiniMaxText01ForCausalLM": ("sglang_tpu.models.minimax",

@@ -200,3 +200,29 @@ class Qwen2AudioProcessor:
             num_tokens=qwen2_audio_output_lengths(num_frames),
             mm_hash=h,
         )
+
+
+class WhisperASRProcessor:
+    """Whisper proper (encoder-decoder ASR, models/whisper.py): mel
+    features feed the encoder as per-request cross-attention context —
+    no LM placeholder tokens (num_tokens=0). The tokenizer manager builds
+    the decoder prompt (<|startoftranscript|>...) itself."""
+
+    modality = "audio"
+    encoder_decoder = True
+
+    def __init__(self, hf_config):
+        self.n_mels = getattr(hf_config, "num_mel_bins", 80)
+
+    def __call__(self, audio) -> ProcessedAudio:
+        x = load_audio(audio)
+        feats = whisper_log_mel(x, n_mels=self.n_mels)
+        h = int.from_bytes(
+            hashlib.sha256(feats.tobytes()).digest()[:8], "little"
+        )
+        return ProcessedAudio(
+            features=feats,
+            num_frames=feats.shape[1],
+            num_tokens=0,
+            mm_hash=h,
+        )

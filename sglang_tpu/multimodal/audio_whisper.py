@@ -21,7 +21,12 @@ from sglang_tpu.layers.base import ParamSpec, SpecTree, join
 
 
 class WhisperEncoderTower:
-    def __init__(self, audio_config, lm_hidden: int, dtype):
+    """pool/proj=True is the Qwen2-Audio tower (avg-pool + multi-modal
+    projector); pool/proj=False is the bare Whisper encoder
+    (ref srt/models/whisper.py WhisperEncoder:264)."""
+
+    def __init__(self, audio_config, lm_hidden: int, dtype,
+                 pool: bool = True, proj: bool = True):
         a = audio_config
         self.n_mels = a.num_mel_bins
         self.d = a.d_model
@@ -33,6 +38,8 @@ class WhisperEncoderTower:
         self.lm_hidden = lm_hidden
         self.dtype = dtype
         self.scale = self.hd**-0.5
+        self.pool = pool
+        self.proj = proj
 
     # ---------------------------------------------------------------- specs
     def specs(self, p: str) -> SpecTree:
@@ -45,9 +52,11 @@ class WhisperEncoderTower:
             join(p, "pos/weight"): ParamSpec((self.max_pos, self.d), dt, P()),
             join(p, "ln_post/weight"): ParamSpec((self.d,), dt, P()),
             join(p, "ln_post/bias"): ParamSpec((self.d,), dt, P()),
-            join(p, "proj/weight"): ParamSpec((self.d, self.lm_hidden), dt, P()),
-            join(p, "proj/bias"): ParamSpec((self.lm_hidden,), dt, P()),
         }
+        if self.proj:
+            s[join(p, "proj/weight")] = ParamSpec(
+                (self.d, self.lm_hidden), dt, P())
+            s[join(p, "proj/bias")] = ParamSpec((self.lm_hidden,), dt, P())
         for i in range(self.n_layers):
             lp = join(p, f"layers/{i}")
             for nm, shape, bias in (
@@ -137,10 +146,13 @@ class WhisperEncoderTower:
             )
             h = res + self._linear(params, join(lp, "fc2"), hn)
 
-        # avg_pool1d(2, 2) over time, THEN final layer norm (HF order)
-        h = (h[0::2] + h[1::2]) * 0.5  # [750, d]
+        if self.pool:
+            # avg_pool1d(2, 2) over time, THEN final layer norm (HF order)
+            h = (h[0::2] + h[1::2]) * 0.5  # [750, d]
         h = self._ln(params, join(p, "ln_post"), h)
-        return self._linear(params, join(p, "proj"), h)  # [750, lm_hidden]
+        if self.proj:
+            return self._linear(params, join(p, "proj"), h)  # [*, lm_hidden]
+        return h  # [S, d] raw encoder states (Whisper enc-dec)
 
     # -------------------------------------------------------------- weights
     def map_hf_weight(self, name: str, arr: np.ndarray, prefix: str):

@@ -172,11 +172,19 @@ def _qwen2_audio_processor(hf_config):
     return Qwen2AudioProcessor(hf_config)
 
 
+def _whisper_processor(hf_config):
+    from sglang_tpu.multimodal.audio import WhisperASRProcessor
+
+    return WhisperASRProcessor(hf_config)
+
+
 _PROCESSORS = {
     "LlavaForConditionalGeneration": LlavaImageProcessor,
     "Qwen2VLForConditionalGeneration": Qwen2VLImageProcessor,
     # Audio modality (processor.modality == "audio"):
     "Qwen2AudioForConditionalGeneration": _qwen2_audio_processor,
+    # Encoder-decoder ASR (processor.encoder_decoder == True):
+    "WhisperForConditionalGeneration": _whisper_processor,
 }
 
 

@@ -185,6 +185,15 @@ class AttentionBackend:
         )
         return fb_p, fb_d, q[:Tp], q[Tp:]
 
+    def _upcast(self, x):
+        """Native-f8 pools (SGLANG_TPU_F8_NATIVE=1, mem/kv_pool.py): gathered
+        rows carry the pool's float8 dtype; convert to the compute dtype —
+        a plain elementwise XLA fuses into the gather consumer, vs the
+        int32-bitcast unpack's broadcast/relayout lowering."""
+        if x.dtype in (jnp.float8_e5m2, jnp.float8_e4m3fn):
+            return x.astype(self.compute_dtype)
+        return x
+
     def _dequant(self, rows, num_heads=None):
         """Packed int32 rows [..., lanes] -> [..., nh, hd] compute dtype."""
         from sglang_tpu.ops.quant_kv import unpack_f8

@@ -58,7 +58,7 @@ class XlaNativeBackend(AttentionBackend):
             )
         k = kp[pages, offs].reshape(slots.shape + (nk, hd))
         v = vp[pages, offs].reshape(slots.shape + (nk, hd))
-        return k, v
+        return self._upcast(k), self._upcast(v)
 
     def _gather_pages(self, kv_layer, page_table):
         """Page-level gather: [B, P] -> k, v [B, P*ps, nk, hd].
@@ -79,7 +79,7 @@ class XlaNativeBackend(AttentionBackend):
             return k, v
         k = kp[page_table].reshape(B, C, nk, hd)
         v = vp[page_table].reshape(B, C, nk, hd)
-        return k, v
+        return self._upcast(k), self._upcast(v)
 
     @staticmethod
     def _softcap(scores, logit_cap):
@@ -148,8 +148,8 @@ class XlaNativeBackend(AttentionBackend):
                 v_s = self._dequant_packed(
                     vp[fb.shared_pages]).reshape(Cs, nk, hd)
             else:
-                k_s = kp[fb.shared_pages].reshape(Cs, nk, hd)
-                v_s = vp[fb.shared_pages].reshape(Cs, nk, hd)
+                k_s = self._upcast(kp[fb.shared_pages].reshape(Cs, nk, hd))
+                v_s = self._upcast(vp[fb.shared_pages].reshape(Cs, nk, hd))
             ss = jnp.einsum(
                 "bkgd,ckd->bkgc", qf, k_s, preferred_element_type=jnp.float32
             ) * (scale or self.scale)

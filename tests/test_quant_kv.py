@@ -151,3 +151,53 @@ def test_fp8_kv_radix_reuse(tiny_llama_dir):
     r2 = gen("b", prompt)
     assert r2.output_ids == r1.output_ids
     assert r2.cached_report > 0  # radix hit on the quantized pool
+
+
+def test_fp8_native_pool_matches_packed(tiny_llama_dir, monkeypatch):
+    """SGLANG_TPU_F8_NATIVE=1 (mem/kv_pool.py quant_native): pools store
+    float8 arrays in the bf16 layout and the XLA backend reads them with
+    gather+convert. Same f8 values as the int32-packed transport — tokens
+    and logprobs must match the packed run exactly."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    prompt = [3, 11, 7, 5, 2, 9, 4, 8, 6, 1]
+
+    def run(native: bool):
+        monkeypatch.setenv("SGLANG_TPU_F8_NATIVE", "1" if native else "0")
+        args = ServerArgs(
+            model_path=tiny_llama_dir,
+            dtype="float32",
+            attention_backend="xla_native",
+            page_size=4,
+            max_total_tokens=2048,
+            kv_cache_dtype="fp8_e5m2",
+        )
+        runner = ModelRunner(args)
+        core = ScheduleCore(args, runner)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6,
+                            ignore_eos=True)
+        sp.normalize()
+        req = Req("r", list(prompt), sp)
+        req.return_logprob = True
+        core.add_request(req)
+        while core.has_work():
+            core.step()
+        return req, runner
+
+    packed_req, _ = run(False)
+    native_req, native_runner = run(True)
+    # storage really is float8 in the bf16 layout
+    k0 = native_runner.kv_pool.kv[0][0]
+    assert k0.dtype == jnp.float8_e5m2 and k0.ndim == 4
+    assert native_req.output_ids == packed_req.output_ids
+    np.testing.assert_allclose(
+        np.asarray(native_req.output_logprobs, np.float32),
+        np.asarray(packed_req.output_logprobs, np.float32),
+        rtol=2e-4, atol=2e-5,
+    )
