@@ -48,12 +48,33 @@ class ParamSpec:
 SpecTree = Dict[str, ParamSpec]
 
 
+def host_materialize(name: str, spec: ParamSpec, arr) -> Dict[str, Tuple[Any, P]]:
+    """Host half of materialize_param: assembled float buffer -> final
+    STORAGE-dtype numpy entries + their PartitionSpecs (quantized weights
+    get a companion "<name>/qscale"). Shared by the in-process loader and
+    the weight-cache daemon (weight_cache/daemon.py), which pins exactly
+    these arrays in shared memory."""
+    import numpy as np
+
+    if spec.quant_method:
+        from sglang_tpu.quantization import quantize_np, scale_spec
+
+        qw, scale = quantize_np(
+            np.asarray(arr, np.float32), spec.quant_method, spec.quant_axes
+        )
+        return {
+            name: (qw, spec.spec),
+            name + "/qscale": (
+                scale,
+                scale_spec(spec.spec, spec.quant_axes, len(spec.shape)),
+            ),
+        }
+    return {name: (np.asarray(arr).astype(spec.dtype), spec.spec)}
+
+
 def materialize_param(name: str, spec: ParamSpec, arr, mesh_ctx=None) -> Dict[str, Any]:
     """Turn one assembled float buffer into device param entries,
     quantizing when the spec asks for it."""
-    import numpy as np
-
-    out: Dict[str, Any] = {}
 
     def put(a, pspec):
         if mesh_ctx is not None:
@@ -62,19 +83,10 @@ def materialize_param(name: str, spec: ParamSpec, arr, mesh_ctx=None) -> Dict[st
             )
         return jnp.asarray(a)
 
-    if spec.quant_method:
-        from sglang_tpu.quantization import quantize_np, scale_spec
-
-        qw, scale = quantize_np(
-            np.asarray(arr, np.float32), spec.quant_method, spec.quant_axes
-        )
-        out[name] = put(qw, spec.spec)
-        out[name + "/qscale"] = put(
-            scale, scale_spec(spec.spec, spec.quant_axes, len(spec.shape))
-        )
-    else:
-        out[name] = put(np.asarray(arr).astype(spec.dtype), spec.spec)
-    return out
+    return {
+        k: put(a, pspec)
+        for k, (a, pspec) in host_materialize(name, spec, arr).items()
+    }
 
 
 def join(*parts: str) -> str:

@@ -57,19 +57,14 @@ def _to_numpy(arr) -> np.ndarray:
     return a
 
 
-def load_model_weights(
-    model,
-    specs: SpecTree,
-    mesh_ctx: MeshContext,
-    model_path: str,
-    load_format: str = "auto",
-    seed: int = 0,
-) -> Params:
-    if load_format == "dummy":
-        return init_dummy_params(specs, seed, mesh_ctx)
-
+def assemble_host_buffers(
+    model, specs: SpecTree, model_path: str
+) -> Dict[str, np.ndarray]:
+    """Checkpoint tensors -> full float32 host buffers per spec param
+    (fusion/expert/stack slots resolved, pre-quantized checkpoints
+    dequantized). Shared by load_model_weights and the weight-cache
+    daemon (weight_cache/daemon.py)."""
     buffers: Dict[str, np.ndarray] = {}
-    filled: Dict[str, int] = {}
     tensor_iter = _iter_checkpoint_tensors(model_path)
     from sglang_tpu.quantization.checkpoint_formats import (
         dequantize_stream,
@@ -91,13 +86,36 @@ def load_model_weights(
             spec = specs[pname]
             if pname not in buffers:
                 buffers[pname] = np.empty(spec.shape, dtype=np.float32)
-                filled[pname] = 0
             if slot is None:
                 assert arr.shape == spec.shape, (pname, arr.shape, spec.shape)
             # Slot semantics (MoE expert slots, PP layer stacking, fusion
             # slots) live in _write_slot.
             _write_slot(buffers[pname], slot, arr)
-            filled[pname] += 1
+    return buffers
+
+
+def load_model_weights(
+    model,
+    specs: SpecTree,
+    mesh_ctx: MeshContext,
+    model_path: str,
+    load_format: str = "auto",
+    seed: int = 0,
+    weight_cache_mode: Optional[str] = None,
+) -> Params:
+    if load_format == "dummy":
+        return init_dummy_params(specs, seed, mesh_ctx)
+    if weight_cache_mode:
+        from sglang_tpu.weight_cache.shm_loader import load_params_via_cache
+
+        params = load_params_via_cache(
+            model, specs, mesh_ctx, model_path, mode=weight_cache_mode
+        )
+        if params is not None:
+            return params
+        # daemon absent in client mode: fall through to disk load.
+
+    buffers = assemble_host_buffers(model, specs, model_path)
 
     params: Params = {}
     missing = []

@@ -193,6 +193,10 @@ class ServerArgs:
     # Loading
     load_format: str = "auto"  # auto | safetensors | dummy
     random_seed: Optional[int] = None
+    # Weight-cache daemon (weight_cache/): "client" tries the daemon and
+    # falls back to disk when absent; "daemon" requires it (ref
+    # srt/weight_cache/ipc_loader.py fallback semantics).
+    weight_cache_mode: Optional[str] = None  # client | daemon
 
     # Logging / observability
     log_level: str = "info"
