@@ -1146,8 +1146,17 @@ async def _serve(server_args: ServerArgs) -> None:
     logger.info(
         "server listening on http://%s:%d", server_args.host, server_args.port
     )
-    while True:
-        await asyncio.sleep(3600)
+    sidecar = None
+    if server_args.sidecar:
+        from sglang_tpu.entrypoints.sidecar import start_sidecar
+
+        sidecar = start_sidecar(server_args)
+    try:
+        while True:
+            await asyncio.sleep(3600)
+    finally:
+        if sidecar is not None:
+            sidecar.stop()
 
 
 def launch_server(server_args: ServerArgs) -> None:

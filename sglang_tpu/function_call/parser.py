@@ -834,6 +834,478 @@ class GptOssDetector(BaseDetector):
         return ParseResult(normal.strip(), calls)
 
 
+class TrinityDetector(Qwen25Detector):
+    """Trinity: Qwen-style <tool_call> blocks that may sit inside <think>
+    sections — strip the think tags, then parse. Ref: trinity_detector.py."""
+
+    name = "trinity"
+
+    @staticmethod
+    def _strip_think(text: str) -> str:
+        return text.replace("<think>", "").replace("</think>", "")
+
+    def has_tool_call(self, text: str) -> bool:
+        return super().has_tool_call(self._strip_think(text))
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        return super().detect_and_parse(self._strip_think(text), tools)
+
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        return super().parse_streaming_increment(self._strip_think(delta),
+                                                 tools)
+
+
+class Gemma4Detector(BaseDetector):
+    """Gemma4: <|tool_call>call:name{k: <|\"|>str<|\"|>, n: 3}<tool_call|>
+    — a custom key:value grammar where strings are delimited by <|\"|>
+    and everything else is a JSON-ish literal. Ref: gemma4_detector.py."""
+
+    name = "gemma4"
+    bot_token = "<|tool_call>"
+    eot_token = "<tool_call|>"
+    STRING_DELIM = '<|"|>'
+
+    def _parse_value(self, s: str):
+        s = s.strip()
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        if s == "null":
+            return None
+        v = _try_json(s)
+        if v is not None:
+            return v
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+    def _parse_args(self, src: str) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        i, n = 0, len(src)
+        D = self.STRING_DELIM
+        while i < n:
+            while i < n and src[i] in " ,\n\t":
+                i += 1
+            if i >= n:
+                break
+            j = src.find(":", i)
+            if j < 0:
+                break
+            key = src[i:j].strip()
+            i = j + 1
+            while i < n and src[i] in " \n\t":
+                i += 1
+            if src.startswith(D, i):
+                i += len(D)
+                end = src.find(D, i)
+                if end < 0:
+                    out[key] = src[i:]
+                    break
+                out[key] = src[i:end]
+                i = end + len(D)
+            elif i < n and src[i] in "{[":
+                end = _balanced_end(src, i)
+                if end < 0:
+                    end = n
+                out[key] = self._parse_value(src[i:end])
+                i = end
+            else:
+                end = i
+                while end < n and src[end] not in ",":
+                    end += 1
+                out[key] = self._parse_value(src[i:end])
+                i = end
+        return out
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal_parts = []
+        rest = text
+        while self.bot_token in rest:
+            pre, rest = rest.split(self.bot_token, 1)
+            normal_parts.append(pre)
+            if self.eot_token in rest:
+                body, rest = rest.split(self.eot_token, 1)
+            else:
+                body, rest = rest, ""
+            body = body.strip()
+            if not body.startswith("call:"):
+                continue
+            brace = body.find("{")
+            if brace < 0:
+                continue
+            fname = body[5:brace].strip()
+            end = _balanced_end(body, brace)
+            args_src = body[brace + 1: (end - 1) if end > 0 else len(body)]
+            it = self._extract(
+                {"name": fname, "arguments": self._parse_args(args_src)},
+                tools,
+            )
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        normal_parts.append(rest)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
+class DsmlDetector(BaseDetector):
+    """DeepSeek V3.2/V4 DSML markup (ref deepseekv32_detector.py,
+    deepseekv4_detector.py): <｜DSML｜{wrapper}> blocks containing
+    <｜DSML｜invoke name="fn"> with either XML parameter tags
+    (<｜DSML｜parameter name="k" string="true">v</｜DSML｜parameter>) or a
+    direct JSON object body. string="true" keeps raw text; otherwise the
+    value is JSON-decoded (fallback: schema cast)."""
+
+    name = "deepseekv32"
+    wrapper = "function_calls"
+    _invoke_re = re.compile(
+        r'<｜DSML｜invoke name="([^"]+)">(.*?)(?:</｜DSML｜invoke>|$)',
+        re.DOTALL,
+    )
+    _param_re = re.compile(
+        r'<｜DSML｜parameter\s+name="([^"]+)"(?:\s+string="([^"]+)")?\s*>'
+        r"(.*?)</｜DSML｜parameter>",
+        re.DOTALL,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self.bot_token = f"<｜DSML｜{self.wrapper}>"
+        self.eot_token = f"</｜DSML｜{self.wrapper}>"
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        end = buf.find(self.eot_token, body_start)
+        if end < 0:
+            return False, 0, []
+        res = self._parse_block(buf[body_start:end], tools)
+        return True, end + len(self.eot_token), res
+
+    def _parse_block(self, block: str, tools) -> List[ToolCallItem]:
+        calls: List[ToolCallItem] = []
+        for m in self._invoke_re.finditer(block):
+            fname, body = m.group(1), m.group(2)
+            args: Dict[str, Any] = {}
+            params = self._param_re.findall(body)
+            if params:
+                for k, is_str, v in params:
+                    if is_str == "true":
+                        args[k] = v
+                    else:
+                        parsed = _try_json(v.strip())
+                        args[k] = (parsed if parsed is not None
+                                   else _schema_cast(fname, k, v, tools))
+            else:
+                found = _find_json_objects(body)
+                if found and isinstance(found[0][2], dict):
+                    args = found[0][2]
+            it = self._extract({"name": fname, "arguments": args}, tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        return calls
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        return ParseResult(pre.strip(), self._parse_block(payload, tools))
+
+
+class DeepSeekV4Detector(DsmlDetector):
+    """DeepSeek V4: same DSML markup, wrapper tag is tool_calls."""
+
+    name = "deepseekv4"
+    wrapper = "tool_calls"
+
+
+class HunyuanDetector(BaseDetector):
+    """Hunyuan: <tool_calls><tool_call>name<tool_sep><arg_key>k</arg_key>
+    <arg_value>v</arg_value>...</tool_call></tool_calls>.
+    Ref: hunyuan_detector.py."""
+
+    name = "hunyuan"
+    bot_token = "<tool_calls>"
+    eot_token = "</tool_calls>"
+    _call_re = re.compile(r"<tool_call>(.*?)(?:</tool_call>|$)", re.DOTALL)
+    _arg_re = re.compile(
+        r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)</arg_value>", re.DOTALL
+    )
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        end = buf.find(self.eot_token, body_start)
+        if end < 0:
+            return False, 0, []
+        res = self._parse_block(buf[body_start:end], tools)
+        return True, end + len(self.eot_token), res
+
+    def _parse_block(self, block: str, tools) -> List[ToolCallItem]:
+        calls: List[ToolCallItem] = []
+        for m in self._call_re.finditer(block):
+            body = m.group(1)
+            fname = re.split(r"<tool_sep>|\n", body, 1)[0].strip()
+            args = {
+                k.strip(): _schema_cast(fname, k.strip(), v, tools)
+                for k, v in self._arg_re.findall(body)
+            }
+            it = self._extract({"name": fname, "arguments": args}, tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        return calls
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        return ParseResult(pre.strip(), self._parse_block(payload, tools))
+
+
+class MiniCpm5Detector(BaseDetector):
+    """MiniCPM5: <function name="fn"><param name="k">v</param>...
+    </function>, CDATA-wrapped values allowed. Ref: minicpm5_detector.py."""
+
+    name = "minicpm5"
+    bot_token = "<function"
+    eot_token = "</function>"
+    _fn_re = re.compile(r"<function\s+name=['\"]([^'\"]+)['\"][^>]*>")
+    _param_re = re.compile(
+        r"<param\s+name=['\"]([^'\"]+)['\"]>([\s\S]*?)</param>", re.DOTALL
+    )
+    _cdata_re = re.compile(r"^<!\[CDATA\[([\s\S]*)\]\]>$")
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        end = buf.find(self.eot_token, body_start)
+        if end < 0:
+            return False, 0, []
+        block = buf[body_start - len(self.bot_token): end]
+        return True, end + len(self.eot_token), self._parse_block(block, tools)
+
+    def _parse_block(self, block: str, tools) -> List[ToolCallItem]:
+        m = self._fn_re.search(block)
+        if not m:
+            return []
+        fname = m.group(1)
+        args: Dict[str, Any] = {}
+        for k, v in self._param_re.findall(block):
+            cd = self._cdata_re.match(v.strip())
+            raw = cd.group(1) if cd else v
+            args[k] = _schema_cast(fname, k, raw, tools) if not cd else raw
+        it = self._extract({"name": fname, "arguments": args}, tools)
+        return [it] if it else []
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal_parts = []
+        rest = text
+        while self.bot_token in rest and self.eot_token in rest:
+            pre, rest = rest.split(self.bot_token, 1)
+            normal_parts.append(pre)
+            body, rest = rest.split(self.eot_token, 1)
+            for it in self._parse_block(self.bot_token + body, tools):
+                it.tool_index = len(calls)
+                calls.append(it)
+        normal_parts.append(rest)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
+class ApertusDetector(BaseDetector):
+    """Apertus: <|tools_prefix|>[{"tool_name": {...args...}}, ...]
+    <|tools_suffix|> — each element is a SINGLE-KEY object mapping tool
+    name to its arguments. Ref: apertus2509_detector.py."""
+
+    name = "apertus"
+    bot_token = "<|tools_prefix|>"
+    eot_token = "<|tools_suffix|>"
+
+    def _extract(self, obj, tools):
+        if isinstance(obj, dict) and len(obj) == 1 and "name" not in obj:
+            (k, v), = obj.items()
+            obj = {"name": k, "arguments": v if isinstance(v, dict) else {}}
+        return super()._extract(obj, tools)
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        calls: List[ToolCallItem] = []
+        for _, _, obj in _find_json_objects(payload):
+            for o in obj if isinstance(obj, list) else [obj]:
+                it = self._extract(o, tools)
+                if it:
+                    it.tool_index = len(calls)
+                    calls.append(it)
+            if calls:
+                break
+        return ParseResult(pre.strip(), calls)
+
+
+class KimiK3Detector(BaseDetector):
+    """Kimi K3 XTML channels (ref kimik3_detector.py): tool calls live in
+    a tools channel of <|open|>/<|close|> tagged sections:
+    <|open|>tools<|sep|> <|open|>call tool="n" index="1"<|sep|>
+    <|open|>argument key="k" type="string"<|sep|>raw<|close|>argument<|sep|>
+    <|close|>call<|sep|> <|close|>tools<|sep|>. type="string" keeps raw
+    text; other types JSON-decode."""
+
+    name = "kimi_k3"
+    bot_token = "<|open|>tools<|sep|>"
+    eot_token = "<|close|>tools<|sep|>"
+    _call_re = re.compile(
+        r'<\|open\|>call tool="([^"]+)"[^<]*<\|sep\|>(.*?)<\|close\|>call<\|sep\|>',
+        re.DOTALL,
+    )
+    _arg_re = re.compile(
+        r'<\|open\|>argument key="([^"]+)"(?:\s+type="([^"]+)")?[^<]*<\|sep\|>'
+        r"(.*?)<\|close\|>argument<\|sep\|>",
+        re.DOTALL,
+    )
+
+    @staticmethod
+    def _unescape(s: str) -> str:
+        return s.replace("&quot;", '"').replace("&amp;", "&")
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        end = buf.find(self.eot_token, body_start)
+        if end < 0:
+            return False, 0, []
+        res = self._parse_block(buf[body_start:end], tools)
+        return True, end + len(self.eot_token), res
+
+    def _parse_block(self, block: str, tools) -> List[ToolCallItem]:
+        calls: List[ToolCallItem] = []
+        for m in self._call_re.finditer(block):
+            fname = self._unescape(m.group(1))
+            args: Dict[str, Any] = {}
+            for k, typ, v in self._arg_re.findall(m.group(2)):
+                k = self._unescape(k)
+                if typ in ("", "string"):
+                    args[k] = v
+                else:
+                    parsed = _try_json(v.strip())
+                    args[k] = parsed if parsed is not None else v
+            it = self._extract({"name": fname, "arguments": args}, tools)
+            if it:
+                it.tool_index = len(calls)
+                calls.append(it)
+        return calls
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        # Plain reply rides a response channel before the tools channel.
+        normal = re.sub(
+            r"<\|open\|>response<\|sep\|>|<\|close\|>response<\|sep\|>",
+            "", pre,
+        ).strip()
+        return ParseResult(normal, self._parse_block(payload, tools))
+
+
+class GigaChat3Detector(BaseDetector):
+    """GigaChat3: `function call<|role_sep|>\\n{json}` or
+    <|function_call|>{json} with a {"name":..., "arguments":{...}} object.
+    Ref: gigachat3_detector.py."""
+
+    name = "gigachat3"
+    _fc_re = re.compile(
+        r"(?:function call<\|role_sep\|>\n?|<\|function_call\|>)(.*)",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return bool(self._fc_re.search(text))
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        if text.rstrip().endswith("</s>"):
+            text = text[: text.rfind("</s>")]
+        m = self._fc_re.search(text)
+        if not m:
+            return ParseResult(text, [])
+        obj = None
+        found = _find_json_objects(m.group(1))
+        if found:
+            obj = found[0][2]
+        if not (isinstance(obj, dict) and "name" in obj
+                and isinstance(obj.get("arguments"), dict)):
+            return ParseResult(text, [])
+        it = self._extract(obj, tools)
+        return ParseResult(text[: m.start()].strip(), [it] if it else [])
+
+
+class MinimaxM3Detector(BaseDetector):
+    """MiniMax M3: every tag is prefixed by the namespace token
+    ]<]minimax[>[ — blocks look like NS<tool_call> NS<invoke name="fn">
+    NS<param>value NS</param> NS</invoke> NS</tool_call>. Flat parameters
+    with schema-typed leaves (the reference additionally reconstructs
+    nested object/array params from nested tags; flat covers the shipped
+    templates). Ref: minimax_m3.py."""
+
+    name = "minimax-m3"
+    NS = "]<]minimax[>["
+    bot_token = NS + "<tool_call>"
+    eot_token = NS + "</tool_call>"
+
+    def _stream_complete_call(self, buf: str, body_start: int, tools):
+        end = buf.find(self.eot_token, body_start)
+        if end < 0:
+            return False, 0, []
+        res = self._parse_block(buf[body_start:end], tools)
+        return True, end + len(self.eot_token), res
+
+    def _parse_block(self, block: str, tools) -> List[ToolCallItem]:
+        calls: List[ToolCallItem] = []
+        invoke_pre = '<invoke name="'
+        chunks = [c for c in block.split(self.NS) if c.strip()]
+        fname = None
+        args: Dict[str, Any] = {}
+        pkey = None
+        pval: List[str] = []
+
+        def flush_call():
+            nonlocal fname, args
+            if fname is not None:
+                it = self._extract({"name": fname, "arguments": args}, tools)
+                if it:
+                    it.tool_index = len(calls)
+                    calls.append(it)
+            fname, args = None, {}
+
+        for c in chunks:
+            s = c.strip()
+            if s.startswith(invoke_pre):
+                flush_call()
+                qe = s.find('">', len(invoke_pre))
+                if qe < 0:
+                    continue
+                fname = s[len(invoke_pre):qe]
+                trail = s[qe + 2:]
+                if trail.strip():
+                    pval.append(trail)
+            elif s.startswith("</invoke>"):
+                flush_call()
+            elif s.startswith("</") and pkey is not None:
+                raw = "".join(pval)
+                args[pkey] = _schema_cast(fname or "", pkey, raw, tools)
+                pkey, pval = None, []
+            elif s.startswith("<"):
+                gt = s.find(">")
+                if gt < 0:
+                    continue
+                pkey = s[1:gt].strip()
+                pval = [s[gt + 1:]] if s[gt + 1:] else []
+            elif pkey is not None:
+                pval.append(c)
+        flush_call()
+        return calls
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        pre, _, payload = text.partition(self.bot_token)
+        payload = payload.split(self.eot_token, 1)[0]
+        return ParseResult(pre.strip(), self._parse_block(payload, tools))
+
+
 DETECTORS = {
     "llama3": Llama3Detector,
     "llama4": PythonicDetector,
@@ -858,6 +1330,30 @@ DETECTORS = {
     "command-a": CommandADetector,
     "gpt_oss": GptOssDetector,
     "gpt-oss": GptOssDetector,
+    # Llama-3.2 JSON-with-';'-separator rides the llama3 detector.
+    "llama32": Llama3Detector,
+    "trinity": TrinityDetector,
+    "gemma4": Gemma4Detector,
+    "deepseekv32": DsmlDetector,
+    "deepseekv4": DeepSeekV4Detector,
+    "hunyuan": HunyuanDetector,
+    "minicpm5": MiniCpm5Detector,
+    "apertus": ApertusDetector,
+    "kimi_k3": KimiK3Detector,
+    "gigachat3": GigaChat3Detector,
+    "minimax-m3": MinimaxM3Detector,
+    # MiMo's <tool_call><function=..><parameter=..> IS the qwen3-coder
+    # wire format; poolside/GLM-4.7's <tool_call>name<arg_key>/<arg_value>
+    # IS the glm4_moe wire format (ref mimo_detector.py,
+    # poolside_v1_detector.py, glm47_moe_detector.py).
+    "mimo": Qwen3CoderDetector,
+    "poolside_v1": Glm4MoeDetector,
+    "poolside": Glm4MoeDetector,
+    "glm47": Glm4MoeDetector,
+    "glm47_moe": Glm4MoeDetector,
+    # Command-4 shares the Command-A START/END_ACTION array format.
+    "command4": CommandADetector,
+    "cohere_command4": CommandADetector,
 }
 
 

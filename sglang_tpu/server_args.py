@@ -240,6 +240,11 @@ class ServerArgs:
     # Plugin modules, comma-separated (ref srt/plugins/): each must expose
     # sglang_tpu_plugin(registry). Also via SGLANG_TPU_PLUGINS.
     plugins: Optional[str] = None
+    # Sidecar process (ref srt/entrypoints/sidecar.py): a module with
+    # main(argv) spawned alongside the server, handed the gRPC endpoint
+    # via SGLANG_TPU_GRPC_ENDPOINT; extra argv in sidecar_args.
+    sidecar: Optional[str] = None
+    sidecar_args: Optional[List[str]] = None
     # Diffusion LLM (ref srt/dllm/, --dllm-algorithm): block denoise
     # generation for LLaDA/SDAR-class models. Algorithms: low_confidence
     # | joint_threshold. Block size / mask id resolve from DLLM_PARAMS

@@ -1,0 +1,155 @@
+"""Round-3 function-call detector families (ref srt/function_call/).
+
+Earlier families: test_parsers.py (round 1), test_function_call.py (r2).
+"""
+
+import json
+
+from sglang_tpu.function_call.parser import FunctionCallParser
+
+WEATHER = [{"type": "function", "function": {
+    "name": "get_weather",
+    "parameters": {"properties": {
+        "city": {"type": "string"},
+        "days": {"type": "integer"},
+        "units": {"type": "string"},
+    }},
+}}]
+
+
+def test_trinity_strips_think():
+    text = ("<think>I should check the weather.<tool_call>"
+            '{"name": "get_weather", "arguments": {"city": "Oslo"}}'
+            "</tool_call></think>")
+    p = FunctionCallParser(WEATHER, "trinity")
+    assert p.has_tool_call(text)
+    normal, calls = p.parse_non_stream(text)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Oslo"}
+    assert "tool_call" not in normal
+
+
+def test_gemma4_custom_grammar():
+    text = ('Sure.<|tool_call>call:get_weather{city: <|"|>San Francisco'
+            '<|"|>, days: 3, units: <|"|>metric<|"|>}<tool_call|>')
+    p = FunctionCallParser(WEATHER, "gemma4")
+    assert p.has_tool_call(text)
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "Sure."
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {
+        "city": "San Francisco", "days": 3, "units": "metric"}
+
+
+def test_dsml_v32_xml_params():
+    text = ("ok<｜DSML｜function_calls>\n"
+            '<｜DSML｜invoke name="get_weather">\n'
+            '<｜DSML｜parameter name="city" string="true">Berlin'
+            "</｜DSML｜parameter>\n"
+            '<｜DSML｜parameter name="days" string="false">5'
+            "</｜DSML｜parameter>\n"
+            "</｜DSML｜invoke>\n</｜DSML｜function_calls>")
+    p = FunctionCallParser(WEATHER, "deepseekv32")
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "ok"
+    assert json.loads(calls[0].parameters) == {"city": "Berlin", "days": 5}
+
+
+def test_dsml_v4_direct_json():
+    text = ("<｜DSML｜tool_calls>\n"
+            '<｜DSML｜invoke name="get_weather">\n'
+            '{ "city": "Quito" }\n'
+            "</｜DSML｜invoke>\n</｜DSML｜tool_calls>")
+    p = FunctionCallParser(WEATHER, "deepseekv4")
+    _, calls = p.parse_non_stream(text)
+    assert json.loads(calls[0].parameters) == {"city": "Quito"}
+
+
+def test_hunyuan_arg_pairs():
+    text = ("Check:<tool_calls><tool_call>get_weather<tool_sep>"
+            "<arg_key>city</arg_key><arg_value>Lima</arg_value>"
+            "<arg_key>days</arg_key><arg_value>2</arg_value>"
+            "</tool_call></tool_calls>")
+    p = FunctionCallParser(WEATHER, "hunyuan")
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "Check:"
+    assert json.loads(calls[0].parameters) == {"city": "Lima", "days": 2}
+
+
+def test_minicpm5_params_and_cdata():
+    text = ('<function name="get_weather"><param name="city">'
+            "<![CDATA[multi\nline]]></param>"
+            '<param name="days">7</param></function>')
+    p = FunctionCallParser(WEATHER, "minicpm5")
+    _, calls = p.parse_non_stream(text)
+    assert json.loads(calls[0].parameters) == {
+        "city": "multi\nline", "days": 7}
+
+
+def test_apertus_single_key_objects():
+    text = ('<|tools_prefix|>[{"get_weather": {"city": "Rome"}}]'
+            "<|tools_suffix|>")
+    p = FunctionCallParser(WEATHER, "apertus")
+    _, calls = p.parse_non_stream(text)
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Rome"}
+
+
+def test_kimi_k3_channels():
+    text = ("<|open|>response<|sep|>Here you go.<|close|>response<|sep|>"
+            "<|open|>tools<|sep|>"
+            '<|open|>call tool="get_weather" index="1"<|sep|>'
+            '<|open|>argument key="city" type="string"<|sep|>Nuuk'
+            "<|close|>argument<|sep|>"
+            '<|open|>argument key="days" type="integer"<|sep|>4'
+            "<|close|>argument<|sep|>"
+            "<|close|>call<|sep|><|close|>tools<|sep|>")
+    p = FunctionCallParser(WEATHER, "kimi_k3")
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "Here you go."
+    assert json.loads(calls[0].parameters) == {"city": "Nuuk", "days": 4}
+
+
+def test_gigachat3_role_sep():
+    text = ('function call<|role_sep|>\n{"name": "get_weather", '
+            '"arguments": {"city": "Kazan"}}</s>')
+    p = FunctionCallParser(WEATHER, "gigachat3")
+    assert p.has_tool_call(text)
+    _, calls = p.parse_non_stream(text)
+    assert json.loads(calls[0].parameters) == {"city": "Kazan"}
+
+
+def test_minimax_m3_namespaced_tags():
+    NS = "]<]minimax[>["
+    text = (f"thinking...{NS}<tool_call>"
+            f'{NS}<invoke name="get_weather">'
+            f"{NS}<city>Osaka{NS}</city>"
+            f"{NS}<days>6{NS}</days>"
+            f"{NS}</invoke>{NS}</tool_call>")
+    p = FunctionCallParser(WEATHER, "minimax-m3")
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "thinking..."
+    assert json.loads(calls[0].parameters) == {"city": "Osaka", "days": 6}
+
+
+def test_aliases_resolve():
+    for alias in ("mimo", "poolside_v1", "glm47", "command4", "llama32"):
+        FunctionCallParser(WEATHER, alias)  # must not raise
+
+
+def test_streaming_dsml():
+    """DSML streams: text before the block emits, call completes at the
+    closing wrapper."""
+    text = ("hi there<｜DSML｜function_calls>"
+            '<｜DSML｜invoke name="get_weather">{"city": "Kyiv"}'
+            "</｜DSML｜invoke></｜DSML｜function_calls> bye")
+    p = FunctionCallParser(WEATHER, "deepseekv32")
+    out_text, out_calls = "", []
+    for i in range(0, len(text), 7):
+        t, c = p.parse_stream_chunk(text[i:i + 7])
+        out_text += t
+        out_calls += c
+    out_text += p.finish_stream()
+    assert out_calls and out_calls[0].name == "get_weather"
+    assert json.loads(out_calls[0].parameters) == {"city": "Kyiv"}
+    assert "hi there" in out_text and "DSML" not in out_text
