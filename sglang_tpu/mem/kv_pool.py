@@ -84,6 +84,9 @@ class KVPoolConfig:
     # materialization, PERF_NOTES.md). Pallas kernels cannot DMA sub-int32
     # pools, so this mode forces the xla_native backend.
     quant_native: bool = False
+    # HiSparse (mem/hisparse.py): the MLA latent pool lives on HOST; the
+    # device allocates only the DSA index pool (latent entries are None).
+    hisparse: bool = False
 
     def layer_num_pages(self, layer_id: int) -> int:
         if (
@@ -126,6 +129,8 @@ class KVPoolConfig:
         itemsize = 1 if self.quant else np.dtype(self.dtype).itemsize
         if self.mla_dim:
             page_bytes = self.page_size * self.mla_dim * itemsize
+            if self.hisparse:
+                page_bytes = 0  # latent rows live host-side
             if self.dsa_index_dim:
                 page_bytes += (
                     self.page_size * self.dsa_index_dim
@@ -214,7 +219,8 @@ class KVCachePool:
             if mla:
                 return tuple(
                     (
-                        jnp.zeros(s, store_dtype),
+                        None if config.hisparse
+                        else jnp.zeros(s, store_dtype),
                         jnp.zeros(idx_shape, config.dtype)
                         if idx_shape else None,
                     )
@@ -232,7 +238,8 @@ class KVCachePool:
                     NamedSharding(mesh_ctx.mesh, P(None, None, None, None))
                     if idx_shape else None
                 )
-                per_layer = (sharding, idx_sharding)
+                per_layer = (None if config.hisparse else sharding,
+                             idx_sharding)
             else:
                 per_layer = (sharding, sharding)
             self.kv = jax.jit(

@@ -163,7 +163,7 @@ class ModelRunner:
             # formulation (Pallas cannot DMA sub-int32 pools).
             backend_name = "xla_native"
         backend_cls = get_attention_backend(backend_name)
-        self.attn_backend = backend_cls(
+        self.attn_backend = backend_cls(  # hisparse pool attached below
             model_config.num_attention_heads,
             model_config.num_key_value_heads,
             model_config.head_dim,
@@ -175,6 +175,8 @@ class ModelRunner:
             dcp=server_args.enable_dcp,
         )
         self.attn_backend.cp = bool(server_args.enable_cp)
+        self.attn_backend.hisparse_pool = getattr(self, "hisparse_pool",
+                                                  None)
         self.attn_backend.dp_attn = bool(
             server_args.enable_dp_attention and self.mesh_ctx.dp_size > 1
         )
@@ -300,7 +302,26 @@ class ModelRunner:
             dsa_index_dim=int(getattr(self.model, "dsa_index_dim", 0) or 0),
             quant=kv_quant,
             quant_native=self.kv_quant_native(),
+            hisparse=bool(sa.enable_hisparse),
         )
+        if cfg.hisparse:
+            # HiSparse (mem/hisparse.py): DSA models only — the latent
+            # pool moves to host, device keeps the index pool.
+            assert cfg.mla_dim and cfg.dsa_index_dim, (
+                "--enable-hisparse requires a DSA model (lightning "
+                "indexer); plain models have no sparse selector"
+            )
+            assert not kv_quant, "hisparse host pool stores compute dtype"
+            from sglang_tpu.mem.hisparse import HostLatentPool
+
+            self.hisparse_pool = HostLatentPool(
+                c.num_hidden_layers, num_pages * sa.page_size, cfg.mla_dim
+            )
+            logger.info(
+                "hisparse: %.2f GiB latent host-side, device keeps "
+                "index pool only",
+                self.hisparse_pool.bytes_total() / (1 << 30),
+            )
         if getattr(self.model, "is_recurrent", False):
             # SSM models: slot-indexed state arrays instead of paged KV.
             # Hybrid models (Jamba-class) mix paged attention layers with

@@ -423,6 +423,39 @@ class AttentionBackend:
     # both q and k) and only aids fp8 quantization, which the bf16 index
     # pool here does not use.
 
+    # HiSparse (mem/hisparse.py): when set, the latent pool is host-side;
+    # writes/top-k gathers go through ordered XLA host callbacks and the
+    # device kv entry for DSA layers is (None, idx_pool).
+    hisparse_pool = None
+
+    def _hisparse_write(self, layer_id: int, rows, fb: ForwardBatch):
+        from jax.experimental import io_callback
+
+        io_callback(
+            self.hisparse_pool.writer(layer_id),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            fb.out_cache_loc,
+            rows.astype(jnp.float32),
+            ordered=True,
+        )
+
+    def _hisparse_gather(self, layer_id: int, slots, top_idx, dtype):
+        """Host gather of the selected latent rows: [T, K] slot ids ->
+        [T, K, D] rows (the TPU analog of the reference's
+        swap_in_selected_pages mid-stream copy)."""
+        from jax.experimental import io_callback
+
+        sel = jnp.take_along_axis(slots, top_idx, axis=1)
+        rows = io_callback(
+            self.hisparse_pool.gatherer(layer_id),
+            jax.ShapeDtypeStruct(
+                sel.shape + (self.hisparse_pool.dim,), jnp.float32
+            ),
+            sel,
+            ordered=True,
+        )
+        return rows.astype(dtype)
+
     def mla_sparse(
         self,
         q: jax.Array,       # [T, nh, D] absorbed MLA query
@@ -437,9 +470,14 @@ class AttentionBackend:
         scale: float,
         index_topk: int,
     ):
-        latent = self.write_mla(kv[layer_id][0], rows, fb)
+        if self.hisparse_pool is not None:
+            self._hisparse_write(layer_id, rows, fb)
+            latent = None
+        else:
+            latent = self.write_mla(kv[layer_id][0], rows, fb)
         idx_pool = self._write_plain(kv[layer_id][1], idx_k, fb)
-        args = dict(v_dim=v_dim, scale=scale, index_topk=index_topk)
+        args = dict(v_dim=v_dim, scale=scale, index_topk=index_topk,
+                    layer_id=layer_id)
         if fb.mode.is_mixed():
             fb_p, fb_d, qp, qd = self._mixed_views(q, fb)
             Tp = fb.mixed_tp
@@ -517,13 +555,14 @@ class AttentionBackend:
         return out.astype(q.dtype)
 
     def forward_dsa_decode(self, q, latent, idx_pool, idx_q, gates, fb,
-                           *, v_dim, scale, index_topk):
+                           *, v_dim, scale, index_topk, layer_id=0):
         from sglang_tpu.mem.kv_pool import kv_flat
 
         B = q.shape[0]
         pt = fb.page_table
         C = pt.shape[1] * self.page_size
-        if C <= index_topk:
+        hp = self.hisparse_pool
+        if C <= index_topk and hp is None:
             # Entire padded context fits in the top-k budget: dense path
             # is exact and cheaper (ref _should_skip_logits_computation).
             return self.forward_mla_decode(q, latent, fb, v_dim=v_dim,
@@ -534,23 +573,29 @@ class AttentionBackend:
         ctx = jnp.arange(C, dtype=jnp.int32)
         neg = jnp.float32(-1e30)
         score = jnp.where(ctx[None, :] < fb.seq_lens[:, None], score, neg)
-        top_vals, top_idx = jax.lax.top_k(score, index_topk)
+        # k_eff == C makes the sparse path exact (all positions selected),
+        # so hisparse never needs the dense fallback.
+        top_vals, top_idx = jax.lax.top_k(score, min(index_topk, C))
         valid = top_vals > neg / 2
         from sglang_tpu.ops.attention.xla_backend import _flat_slot_indices
 
         slots = _flat_slot_indices(pt, self.page_size)
-        rows = self._dsa_gather_latent(latent, slots, top_idx)
+        if hp is not None:
+            rows = self._hisparse_gather(layer_id, slots, top_idx, q.dtype)
+        else:
+            rows = self._dsa_gather_latent(latent, slots, top_idx)
         return self._dsa_attend(q, rows, valid, v_dim, scale)
 
     def forward_dsa_extend(self, q, latent, idx_pool, idx_q, gates, fb,
-                           *, v_dim, scale, index_topk):
+                           *, v_dim, scale, index_topk, layer_id=0):
         from sglang_tpu.mem.kv_pool import kv_flat
         from sglang_tpu.ops.attention.xla_backend import _flat_slot_indices
 
         T = q.shape[0]
         slots = _flat_slot_indices(fb.page_table, self.page_size)[fb.seq_ids]
         C = slots.shape[1]
-        if C <= index_topk:
+        hp = self.hisparse_pool
+        if C <= index_topk and hp is None:
             return self.forward_mla_extend(q, latent, fb, v_dim=v_dim,
                                            scale=scale)
         ikp = kv_flat(idx_pool)
@@ -561,9 +606,12 @@ class AttentionBackend:
         ctx = jnp.arange(C, dtype=jnp.int32)
         neg = jnp.float32(-1e30)
         score = jnp.where(ctx[None, :] <= fb.positions[:, None], score, neg)
-        top_vals, top_idx = jax.lax.top_k(score, index_topk)
+        top_vals, top_idx = jax.lax.top_k(score, min(index_topk, C))
         valid = top_vals > neg / 2
-        rows = self._dsa_gather_latent(latent, slots, top_idx)
+        if hp is not None:
+            rows = self._hisparse_gather(layer_id, slots, top_idx, q.dtype)
+        else:
+            rows = self._dsa_gather_latent(latent, slots, top_idx)
         return self._dsa_attend(q, rows, valid, v_dim, scale)
 
 

@@ -149,6 +149,12 @@ class ServerArgs:
     # models parallelize decode attention (the single latent head cannot
     # be head-split). Disables cascade decode batches.
     enable_dcp: bool = False
+    # HiSparse (ref srt/managers/hisparse_coordinator.py): MLA latent KV
+    # lives HOST-side; DSA layers gather only their indexer-selected
+    # top-k rows back per step via ordered XLA host callbacks
+    # (mem/hisparse.py). Serves contexts larger than device KV capacity;
+    # requires a DSA model, unquantized KV.
+    enable_hisparse: bool = False
     # DP attention (ref srt/layers/dp_attention.py:46-230): attention
     # computed with the batch dim sharded over the "dp" mesh axis (each
     # shard gathers only its rows' KV) while the MLP runs on gathered
