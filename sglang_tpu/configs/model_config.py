@@ -184,9 +184,26 @@ class ModelConfig:
     ) -> "ModelConfig":
         from transformers import AutoConfig
 
-        hf_config = AutoConfig.from_pretrained(
-            model_path, trust_remote_code=trust_remote_code
+        from sglang_tpu.quantization.gguf import config_from_gguf, find_gguf_file
+
+        gguf_path = find_gguf_file(model_path)
+        has_config_json = os.path.isdir(model_path) and os.path.exists(
+            os.path.join(model_path, "config.json")
         )
+        if gguf_path and not has_config_json:
+            # Bare .gguf: synthesize the HF config from GGUF metadata
+            # (ref srt/model_loader GGUF path / hf config_from_gguf).
+            from transformers import LlamaConfig
+
+            hf_config = LlamaConfig(**{
+                k: v for k, v in config_from_gguf(gguf_path).items()
+                if k not in ("architectures", "model_type")
+            })
+            hf_config.architectures = ["LlamaForCausalLM"]
+        else:
+            hf_config = AutoConfig.from_pretrained(
+                model_path, trust_remote_code=trust_remote_code
+            )
         if model_override_args:
             for k, v in json.loads(model_override_args).items():
                 setattr(hf_config, k, v)

@@ -207,12 +207,21 @@ class ScheduleCore:
             from sglang_tpu.mem.allocator import RadixAllocatorShim
 
             radix_alloc = RadixAllocatorShim(self.allocator, self.swa_shadow)
-        self.radix = radix_cls(
-            self.page_size,
-            radix_alloc,
-            disable=server_args.disable_radix_cache,
-            on_evict=on_evict,
-        )
+        if server_args.disable_radix_cache:
+            # Ref srt/mem_cache/chunk_cache.py: radix off -> the
+            # interface-compatible no-sharing controller.
+            from sglang_tpu.core.chunk_cache import ChunkCache
+
+            self.radix = ChunkCache(
+                self.page_size, radix_alloc, on_evict=on_evict
+            )
+        else:
+            self.radix = radix_cls(
+                self.page_size,
+                radix_alloc,
+                disable=False,
+                on_evict=on_evict,
+            )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
         self.slots = ReqSlotPool(server_args.max_running_requests)
 

@@ -76,6 +76,12 @@ def launch_managers(server_args: ServerArgs):
             targets.append(("scheduler", run_scheduler, (server_args, port_args)))
         return targets
 
+    if server_args.enable_ray:
+        # Ref srt/ray/engine.py: Ray owns manager lifecycle.
+        from sglang_tpu.ray_mode.engine import launch_managers_ray
+
+        port_args, workers = launch_managers_ray(server_args)
+        return port_args, workers, None
     if server_args.enable_single_process:
         port_args = _inproc_port_args()
         threads = [

@@ -1023,6 +1023,50 @@ class DeepSeekV4Detector(DsmlDetector):
     wrapper = "tool_calls"
 
 
+class InklingDetector(BaseDetector):
+    """Inkling channel markup (ref inkling_detector.py +
+    parser/inkling_tokenizer.py):
+    <|message_model|>name<|content_invoke_tool_json|>
+    {"name":"...","args":{...}}<|end_message|>
+    The JSON body carries the tool name and an "args" object."""
+
+    name = "inkling"
+    bot_token = "<|content_invoke_tool_json|>"
+    eot_token = "<|end_message|>"
+    _msg_token = "<|message_model|>"
+
+    def _extract(self, obj, tools):
+        if isinstance(obj, dict) and "args" in obj and (
+                "arguments" not in obj):
+            obj = {**obj, "arguments": obj["args"]}
+        return super()._extract(obj, tools)
+
+    def detect_and_parse(self, text: str, tools) -> ParseResult:
+        calls: List[ToolCallItem] = []
+        normal_parts: List[str] = []
+        pos = 0
+        while True:
+            j = text.find(self.bot_token, pos)
+            if j < 0:
+                normal_parts.append(text[pos:])
+                break
+            # normal text stops at the <|message_model|> header when the
+            # call rides its own message frame
+            head = text.rfind(self._msg_token, pos, j)
+            normal_parts.append(text[pos:head if head >= 0 else j])
+            body_start = j + len(self.bot_token)
+            end = text.find(self.eot_token, body_start)
+            if end < 0:
+                break
+            obj = _try_json(text[body_start:end].strip())
+            item = self._extract(obj, tools) if obj else None
+            if item:
+                item.tool_index = len(calls)
+                calls.append(item)
+            pos = end + len(self.eot_token)
+        return ParseResult("".join(normal_parts).strip(), calls)
+
+
 class HunyuanDetector(BaseDetector):
     """Hunyuan: <tool_calls><tool_call>name<tool_sep><arg_key>k</arg_key>
     <arg_value>v</arg_value>...</tool_call></tool_calls>.
@@ -1354,6 +1398,7 @@ DETECTORS = {
     # Command-4 shares the Command-A START/END_ACTION array format.
     "command4": CommandADetector,
     "cohere_command4": CommandADetector,
+    "inkling": InklingDetector,
 }
 
 

@@ -327,6 +327,13 @@ class Router:
 
     async def _dispatch(self, request, body_bytes: bytes,
                         body: Dict) -> web.StreamResponse:
+        # MCP tool loop (ref routers/mcp_utils.rs): the gateway drives
+        # tool execution for requests carrying type:"mcp" tools.
+        if (request.path == "/v1/chat/completions"
+                and not body.get("stream")
+                and any(t.get("type") == "mcp"
+                        for t in body.get("tools") or [])):
+            return await self._dispatch_mcp(request, body)
         if self.pd_pool is not None and request.path in (
             "/generate", "/v1/completions", "/v1/chat/completions"
         ):
@@ -379,6 +386,35 @@ class Router:
             self.total_retries += 1
             await asyncio.sleep(self.retry.backoff(attempt))
         raise web.HTTPBadGateway(text="all retries exhausted")
+
+    async def _dispatch_mcp(self, request, body: Dict) -> web.Response:
+        """Run the MCP tool loop: every model turn goes through the
+        normal worker-pick path; MCP servers are called from here."""
+        from sglang_tpu.gateway.mcp import run_mcp_tool_loop
+
+        async def forward(chat_body: Dict) -> Dict:
+            text = self._extract_text(chat_body)
+            idx, worker = self.pick(text)
+            worker.inflight += 1
+            worker.total_requests += 1
+            try:
+                async with self.session.post(
+                    worker.url + "/v1/chat/completions", json=chat_body,
+                    timeout=aiohttp.ClientTimeout(total=3600),
+                ) as upstream:
+                    if upstream.status >= 400:
+                        worker.total_failures += 1
+                        raise web.HTTPBadGateway(
+                            text=f"upstream {upstream.status}")
+                    if text:
+                        self.record_insert(text, idx)
+                    return await upstream.json()
+            finally:
+                worker.inflight -= 1
+
+        result = await run_mcp_tool_loop(forward, body,
+                                         session=self.session)
+        return web.json_response(result)
 
     async def _dispatch_pd(self, request,
                            body: Dict) -> web.StreamResponse:

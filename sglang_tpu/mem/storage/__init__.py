@@ -16,6 +16,8 @@ backend CLASSES the reference's set reduces to:
              mooncake/eic); any RESP server works, a toy one ships for CI
   zmq://     ZMQ REQ/REP remote page server (the nixl/transfer-engine
              class), server included
+  http://    S3-compatible object PUT/GET per page (the remote object-
+             store class: s3/aibrix/eic), toy server included
 
 Every backend exposes `put(key, page)` / `get(key) -> page | None` with
 LRU-bounded capacity, matching the HostKVTier spill interface.
@@ -25,7 +27,8 @@ from __future__ import annotations
 
 from typing import Optional
 
-BACKENDS = ("file", "mmap", "native", "sqlite", "zlib", "resp", "zmq")
+BACKENDS = ("file", "mmap", "native", "sqlite", "zlib", "resp", "zmq",
+            "http")
 
 
 def create_storage_backend(backend: str, directory: Optional[str],
@@ -61,6 +64,10 @@ def create_storage_backend(backend: str, directory: Optional[str],
         from sglang_tpu.mem.storage.compressed import ZlibStorageTier
 
         return ZlibStorageTier(directory, max_bytes)
+    if backend.startswith("http://") or backend.startswith("https://"):
+        from sglang_tpu.mem.storage.http_store import HttpStorageTier
+
+        return HttpStorageTier(backend)
     raise ValueError(
         f"unknown hicache storage backend {backend!r}; known: {BACKENDS}"
     )

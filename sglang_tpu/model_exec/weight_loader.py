@@ -47,6 +47,12 @@ def _iter_checkpoint_tensors(model_path: str):
             for name, t in sd.items():
                 yield name, t.float().numpy()
         return
+    from sglang_tpu.quantization.gguf import find_gguf_file, iter_hf_tensors
+
+    gguf_path = find_gguf_file(model_path)
+    if gguf_path:
+        yield from iter_hf_tensors(gguf_path)
+        return
     raise FileNotFoundError(f"no checkpoint files under {model_path}")
 
 

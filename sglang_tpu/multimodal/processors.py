@@ -49,6 +49,18 @@ def load_image(data) -> "PIL.Image.Image":
 
 
 def _resize(img, size_hw: Tuple[int, int]):
+    # Native path (csrc/mm_preproc.cpp): PIL-exact fixed-point
+    # resampling off the GIL; byte-identical to the PIL fallback.
+    from . import native
+
+    if native.available():
+        out = native.resize_u8(
+            np.asarray(img, np.uint8), size_hw, native.FILTER_BICUBIC
+        )
+        if out is not None:
+            from PIL import Image
+
+            return Image.fromarray(out)
     from PIL import Image
 
     # HF resample=3 == PIL BICUBIC.
@@ -56,6 +68,14 @@ def _resize(img, size_hw: Tuple[int, int]):
 
 
 def _to_chw_norm(img) -> np.ndarray:
+    from . import native
+
+    if native.available():
+        out = native.normalize_chw(
+            np.asarray(img, np.uint8), CLIP_MEAN.ravel(), CLIP_STD.ravel()
+        )
+        if out is not None:
+            return out
     arr = np.asarray(img, np.float32) / 255.0  # [H, W, 3]
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr.transpose(2, 0, 1)  # [3, H, W]

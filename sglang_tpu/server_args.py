@@ -212,6 +212,10 @@ class ServerArgs:
 
     # Process topology
     enable_single_process: bool = False  # run all managers in-process (tests)
+    # Ray mode (ref srt/ray/): manager lifecycle via Ray actors; ZMQ
+    # remains the data plane. ray_backend: auto | ray | fake.
+    enable_ray: bool = False
+    ray_backend: str = "auto"
     zmq_transport: str = "ipc"  # ipc | tcp
 
     # Buckets (static-shape jit programs; TPU replacement for CUDA graphs)

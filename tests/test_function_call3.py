@@ -153,3 +153,43 @@ def test_streaming_dsml():
     assert out_calls and out_calls[0].name == "get_weather"
     assert json.loads(out_calls[0].parameters) == {"city": "Kyiv"}
     assert "hi there" in out_text and "DSML" not in out_text
+
+
+def test_inkling_detector():
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "get_weather", "parameters": {}}}]
+    p = FunctionCallParser(tools, "inkling")
+    text = (
+        'Let me check.<|message_model|>get_weather'
+        '<|content_invoke_tool_json|>{"name": "get_weather", '
+        '"args": {"city": "Tokyo"}}<|end_message|>'
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "Let me check."
+    assert len(calls) == 1
+    assert calls[0].name == "get_weather"
+    import json as _json
+    assert _json.loads(calls[0].parameters) == {"city": "Tokyo"}
+
+
+def test_inkling_streaming():
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "add", "parameters": {}}}]
+    p = FunctionCallParser(tools, "inkling")
+    chunks = [
+        "sure<|content_invoke_",
+        'tool_json|>{"name": "add", "args": {"a": 1}}',
+        "<|end_message|>done",
+    ]
+    texts, all_calls = [], []
+    for c in chunks:
+        normal, calls = p.parse_stream_chunk(c)
+        texts.append(normal)
+        all_calls.extend(calls)
+    texts.append(p.finish_stream())
+    assert "".join(texts) == "suredone"
+    assert len(all_calls) == 1 and all_calls[0].name == "add"

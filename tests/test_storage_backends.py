@@ -40,6 +40,12 @@ def backend_of(tmp_path):
             return create_storage_backend(
                 f"zmq://{server.addr}", None, max_bytes
             )
+        if name == "http":
+            from sglang_tpu.mem.storage.http_store import HttpStorageServer
+
+            server = HttpStorageServer(max_bytes=max_bytes)
+            cleanups.append(server.shutdown)
+            return create_storage_backend(server.url, None, max_bytes)
         return create_storage_backend(name, str(tmp_path / name), max_bytes)
 
     yield make
