@@ -1041,6 +1041,57 @@ class InklingDetector(BaseDetector):
             obj = {**obj, "arguments": obj["args"]}
         return super()._extract(obj, tools)
 
+    def parse_streaming_increment(self, delta: str, tools) -> ParseResult:
+        """Streaming twin of detect_and_parse: the <|message_model|>name
+        header preceding a tool frame must be held back and stripped, not
+        leaked as normal text (the inherited path knows only bot_token)."""
+        self._sbuf += delta
+        normal_parts: List[str] = []
+        calls: List[ToolCallItem] = []
+        while True:
+            buf = self._sbuf
+            pos = buf.find(self.bot_token)
+            if pos < 0:
+                h = buf.rfind(self._msg_token)
+                if h >= 0:
+                    after = buf[h + len(self._msg_token):]
+                    first = after.find("<|")
+                    # Could this still become `<|message_model|>name<bot>`?
+                    # Yes while `after` is a short bare name, possibly
+                    # ending in a partial bot_token — then hold from the
+                    # header. A complete different frame token or a long
+                    # tail means it is not a tool frame: emit it.
+                    maybe_tool = (
+                        first < 0 and len(after) <= 96
+                    ) or (
+                        first >= 0
+                        and self.bot_token.startswith(after[first:])
+                    )
+                    if maybe_tool:
+                        normal_parts.append(buf[:h])
+                        self._sbuf = buf[h:]
+                        break
+                hold = _partial_suffix_len(buf, self.bot_token)
+                hold = max(hold, _partial_suffix_len(buf, self._msg_token))
+                normal_parts.append(buf[: len(buf) - hold])
+                self._sbuf = buf[len(buf) - hold:]
+                break
+            head = buf.rfind(self._msg_token, 0, pos)
+            cut = head if head >= 0 else pos
+            normal_parts.append(buf[:cut])
+            done, consumed_end, call_items = self._stream_complete_call(
+                buf, pos + len(self.bot_token), tools
+            )
+            if not done:
+                self._sbuf = buf[cut:]
+                break
+            for item in call_items:
+                item.tool_index = self._n_stream_calls
+                self._n_stream_calls += 1
+                calls.append(item)
+            self._sbuf = buf[consumed_end:]
+        return ParseResult("".join(normal_parts), calls)
+
     def detect_and_parse(self, text: str, tools) -> ParseResult:
         calls: List[ToolCallItem] = []
         normal_parts: List[str] = []

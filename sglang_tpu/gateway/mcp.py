@@ -148,6 +148,39 @@ def extract_mcp_tools(tools: Optional[List[Dict]]) -> List[Dict]:
     return [t for t in (tools or []) if t.get("type") == "mcp"]
 
 
+def _strip_mcp_prefixes(resp: Dict, tool_map: Dict[str, tuple]) -> Dict:
+    """Remap internal `label__name` tool-call identifiers back to the
+    real MCP tool names before the response reaches the client (which
+    never registered the prefixed names)."""
+    if not tool_map:
+        return resp
+    choices = resp.get("choices")
+    if not choices:
+        return resp
+    out = dict(resp)
+    new_choices = []
+    for choice in choices:
+        msg = choice.get("message") or {}
+        calls = msg.get("tool_calls")
+        if not calls or not any(
+            c.get("function", {}).get("name") in tool_map for c in calls
+        ):
+            new_choices.append(choice)
+            continue
+        new_calls = []
+        for c in calls:
+            name = c.get("function", {}).get("name")
+            if name in tool_map:
+                c = dict(c)
+                c["function"] = dict(c["function"], name=tool_map[name][1])
+            new_calls.append(c)
+        choice = dict(choice)
+        choice["message"] = dict(msg, tool_calls=new_calls)
+        new_choices.append(choice)
+    out["choices"] = new_choices
+    return out
+
+
 async def run_mcp_tool_loop(
     forward,  # async fn(chat_body: dict) -> dict (chat.completions shape)
     body: Dict,
@@ -205,7 +238,11 @@ async def run_mcp_tool_loop(
             calls = msg.get("tool_calls") or []
             mcp_calls = [c for c in calls
                          if c.get("function", {}).get("name") in tool_map]
-            if not mcp_calls:
+            # Mixed turn (MCP + client-side function calls): the client
+            # must answer its calls, and chat templates expect a tool
+            # message per tool_call — stop and return the whole turn
+            # instead of re-forwarding a half-answered message.
+            if not mcp_calls or len(mcp_calls) != len(calls):
                 break
             messages.append(msg)
             for call in mcp_calls:
@@ -226,9 +263,11 @@ async def run_mcp_tool_loop(
                     "tool_call_id": call.get("id", ""),
                     "content": output,
                 })
-        if final is not None and trace:
-            final = dict(final)
-            final["mcp_calls"] = trace
+        if final is not None:
+            final = _strip_mcp_prefixes(final, tool_map)
+            if trace:
+                final = dict(final)
+                final["mcp_calls"] = trace
         return final if final is not None else {"error": "mcp loop empty"}
     finally:
         for client in clients.values():

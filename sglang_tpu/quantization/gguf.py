@@ -21,6 +21,7 @@ metadata so a bare .gguf file serves without a sibling config.json.
 from __future__ import annotations
 
 import os
+import re
 import struct
 from typing import Dict, Iterator, Tuple
 
@@ -401,6 +402,15 @@ def find_gguf_file(model_path: str):
 
         files = sorted(_glob.glob(os.path.join(model_path, "*.gguf")))
         if files:
+            # Sharded checkpoints (model-00001-of-00003.gguf) would load a
+            # single shard silently — refuse rather than yield a partial
+            # model (ref srt/model_loader/loader.py GGUF path is also
+            # single-file).
+            if re.search(r"-\d{5}-of-\d{5}\.gguf$", files[0]):
+                raise ValueError(
+                    f"sharded GGUF checkpoints are unsupported: {files[0]} "
+                    "(merge shards with llama.cpp's gguf-split --merge)"
+                )
             return files[0]
     return None
 

@@ -193,3 +193,48 @@ def test_inkling_streaming():
     texts.append(p.finish_stream())
     assert "".join(texts) == "suredone"
     assert len(all_calls) == 1 and all_calls[0].name == "add"
+
+
+def test_inkling_streaming_strips_message_header():
+    """Streaming must match detect_and_parse: the <|message_model|>name
+    header before a tool frame is stripped, not leaked as normal text."""
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "get_weather", "parameters": {}}}]
+    p = FunctionCallParser(tools, "inkling")
+    chunks = [
+        "Let me check.<|message_",
+        "model|>get_wea",
+        "ther<|content_invoke_tool_json|>",
+        '{"name": "get_weather", "args": {"city": "Tokyo"}}',
+        "<|end_message|>done",
+    ]
+    texts, all_calls = [], []
+    for c in chunks:
+        normal, calls = p.parse_stream_chunk(c)
+        texts.append(normal)
+        all_calls.extend(calls)
+    texts.append(p.finish_stream())
+    assert "".join(texts) == "Let me check.done"
+    assert len(all_calls) == 1 and all_calls[0].name == "get_weather"
+    import json as _json
+    assert _json.loads(all_calls[0].parameters) == {"city": "Tokyo"}
+
+
+def test_inkling_streaming_header_without_tool_frame():
+    """A <|message_model|> header followed by a non-tool frame is normal
+    text (only headers preceding the invoke frame are stripped)."""
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "add", "parameters": {}}}]
+    p = FunctionCallParser(tools, "inkling")
+    chunks = ["x<|message_model|>assistant", "<|content_text|>hello"]
+    texts = []
+    for c in chunks:
+        normal, calls = p.parse_stream_chunk(c)
+        texts.append(normal)
+        assert not calls
+    texts.append(p.finish_stream())
+    assert "".join(texts) == "x<|message_model|>assistant<|content_text|>hello"

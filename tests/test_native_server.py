@@ -121,3 +121,63 @@ def test_engine_generate_roundtrip(tiny_llama_dir):
         if srv is not None:
             srv.stop()
         eng.shutdown()
+
+
+def test_pipelined_requests_one_write(srv):
+    """Two full requests sent in ONE write must both be answered (the
+    carry-buffer path: bytes beyond the first Content-Length are the next
+    request, not trash)."""
+    import socket
+
+    body1 = json.dumps({"i": 1}).encode()
+    body2 = json.dumps({"i": 2}).encode()
+
+    def req(path, body):
+        return (
+            f"POST {path} HTTP/1.1\r\nHost: x\r\nContent-Type: "
+            f"application/json\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=30) as sk:
+        sk.sendall(req("/echo", body1) + req("/echo", body2))
+        sk.settimeout(30)
+        data = b""
+        while data.count(b"HTTP/1.1 200") < 2 or not data.endswith(b"}}"):
+            chunk = sk.recv(65536)
+            if not chunk:
+                break
+            data = data + chunk
+    assert data.count(b"HTTP/1.1 200") == 2
+    assert b'"i": 1' in data and b'"i": 2' in data
+
+
+def test_stop_with_idle_keepalive_clients_does_not_hang():
+    """N idle keep-alive connections must not block hs_destroy's joins
+    (hs_stop shuts down every live socket)."""
+    import socket
+    import time
+
+    s = NativeServer(port=0, n_workers=2)
+    s.route("GET", "/info", lambda body: {"ok": True})
+    s.start()
+    socks = [
+        socket.create_connection(("127.0.0.1", s.port), timeout=10)
+        for _ in range(4)
+    ]
+    # one real request so connections are live in the event loop
+    status, _ = _get(s.port, "/health")
+    assert status == 200
+    t0 = time.monotonic()
+    done = []
+
+    def stopper():
+        s.stop()
+        done.append(time.monotonic() - t0)
+
+    t = threading.Thread(target=stopper)
+    t.start()
+    t.join(timeout=15)
+    assert not t.is_alive(), "stop() hung with idle keep-alive clients"
+    assert done and done[0] < 10
+    for sk in socks:
+        sk.close()
