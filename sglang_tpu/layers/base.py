@@ -77,10 +77,29 @@ def materialize_param(name: str, spec: ParamSpec, arr, mesh_ctx=None) -> Dict[st
     quantizing when the spec asks for it."""
 
     def put(a, pspec):
-        if mesh_ctx is not None:
-            return jax.device_put(
-                a, jax.sharding.NamedSharding(mesh_ctx.mesh, pspec)
+        import ml_dtypes
+        import numpy as np
+
+        sharding = (
+            jax.sharding.NamedSharding(mesh_ctx.mesh, pspec)
+            if mesh_ctx is not None else None
+        )
+        if getattr(a, "dtype", None) == ml_dtypes.int4:
+            # S4 host->device transfers break through the tunneled-TPU
+            # path (PJRT layout recursion); upload the nibble values as
+            # int8 and convert on device — the transient int8 copy is
+            # freed right after load.
+            a8 = np.asarray(a).astype(np.int8)
+            dev = (
+                jax.device_put(a8, sharding)
+                if sharding is not None else jnp.asarray(a8)
             )
+            conv = jax.jit(
+                lambda t: t.astype(jnp.int4), out_shardings=sharding
+            )
+            return conv(dev)
+        if sharding is not None:
+            return jax.device_put(a, sharding)
         return jnp.asarray(a)
 
     return {
@@ -118,10 +137,18 @@ def init_dummy_params(
             import numpy as np
 
             rng = np.random.default_rng((hash(name) ^ seed) & 0x7FFFFFFF)
-            arr_np = (
-                rng.standard_normal(spec.shape, dtype=np.float32)
-                * spec.init_scale
-            )
+            # Full standard_normal over an 8B-param model is ~30 GB of
+            # host RNG (minutes per init); dummy weights only need to be
+            # non-degenerate, so generate a 1M-value block and tile it.
+            n = int(np.prod(spec.shape))
+            block = rng.standard_normal(
+                min(n, 1 << 20), dtype=np.float32
+            ) * spec.init_scale
+            if n > block.size:
+                reps = -(-n // block.size)
+                arr_np = np.tile(block, reps)[:n].reshape(spec.shape)
+            else:
+                arr_np = block[:n].reshape(spec.shape)
             if spec.post_load is not None:
                 arr_np = spec.post_load(arr_np)
             params.update(materialize_param(name, spec, arr_np, mesh_ctx))

@@ -10,6 +10,12 @@ or a true int8xint8->int32 MXU dot for the w8a8 path.
 Methods:
 - "int8"      — weight-only W8A16: int8 storage, bf16 math. Halves weight
                 HBM streaming; bit-identical activations path.
+- "int4"      — weight-only W4A16: native s4 storage (XLA packs two
+                nibbles per byte on TPU), bf16 math. Quarter the weight
+                bytes of bf16 — the capacity/streaming lever that lets an
+                8B model serve bs>=256 on a 16 GB chip. Ref analog:
+                AWQ/GPTQ-class int4 (srt/layers/quantization/awq/), minus
+                the zero-point/group machinery (symmetric per-channel).
 - "fp8"       — weight-only: float8_e4m3fn storage, bf16 math.
 - "w8a8_int8" — int8 weights + dynamic per-token int8 activations; the
                 dot runs int8xint8->int32 (MXU-native on TPUs that
@@ -38,10 +44,11 @@ _QUANT_METHOD: Optional[str] = None
 
 WEIGHT_DTYPES = {
     "int8": jnp.int8,
+    "int4": jnp.int4,
     "w8a8_int8": jnp.int8,
     "fp8": jnp.float8_e4m3fn,
 }
-_QMAX = {"int8": 127.0, "w8a8_int8": 127.0, "fp8": 448.0}
+_QMAX = {"int8": 127.0, "int4": 7.0, "w8a8_int8": 127.0, "fp8": 448.0}
 
 
 def set_quant_method(method: Optional[str]) -> None:
@@ -77,6 +84,10 @@ def quantize_np(
     q = w / scale
     if method in ("int8", "w8a8_int8"):
         qw = np.clip(np.rint(q), -127, 127).astype(np.int8)
+    elif method == "int4":
+        import ml_dtypes
+
+        qw = np.clip(np.rint(q), -7, 7).astype(ml_dtypes.int4)
     else:
         import ml_dtypes
 

@@ -65,7 +65,7 @@ def test_w8a8_matmul_close_to_dense():
     assert rel < 0.03, rel
 
 
-@pytest.mark.parametrize("method", ["int8", "fp8", "w8a8_int8"])
+@pytest.mark.parametrize("method", ["int8", "fp8", "w8a8_int8", "int4"])
 def test_llama_e2e_quantized_close_to_bf16(tiny_llama_dir, method):
     """A quantized tiny-llama server path produces outputs close to the
     bf16 path (same checkpoint, greedy logits cosine similarity)."""
@@ -103,12 +103,12 @@ def test_llama_e2e_quantized_close_to_bf16(tiny_llama_dir, method):
     ref = run(None)
     out = run(method)
     assert len(out) == len(ref)
-    if method != "w8a8_int8":
+    if method not in ("w8a8_int8", "int4"):
         # Tiny random checkpoints amplify quant noise; require the greedy
         # path to agree on half the tokens for the weight-only methods.
-        # (w8a8's dynamic int8 activations add too much noise for a
-        # token-agreement bound on a random tiny model — the matmul-level
-        # test above pins its numerics instead.)
+        # (w8a8's dynamic int8 activations and int4's 4-bit grid add too
+        # much noise for a token-agreement bound on a random tiny model —
+        # the matmul-level tests above pin their numerics instead.)
         agree = sum(1 for a, b in zip(ref, out) if a == b)
         assert agree >= len(ref) // 2, (ref, out)
 
@@ -133,3 +133,28 @@ def test_quantized_specs_and_param_tree(tiny_llama_dir):
     assert runner.params[base].dtype == jnp.int8
     assert runner.params[qnames[0]].dtype == jnp.float32
     set_quant_method(None)
+
+
+def test_int4_matmul_and_storage():
+    """int4 weight-only: native s4 storage, fused-dequant matmul error
+    bounded by the per-channel grid step."""
+    import jax
+
+    from sglang_tpu.quantization import dequant_matmul, quantize_np
+
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    qw, scale = quantize_np(w, "int4", (0,))
+    import ml_dtypes
+
+    assert qw.dtype == ml_dtypes.int4 and scale.shape == (64,)
+    jq = jnp.asarray(qw)
+    assert jq.dtype == jnp.int4
+    y = np.asarray(
+        dequant_matmul(jnp.asarray(x), jq, jnp.asarray(scale), "int4")
+    )
+    # exact vs the dequantized-weight matmul (the quant error itself is
+    # the grid step; the MATMUL must be exact against the stored nibbles)
+    ref = x @ (qw.astype(np.float32) * scale[None, :])
+    np.testing.assert_allclose(y, ref, rtol=2e-3, atol=2e-3)
