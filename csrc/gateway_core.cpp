@@ -17,6 +17,7 @@
 #include <map>
 #include <memory>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -59,12 +60,29 @@ struct Worker {
 struct Gateway {
     Node root;
     std::vector<Worker> workers;
+    std::vector<std::string> worker_names;  // stable ring identity (URL)
     uint64_t clock = 0;
     uint64_t rr = 0;
     uint64_t rng = 0x9e3779b97f4a7c15ull;
     long node_count = 0;
     long max_nodes = 1 << 18;
     long last_matched = 0;
+    // consistent-hash ring (shared by consistent_hashing / prefix_hash):
+    // each worker sits at fixed positions derived from its name, so scale
+    // changes only redistribute keys in the affected arc
+    // (ref sgl-model-gateway/src/policies/consistent_hashing.rs).
+    std::vector<std::pair<uint64_t, int>> ring;
+    bool ring_dirty = true;
+    // manual policy: routing key -> pinned worker; remapped ONLY when the
+    // pinned worker goes unhealthy (ref policies/manual.rs).
+    std::unordered_map<uint64_t, int> sticky;
+    // bucket policy: rolling per-key traffic counters drive each bucket's
+    // worker-share (ref policies/bucket.rs runs a periodic adjustment
+    // thread; this core recomputes the share inline from rolling counts,
+    // aged by halving — same proportional-allocation behavior without a
+    // thread in a ctypes library).
+    std::unordered_map<uint64_t, uint64_t> bucket_counts;
+    uint64_t bucket_total = 0;
 
     uint64_t next_rand() {
         // xorshift64*
@@ -74,6 +92,47 @@ struct Gateway {
         return rng * 0x2545F4914F6CDD1Dull;
     }
 };
+
+uint64_t fnv1a(const char* s, size_t n, uint64_t seed = 1469598103934665603ull) {
+    uint64_t h = seed;
+    for (size_t i = 0; i < n; i++) {
+        h ^= (unsigned char)s[i];
+        h *= 1099511628211ull;
+    }
+    return h;
+}
+
+constexpr int kVnodes = 32;  // ring positions per worker (balance)
+
+void rebuild_ring(Gateway* g) {
+    g->ring.clear();
+    for (int w = 0; w < (int)g->workers.size(); w++) {
+        if (!g->workers[w].present) continue;
+        const std::string& name = g->worker_names[w];
+        for (int v = 0; v < kVnodes; v++) {
+            uint64_t h = fnv1a(name.data(), name.size(),
+                               1469598103934665603ull + (uint64_t)v * 0x9e37ull);
+            g->ring.emplace_back(h, w);
+        }
+    }
+    std::sort(g->ring.begin(), g->ring.end());
+    g->ring_dirty = false;
+}
+
+// First healthy worker clockwise from hash h on the ring; -1 if none.
+int ring_lookup(Gateway* g, uint64_t h) {
+    if (g->ring_dirty) rebuild_ring(g);
+    if (g->ring.empty()) return -1;
+    auto it = std::lower_bound(
+        g->ring.begin(), g->ring.end(), std::make_pair(h, -1));
+    for (size_t step = 0; step < g->ring.size(); step++) {
+        if (it == g->ring.end()) it = g->ring.begin();
+        int w = it->second;
+        if (g->workers[w].present && g->workers[w].healthy) return w;
+        ++it;
+    }
+    return -1;
+}
 
 size_t common_prefix(const char* a, size_t an, const char* b, size_t bn) {
     size_t n = an < bn ? an : bn;
@@ -167,6 +226,19 @@ void gw_destroy(void* h) { delete static_cast<Gateway*>(h); }
 int gw_add_worker(void* h) {
     auto* g = static_cast<Gateway*>(h);
     g->workers.push_back(Worker());
+    g->worker_names.push_back("w" + std::to_string(g->workers.size() - 1));
+    g->ring_dirty = true;
+    return (int)g->workers.size() - 1;
+}
+
+// Named variant: `name` (the worker URL) fixes the worker's ring
+// positions, so re-adding the same URL after a scale event lands on the
+// same arc (consistent_hashing/prefix_hash stability).
+int gw_add_worker_named(void* h, const char* name, long len) {
+    auto* g = static_cast<Gateway*>(h);
+    g->workers.push_back(Worker());
+    g->worker_names.emplace_back(name, (size_t)len);
+    g->ring_dirty = true;
     return (int)g->workers.size() - 1;
 }
 
@@ -175,6 +247,7 @@ void gw_remove_worker(void* h, int w) {
     if (w >= 0 && w < (int)g->workers.size()) {
         g->workers[w].present = false;
         g->root.remove_worker(w);
+        g->ring_dirty = true;
     }
 }
 
@@ -252,10 +325,13 @@ long gw_node_count(void* h) { return static_cast<Gateway*>(h)->node_count; }
 
 long gw_last_matched(void* h) { return static_cast<Gateway*>(h)->last_matched; }
 
-// Selection. policy: 0=cache_aware 1=round_robin 2=random 3=shortest_queue.
+// Selection. policy: 0=cache_aware 1=round_robin 2=random 3=shortest_queue
+// 4=power_of_two 5=consistent_hashing 6=prefix_hash 7=bucket 8=manual.
+// `key`/`key_len` is the routing key (X-SMG-Routing-Key analog) used by
+// consistent_hashing / bucket / manual; empty = policy-specific fallback.
 // Returns the chosen worker id, or -1 when no healthy worker exists.
-int gw_pick(void* h, const char* text, long len, int policy,
-            int imbalance_tol) {
+int gw_pick_key(void* h, const char* text, long len, int policy,
+                int imbalance_tol, const char* key, long key_len) {
     auto* g = static_cast<Gateway*>(h);
     std::vector<int> alive;
     for (int i = 0; i < (int)g->workers.size(); i++)
@@ -265,9 +341,86 @@ int gw_pick(void* h, const char* text, long len, int policy,
     if (policy == 1) return alive[g->rr++ % alive.size()];
     if (policy == 2) return alive[g->next_rand() % alive.size()];
     int least = alive[0];
-    for (int i : alive)
+    long total_load = 0;
+    for (int i : alive) {
+        total_load += g->workers[i].inflight;
         if (g->workers[i].inflight < g->workers[least].inflight) least = i;
+    }
     if (policy == 3) return least;
+    if (policy == 4) {
+        // power_of_two: two DISTINCT random healthy workers, lower load
+        // wins (ref policies/power_of_two.rs).
+        if (alive.size() == 1) return alive[0];
+        size_t a = g->next_rand() % alive.size();
+        size_t b = (a + 1 + g->next_rand() % (alive.size() - 1))
+                   % alive.size();
+        int wa = alive[a], wb = alive[b];
+        return g->workers[wa].inflight <= g->workers[wb].inflight ? wa : wb;
+    }
+    if (policy == 5) {
+        // consistent_hashing: routing key -> ring walk to first healthy
+        // worker; keyless requests fall back to random
+        // (ref policies/consistent_hashing.rs RandomFallback branch).
+        if (key_len <= 0) return alive[g->next_rand() % alive.size()];
+        int w = ring_lookup(g, fnv1a(key, (size_t)key_len));
+        return w >= 0 ? w : least;
+    }
+    if (policy == 6) {
+        // prefix_hash: hash the request prefix onto the ring; if the ring
+        // choice is overloaded (> 1.25x average), fall back to the least
+        // loaded worker (ref policies/prefix_hash.rs, load_factor 1.25).
+        long plen = len > 512 ? 512 : len;
+        if (plen <= 0) return least;
+        int w = ring_lookup(g, fnv1a(text, (size_t)plen));
+        if (w < 0) return least;
+        double avg = (double)total_load / (double)alive.size();
+        if ((double)g->workers[w].inflight > avg * 1.25 + 1.0) return least;
+        return w;
+    }
+    if (policy == 7) {
+        // bucket: group by routing key (or request prefix); each bucket
+        // owns a worker-share proportional to its rolling traffic share,
+        // anchored at hash(key) on the alive list; pick the least-loaded
+        // worker inside the share (ref policies/bucket.rs, adjustment
+        // inlined as rolling counters aged by halving).
+        uint64_t bk = key_len > 0
+                          ? fnv1a(key, (size_t)key_len)
+                          : fnv1a(text, (size_t)(len > 512 ? 512 : len));
+        if (g->bucket_total >= 4096) {  // age the window
+            for (auto& kv : g->bucket_counts) kv.second /= 2;
+            g->bucket_total /= 2;
+        }
+        uint64_t c = ++g->bucket_counts[bk];
+        uint64_t tot = ++g->bucket_total;
+        double share = (double)c / (double)tot;
+        int m = (int)(share * (double)alive.size() + 0.5);
+        if (m < 1) m = 1;
+        if (m > (int)alive.size()) m = (int)alive.size();
+        size_t start = (size_t)(bk % alive.size());
+        int best = alive[start];
+        for (int j = 1; j < m; j++) {
+            int w = alive[(start + (size_t)j) % alive.size()];
+            if (g->workers[w].inflight < g->workers[best].inflight) best = w;
+        }
+        return best;
+    }
+    if (policy == 8) {
+        // manual: sticky key -> worker pinning; remap ONLY when the
+        // pinned worker is unhealthy (ref policies/manual.rs). Keyless
+        // requests fall back to random.
+        if (key_len <= 0) return alive[g->next_rand() % alive.size()];
+        uint64_t kh = fnv1a(key, (size_t)key_len);
+        auto it = g->sticky.find(kh);
+        if (it != g->sticky.end()) {
+            int w = it->second;
+            if (w < (int)g->workers.size() && g->workers[w].present &&
+                g->workers[w].healthy)
+                return w;
+        }
+        int w = alive[g->next_rand() % alive.size()];
+        g->sticky[kh] = w;
+        return w;
+    }
     // cache_aware: deepest prefix tenant unless its queue is much longer
     if (len > 512) len = 512;
     int best = -1;
@@ -285,6 +438,11 @@ int gw_pick(void* h, const char* text, long len, int policy,
         return least;
     g->last_matched = best_len;
     return best;
+}
+
+int gw_pick(void* h, const char* text, long len, int policy,
+            int imbalance_tol) {
+    return gw_pick_key(h, text, len, policy, imbalance_tol, nullptr, 0);
 }
 
 }  // extern "C"

@@ -123,8 +123,8 @@ class Router:
                 from sglang_tpu.gateway_core import GatewayCore
 
                 self.core = GatewayCore()
-                for _ in self.workers:
-                    self.core.add_worker()
+                for w in self.workers:
+                    self.core.add_worker(w.url)
             except Exception as e:  # noqa: BLE001
                 logger.warning(
                     "native gateway core unavailable (%s); "
@@ -132,6 +132,7 @@ class Router:
                 )
         self.tree = CharTree()
         self._rr = itertools.count()
+        self._sticky: Dict[str, int] = {}  # manual policy (py fallback)
         self.session: Optional[aiohttp.ClientSession] = None
 
         self.pd_pool = None
@@ -187,8 +188,8 @@ class Router:
                 from sglang_tpu.gateway_core import GatewayCore
 
                 self.core = GatewayCore()
-                for _ in self.workers:
-                    self.core.add_worker()
+                for w in self.workers:
+                    self.core.add_worker(w.url)
 
     def record_insert(self, text: str, idx: int) -> None:
         if self.core is not None:
@@ -196,11 +197,11 @@ class Router:
         else:
             self.tree.insert(text, idx)
 
-    def pick(self, text: str, exclude: Optional[set] = None
-             ) -> Tuple[int, Worker]:
+    def pick(self, text: str, exclude: Optional[set] = None,
+             key: str = "") -> Tuple[int, Worker]:
         exclude = exclude or set()
         if self.core is not None and not exclude:
-            i = self.core.pick(text or "", self.policy)
+            i = self.core.pick(text or "", self.policy, key=key or "")
             if i < 0:
                 raise web.HTTPServiceUnavailable(text="no healthy workers")
             return i, self.workers[i]
@@ -214,6 +215,55 @@ class Router:
             return random.choice(alive)
         if self.policy == "shortest_queue":
             return min(alive, key=lambda x: x[1].inflight)
+        if self.policy == "power_of_two":
+            # two distinct random choices, lower load wins
+            # (ref sgl-model-gateway/src/policies/power_of_two.rs)
+            if len(alive) == 1:
+                return alive[0]
+            a, b = random.sample(alive, 2)
+            return a if a[1].inflight <= b[1].inflight else b
+        if self.policy in ("consistent_hashing", "prefix_hash"):
+            # stable hash of the routing key (or request prefix) over the
+            # alive list; prefix_hash falls back to least-loaded when the
+            # hash choice is overloaded (ref policies/{consistent_hashing,
+            # prefix_hash}.rs — the native core carries the true ring).
+            hkey = key if self.policy == "consistent_hashing" else (
+                text or "")[:512]
+            if not hkey:
+                return (random.choice(alive)
+                        if self.policy == "consistent_hashing"
+                        else min(alive, key=lambda x: x[1].inflight))
+            import hashlib
+
+            hv = int.from_bytes(
+                hashlib.blake2b(hkey.encode(), digest_size=8).digest(),
+                "big",
+            )
+            cand = min(
+                alive,
+                key=lambda x: int.from_bytes(hashlib.blake2b(
+                    (x[1].url + str(hv)).encode(), digest_size=8
+                ).digest(), "big"),
+            )  # rendezvous hashing: same stability property as a ring
+            if self.policy == "prefix_hash":
+                avg = sum(w.inflight for _, w in alive) / len(alive)
+                if cand[1].inflight > avg * 1.25 + 1.0:
+                    return min(alive, key=lambda x: x[1].inflight)
+            return cand
+        if self.policy == "bucket":
+            hkey = key or (text or "")[:512]
+            start = hash(hkey) % len(alive)
+            return alive[start]
+        if self.policy == "manual":
+            if not key:
+                return random.choice(alive)
+            pinned = self._sticky.get(key)
+            for i, w in alive:
+                if i == pinned:
+                    return i, w
+            choice = random.choice(alive)
+            self._sticky[key] = choice[0]
+            return choice
         # cache_aware: best prefix match unless its queue is much longer
         scores = self.tree.match(text or "")
         best = None
@@ -339,9 +389,11 @@ class Router:
         ):
             return await self._dispatch_pd(request, body)
         text = self._extract_text(body)
+        key = (request.headers.get("X-SMG-Routing-Key")
+               or body.get("routing_key") or "")
         tried: set = set()
         for attempt in range(self.retry.max_retries + 1):
-            idx, worker = self.pick(text, exclude=tried)
+            idx, worker = self.pick(text, exclude=tried, key=key)
             tried.add(idx)
             worker.inflight += 1
             worker.total_requests += 1
@@ -601,7 +653,9 @@ def main(argv=None):
     parser.add_argument(
         "--policy",
         default="cache_aware",
-        choices=["cache_aware", "round_robin", "random", "shortest_queue"],
+        choices=["cache_aware", "round_robin", "random", "shortest_queue",
+                 "power_of_two", "consistent_hashing", "prefix_hash",
+                 "bucket", "manual"],
     )
     parser.add_argument("--api-key", default=None)
     parser.add_argument("--rate-limit-rps", type=float, default=0.0)

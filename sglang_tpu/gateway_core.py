@@ -17,7 +17,9 @@ import subprocess
 logger = logging.getLogger(__name__)
 
 POLICIES = {"cache_aware": 0, "round_robin": 1, "random": 2,
-            "shortest_queue": 3}
+            "shortest_queue": 3, "power_of_two": 4,
+            "consistent_hashing": 5, "prefix_hash": 6, "bucket": 7,
+            "manual": 8}
 
 _LIB = None
 
@@ -70,6 +72,15 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.gw_pick_key.restype = ctypes.c_int
+    lib.gw_pick_key.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+    ]
+    lib.gw_add_worker_named.restype = ctypes.c_int
+    lib.gw_add_worker_named.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long
+    ]
     _LIB = lib
     return lib
 
@@ -87,7 +98,10 @@ class GatewayCore:
         except Exception:  # noqa: BLE001
             pass
 
-    def add_worker(self) -> int:
+    def add_worker(self, name: str = "") -> int:
+        if name:
+            b = name.encode("utf-8", "ignore")
+            return self._lib.gw_add_worker_named(self._h, b, len(b))
         return self._lib.gw_add_worker(self._h)
 
     def remove_worker(self, w: int) -> None:
@@ -123,10 +137,11 @@ class GatewayCore:
         return self._lib.gw_node_count(self._h)
 
     def pick(self, text: str, policy: str = "cache_aware",
-             imbalance_tol: int = 8) -> int:
+             imbalance_tol: int = 8, key: str = "") -> int:
         b = (text or "").encode("utf-8", "ignore")
-        return self._lib.gw_pick(
-            self._h, b, len(b), POLICIES[policy], imbalance_tol
+        kb = (key or "").encode("utf-8", "ignore")
+        return self._lib.gw_pick_key(
+            self._h, b, len(b), POLICIES[policy], imbalance_tol, kb, len(kb)
         )
 
     def last_matched(self) -> int:
