@@ -29,21 +29,49 @@ class ParseResult:
 
 class ReasoningParser:
     """force_reasoning: model starts in reasoning mode without the open tag
-    (DeepSeek-R1 emits `</think>` only)."""
+    (DeepSeek-R1 emits `</think>` only).
+
+    model_type "gpt-oss" routes through the Harmony channel parser
+    (parser/harmony_parser.py): analysis channels -> reasoning_content,
+    final channels -> content, tool-call blocks pass through as normal
+    text for the function-call detector. Ref: srt/parser/harmony_parser.py
+    + reasoning_parser.py's gpt-oss detector."""
 
     def __init__(self, model_type: str = "deepseek-r1",
                  stream_reasoning: bool = True):
+        self._harmony = None
+        if model_type in ("gpt-oss", "gpt_oss"):
+            from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+            self._harmony = HarmonyParser()
+            self.stream_reasoning = stream_reasoning
+            return
         if model_type not in TOKEN_MAP:
             raise ValueError(
                 f"unknown reasoning model type {model_type!r}; "
-                f"have {sorted(TOKEN_MAP)}"
+                f"have {sorted(TOKEN_MAP) + ['gpt-oss']}"
             )
         self.open_tag, self.close_tag, force = TOKEN_MAP[model_type]
         self.stream_reasoning = stream_reasoning
         self.in_reasoning = force
         self._buffer = ""
 
+    def _harmony_result(self, events) -> ParseResult:
+        reasoning = "".join(e.content for e in events
+                            if e.type == "reasoning") or None
+        normal_parts = [e.raw or e.content if e.type == "tool_call"
+                        else e.content
+                        for e in events if e.type in ("normal", "tool_call")]
+        return ParseResult(reasoning, "".join(normal_parts) or None)
+
     def parse_non_stream(self, text: str) -> ParseResult:
+        if self._harmony is not None:
+            events = self._harmony.parse(text) + self._harmony.flush()
+            res = self._harmony_result(events)
+            return ParseResult(
+                (res.reasoning_text or "").strip() or None,
+                (res.normal_text or "").strip(),
+            )
         in_reasoning = self.in_reasoning or self.open_tag in text
         if not in_reasoning:
             return ParseResult(None, text)
@@ -55,6 +83,11 @@ class ReasoningParser:
 
     def parse_stream_chunk(self, delta: str) -> ParseResult:
         """Returns the split for this increment."""
+        if self._harmony is not None:
+            res = self._harmony_result(self._harmony.parse(delta))
+            if not self.stream_reasoning:
+                res = ParseResult(None, res.normal_text)
+            return res
         self._buffer += delta
         text = self._buffer
         if not self.in_reasoning and text.startswith(self.open_tag):

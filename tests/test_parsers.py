@@ -146,3 +146,100 @@ def test_reasoning_stream():
             normal += r.normal_text
     assert reasoning == "abc def"
     assert normal == "xyz!"
+
+
+# ---- Harmony (gpt-oss) channel parser ----
+# Ref: srt/parser/harmony_parser.py
+
+
+def test_harmony_canonical_channels():
+    from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+    p = HarmonyParser()
+    text = (
+        "<|start|>assistant<|channel|>analysis<|message|>let me think"
+        "<|end|><|start|>assistant<|channel|>final<|message|>Hello!"
+        "<|return|>"
+    )
+    events = p.parse(text) + p.flush()
+    kinds = [(e.type, e.content) for e in events]
+    assert ("reasoning", "let me think") in kinds
+    assert ("normal", "Hello!") in kinds
+
+
+def test_harmony_tool_call_block():
+    from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+    p = HarmonyParser()
+    text = (
+        "<|start|>assistant<|channel|>commentary to=functions.get_weather"
+        '<|constrain|>json<|message|>{"city": "Tokyo"}<|call|>'
+    )
+    events = p.parse(text) + p.flush()
+    calls = [e for e in events if e.type == "tool_call"]
+    assert len(calls) == 1
+    assert calls[0].content == '{"city": "Tokyo"}'
+    assert "to=functions.get_weather" in calls[0].raw
+
+
+def test_harmony_final_without_return_at_eof():
+    from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+    p = HarmonyParser()
+    events = p.parse("<|channel|>final<|message|>open ended")
+    assert events == []  # incomplete: held
+    events = p.flush()
+    assert [(e.type, e.content) for e in events] == [("normal", "open ended")]
+
+
+def test_harmony_streaming_partial_analysis():
+    from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+    p = HarmonyParser()
+    out = []
+    for chunk in ["<|channel|>analysis<|mess", "age|>step one ",
+                  "and step two<|end|>", "<|channel|>final<|message|>done",
+                  "<|return|>"]:
+        out.extend(p.parse(chunk))
+    out.extend(p.flush())
+    reasoning = "".join(e.content for e in out if e.type == "reasoning")
+    normal = "".join(e.content for e in out if e.type == "normal")
+    assert reasoning == "step one and step two"
+    assert normal == "done"
+    # partial analysis streamed before its <|end|> arrived
+    assert any(e.type == "reasoning" for e in out[:-2])
+
+
+def test_harmony_text_fallback():
+    from sglang_tpu.parser.harmony_parser import HarmonyParser
+
+    p = HarmonyParser()
+    events = p.parse("analysis I should greet assistantfinal Hi there")
+    events += p.flush()
+    reasoning = "".join(e.content for e in events if e.type == "reasoning")
+    normal = "".join(e.content for e in events if e.type == "normal")
+    assert "I should greet" in reasoning
+    assert normal.strip() == "Hi there"
+
+
+def test_reasoning_parser_gpt_oss_route():
+    from sglang_tpu.parser.reasoning_parser import ReasoningParser
+
+    rp = ReasoningParser("gpt-oss")
+    res = rp.parse_non_stream(
+        "<|channel|>analysis<|message|>hmm<|end|>"
+        "<|channel|>final<|message|>42<|return|>"
+    )
+    assert res.reasoning_text == "hmm"
+    assert res.normal_text == "42"
+
+    rp = ReasoningParser("gpt-oss")
+    r1 = rp.parse_stream_chunk("<|channel|>analysis<|message|>think")
+    r2 = rp.parse_stream_chunk("ing<|end|><|channel|>final<|message|>ok")
+    r3 = rp.parse_stream_chunk("<|return|>")
+    texts = "".join(filter(None, [r1.normal_text, r2.normal_text,
+                                  r3.normal_text]))
+    reason = "".join(filter(None, [r1.reasoning_text, r2.reasoning_text,
+                                   r3.reasoning_text]))
+    assert reason == "thinking"
+    assert texts == "ok"
