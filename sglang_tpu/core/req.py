@@ -64,6 +64,12 @@ class Req:
         self.sampling_params = sampling_params
         self.return_logprob = return_logprob
         self.top_logprobs_num = top_logprobs_num
+        # GenerateReqInput.return_hidden_states: per generated token the
+        # final hidden vector rides StepOutput.hidden_state.
+        self.return_hidden_states = False
+        # Resolved CustomLogitProcessor instance (or None); applied to
+        # this row's logits every step (sampling/custom_logit_processor).
+        self.custom_logit_processor = None
         self.eos_token_ids = eos_token_ids or set()
         self.arrival_time = arrival_time or time.time()
         self.lora_id = lora_id

@@ -62,6 +62,7 @@ class StepOutput:
     cached_tokens: int = 0
     prompt_tokens: int = 0
     embedding: Optional[List[float]] = None
+    hidden_state: Optional[List[float]] = None  # [H] when requested
 
 
 @dataclasses.dataclass
@@ -79,6 +80,8 @@ class _PendingBatch:
     mode: ForwardMode
     launch_time: float
     fb: object = None  # retained only when --debug-dump-dir is set
+    # [B] row -> hidden index (set when a row wants return_hidden_states)
+    hidden_idx: object = None
 
 
 @dataclasses.dataclass
@@ -673,6 +676,45 @@ class ScheduleCore:
             mode == ForwardMode.EXTEND
             and getattr(self.draft_worker, "needs_hidden", False)
         )
+        # API-level hidden-state capture (GenerateReqInput.
+        # return_hidden_states): the step returns the full hidden tap and
+        # each flagged row's last-token vector is fetched host-side.
+        want_hidden_api = any(
+            getattr(r.req, "return_hidden_states", False)
+            and r.kind != "chunk" for r in rows
+        )
+        # Custom logit processors: one distinct processor per launch is
+        # traced into the program; its rows are masked. Rows with a
+        # DIFFERENT processor in the same batch are unsupported per step —
+        # the scheduler keeps them apart (rare; reference groups by
+        # processor the same way).
+        clp_pack = None
+        clp_procs = []
+        for r in rows:
+            proc = getattr(r.req, "custom_logit_processor", None)
+            if proc is not None and all(p is not proc for p in clp_procs):
+                clp_procs.append(proc)
+        if clp_procs:
+            entries = []
+            for proc in clp_procs:
+                mask = np.zeros(fb.padded_bs, bool)
+                keys = set()
+                for i, r in enumerate(rows):
+                    if getattr(r.req, "custom_logit_processor",
+                               None) is proc:
+                        mask[i] = True
+                        keys.update((r.req.sampling_params.custom_params
+                                     or {}).keys())
+                params = {k: np.zeros(fb.padded_bs, np.float32)
+                          for k in sorted(keys)}
+                for i, r in enumerate(rows):
+                    if not mask[i]:
+                        continue
+                    for k, v in (r.req.sampling_params.custom_params
+                                 or {}).items():
+                        params[k][i] = float(v)
+                entries.append((proc, mask, params))
+            clp_pack = tuple(entries)
         dump_inputs = (
             self.dumper.snapshot(fb) if self.dumper is not None else None
         )
@@ -680,7 +722,8 @@ class ScheduleCore:
             fb, st, vocab_mask=vocab_mask, banned_tokens=banned,
             lora_row_ids=lora_row_ids, mm_pack=mm_pack,
             return_top_logprobs=any_top, all_greedy=all_greedy,
-            return_hidden=want_hidden,
+            return_hidden=want_hidden or want_hidden_api,
+            custom_logit_pack=clp_pack,
         )
         if want_hidden and out.hidden is not None:
             # EAGLE prefill tap: the draft head consumes the target's
@@ -693,7 +736,9 @@ class ScheduleCore:
             self.draft_worker.observe_and_extend(entries, out.hidden)
         self.pending.append(
             _PendingBatch(rows, out, mode, time.perf_counter(),
-                          fb=dump_inputs)
+                          fb=dump_inputs,
+                          hidden_idx=(np.asarray(fb.logits_indices)
+                                      if want_hidden_api else None))
         )
         # Structural-tag rows attach their grammar mid-stream (on trigger) —
         # keep them host-synced like grammar rows so no step launches
@@ -709,6 +754,8 @@ class ScheduleCore:
             and self.dumper is None  # dump mode snapshots every launch
             and not has_grammar
             and lora_row_ids is None
+            and not want_hidden_api  # resident steps return no hidden tap
+            and clp_pack is None  # clp rebuilds its pack every launch
         ):
             self._arm_resident(rows, fb, st, banned, any_top, all_greedy)
         else:
@@ -1961,6 +2008,11 @@ class ScheduleCore:
             if pb.out.top_logprob_ids is not None
             else None
         )
+        hid = (
+            np.asarray(pb.out.hidden)
+            if pb.hidden_idx is not None and pb.out.hidden is not None
+            else None
+        )
         outputs: List[StepOutput] = []
         for i, row in enumerate(pb.rows):
             req = row.req
@@ -2047,6 +2099,14 @@ class ScheduleCore:
                     completion_tokens=len(req.output_ids),
                     cached_tokens=req.cached_report,
                     prompt_tokens=len(req.input_ids),
+                    hidden_state=(
+                        np.asarray(
+                            hid[int(pb.hidden_idx[i])], np.float32
+                        ).tolist()
+                        if hid is not None
+                        and getattr(req, "return_hidden_states", False)
+                        else None
+                    ),
                 )
             )
             if (

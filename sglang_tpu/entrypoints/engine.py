@@ -186,6 +186,8 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
+        return_hidden_states: bool = False,
+        custom_logit_processor=None,
         stream: bool = False,
         rid: Optional[str] = None,
         session_params: Optional[Dict] = None,
@@ -199,6 +201,8 @@ class Engine:
             sampling_params=sampling_params,
             return_logprob=return_logprob,
             top_logprobs_num=top_logprobs_num,
+            return_hidden_states=return_hidden_states,
+            custom_logit_processor=custom_logit_processor,
             stream=stream,
             rid=rid,
             session_params=session_params,
@@ -250,6 +254,7 @@ class Engine:
         input_ids=None,
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
+        return_hidden_states: bool = False,
         stream: bool = False,
         rid: Optional[str] = None,
         image_data=None,
@@ -260,6 +265,7 @@ class Engine:
             sampling_params=sampling_params,
             return_logprob=return_logprob,
             top_logprobs_num=top_logprobs_num,
+            return_hidden_states=return_hidden_states,
             stream=stream,
             rid=rid,
             image_data=image_data,

@@ -85,6 +85,7 @@ class DetokenizerCore:
                 out.cached_tokens.append(batch.cached_tokens[i])
                 out.prompt_tokens.append(batch.prompt_tokens[i])
                 out.embeddings.append(batch.embeddings[i])
+                out.hidden_states.append(None)
                 continue
             st = self.states.get(rid)
             if st is None:
@@ -140,6 +141,8 @@ class DetokenizerCore:
             out.cached_tokens.append(batch.cached_tokens[i])
             out.prompt_tokens.append(batch.prompt_tokens[i])
             out.embeddings.append(None)
+            hs = getattr(batch, "hidden_states", None)
+            out.hidden_states.append(hs[i] if hs else None)
         return out
 
 

@@ -27,6 +27,15 @@ class GenerateReqInput:
     return_logprob: Union[bool, List[bool]] = False
     logprob_start_len: Union[int, List[int]] = -1
     top_logprobs_num: Union[int, List[int]] = 0
+    # Return the model's final hidden state for each generated token
+    # (meta_info["hidden_states"], [new_tokens][H]). Ref io_struct.py
+    # GenerateReqInput.return_hidden_states.
+    return_hidden_states: Union[bool, List[bool]] = False
+    # Serialized / named custom logit processor (see
+    # sampling/custom_logit_processor.py; ref GenerateReqInput.
+    # custom_logit_processor). Per-request params ride
+    # sampling_params.custom_params.
+    custom_logit_processor: Optional[Union[str, Dict, List]] = None
     stream: bool = False
     lora_path: Optional[Union[str, List[str]]] = None
     # Precomputed input embeddings [T, H] for a SINGLE request (ref
@@ -94,6 +103,12 @@ class GenerateReqInput:
                     ),
                     return_logprob=pick(self.return_logprob, i, False),
                     top_logprobs_num=pick(self.top_logprobs_num, i, 0),
+                    return_hidden_states=pick(
+                        self.return_hidden_states, i, False),
+                    custom_logit_processor=(
+                        pick(self.custom_logit_processor, i)
+                        if isinstance(self.custom_logit_processor, list)
+                        else self.custom_logit_processor),
                     return_text_in_logprobs=self.return_text_in_logprobs,
                     stream=self.stream,
                     lora_path=pick(self.lora_path, i),
@@ -112,6 +127,8 @@ class TokenizedGenerateReqInput:
     sampling_params: SamplingParams
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    return_hidden_states: bool = False
+    custom_logit_processor: Optional[Union[str, Dict]] = None
     stream: bool = False
     lora_path: Optional[str] = None
     priority: int = 0
@@ -146,6 +163,9 @@ class BatchTokenOut:
     spaces_between_special_tokens: List[bool]
     stop_strs: List[Optional[List[str]]]
     no_stop_trim: List[bool]
+    # per-token hidden-state vectors ([H] lists) for reqs that asked
+    hidden_states: List[Optional[Any]] = dataclasses.field(
+        default_factory=list)
 
 
 @dataclasses.dataclass
@@ -162,6 +182,8 @@ class BatchStrOut:
     cached_tokens: List[int]
     prompt_tokens: List[int]
     embeddings: List[Optional[List[float]]]
+    hidden_states: List[Optional[Any]] = dataclasses.field(
+        default_factory=list)
 
 
 @dataclasses.dataclass

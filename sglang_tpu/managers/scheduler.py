@@ -98,6 +98,20 @@ class Scheduler:
             if mm_inputs:
                 self.core.attach_mm_inputs(req, mm_inputs)
             req.label_token_ids = getattr(msg, "label_token_ids", None)
+            req.return_hidden_states = getattr(
+                msg, "return_hidden_states", False)
+            clp_spec = getattr(msg, "custom_logit_processor", None)
+            if clp_spec is not None:
+                from sglang_tpu.sampling.custom_logit_processor import (
+                    resolve_custom_logit_processor,
+                )
+
+                req.custom_logit_processor = resolve_custom_logit_processor(
+                    clp_spec,
+                    allow_pickle=bool(getattr(
+                        self.server_args, "enable_custom_logit_processor",
+                        False)),
+                )
             room = getattr(msg, "bootstrap_room", None)
             if room:
                 req.bootstrap_room = room
@@ -313,6 +327,7 @@ class Scheduler:
             msg.spaces_between_special_tokens.append(meta[1])
             msg.stop_strs.append(meta[2])
             msg.no_stop_trim.append(meta[3])
+            msg.hidden_states.append(getattr(o, "hidden_state", None))
             if o.finish_reason is not None:
                 self._req_meta.pop(o.rid, None)
         return msg

@@ -56,6 +56,7 @@ class ReqState:
     output_ids: List[Any] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
     top_logprobs: List[Any] = dataclasses.field(default_factory=list)
+    hidden_states: List[Any] = dataclasses.field(default_factory=list)
     finished: bool = False
     created: float = dataclasses.field(default_factory=time.time)
     last_token_time: float = 0.0
@@ -269,6 +270,9 @@ class TokenizerManager:
                 st.logprobs.append(msg.logprobs[i])
             if msg.top_logprobs[i] is not None:
                 st.top_logprobs.append(msg.top_logprobs[i])
+            hs = getattr(msg, "hidden_states", None)
+            if hs and hs[i] is not None:
+                st.hidden_states.append(hs[i])
             fr = msg.finish_reasons[i]
             if fr is not None:
                 st.finished = True
@@ -327,6 +331,10 @@ class TokenizerManager:
             sampling_params=sp,
             return_logprob=bool(gri.return_logprob),
             top_logprobs_num=int(gri.top_logprobs_num or 0),
+            return_hidden_states=bool(
+                getattr(gri, "return_hidden_states", False)),
+            custom_logit_processor=getattr(
+                gri, "custom_logit_processor", None),
             stream=gri.stream,
             lora_path=gri.lora_path,
             priority=int(getattr(gri, "priority", 0) or 0),
@@ -500,6 +508,8 @@ class TokenizerManager:
                     ]
                 else:
                     meta["output_top_logprobs"] = list(state.top_logprobs)
+        if getattr(treq, "return_hidden_states", False):
+            meta["hidden_states"] = list(state.hidden_states)
         return {
             "text": state.text,
             "output_ids": list(state.output_ids),

@@ -215,7 +215,7 @@ class ModelRunner:
             self._step_impl,
             donate_argnums=(1, 2, 3),
             static_argnames=("return_top_logprobs", "all_greedy",
-                             "return_hidden"),
+                             "return_hidden", "clp_fn"),
         )
         self._override_tokens = jax.jit(
             lambda buf, slots, vals: buf.at[slots].set(vals), donate_argnums=(0,)
@@ -628,6 +628,8 @@ class ModelRunner:
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
         return_hidden: bool = False,  # full [T, H] tap for EAGLE drafting
+        clp_fn=None,  # static: TUPLE of custom logit processors
+        clp_pack=None,  # tuple of (mask [B] bool, params dict[str, [B]])
     ):
         if fb.mode.is_decode():
             # Input token comes from the device future-map, not the host.
@@ -675,6 +677,12 @@ class ModelRunner:
             allowed = (words >> (vidx & 31).astype(jnp.uint32)) & 1
             logits = jnp.where(allowed == 0, -1e30, logits)
             vocab_mask = None
+        if clp_fn is not None:
+            # Custom logit processors (sampling/custom_logit_processor.py):
+            # traced into the program; only flagged rows take each result.
+            for fn, (mask, params) in zip(clp_fn, clp_pack):
+                processed = fn(logits, params)
+                logits = jnp.where(mask[:, None], processed, logits)
         token_counts = None
         if penalty_buf is not None:
             token_counts = penalty_buf[fb.req_slots]
@@ -988,6 +996,7 @@ class ModelRunner:
         return_top_logprobs: int = 0,
         all_greedy: bool = False,
         return_hidden: bool = False,
+        custom_logit_pack=None,  # (fn, mask np[B] bool, {k: np[B] f32})
     ) -> ForwardOutput:
         lora_pack = None
         if lora_row_ids is not None and self.lora_manager is not None:
@@ -1022,6 +1031,16 @@ class ModelRunner:
                 return_top_logprobs=return_top_logprobs,
                 all_greedy=all_greedy,
                 return_hidden=return_hidden,
+                clp_fn=(tuple(fn for fn, _, _ in custom_logit_pack)
+                        if custom_logit_pack else None),
+                clp_pack=(
+                    tuple(
+                        (jnp.asarray(mask),
+                         {k: jnp.asarray(v) for k, v in params.items()})
+                        for _, mask, params in custom_logit_pack
+                    )
+                    if custom_logit_pack else None
+                ),
             )
         )
         self.kv_pool.swap(new_kv)

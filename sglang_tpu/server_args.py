@@ -112,6 +112,10 @@ class ServerArgs:
     # bucket and cascade attention is disabled, so a request's numerics
     # never depend on co-batched requests. Reproducibility mode.
     enable_deterministic_inference: bool = False
+    # Allow pickled per-request custom logit processors (ref
+    # --enable-custom-logit-processor; registry-named processors are
+    # always allowed). See sampling/custom_logit_processor.py.
+    enable_custom_logit_processor: bool = False
     # Debug dump mode (ref srt/debug_utils/dumper.py): write one .npz per
     # batch (forward inputs + sampled outputs) for offline comparison via
     # `python -m sglang_tpu.debug_utils compare A B`.

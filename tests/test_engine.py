@@ -18,6 +18,7 @@ def engine(tiny_llama_dir):
         page_size=4,
         max_total_tokens=4096,
         max_running_requests=16,
+        enable_custom_logit_processor=True,
         enable_single_process=True,
         log_level="warning",
     )
@@ -306,3 +307,76 @@ def test_stop_regex(engine):
     )
     assert out["meta_info"]["finish_reason"]["type"] == "stop"
     assert len(out["output_ids"]) < 12
+
+
+def test_return_hidden_states(engine):
+    """GenerateReqInput.return_hidden_states: one [H] vector per generated
+    token in meta_info (ref io_struct.py return_hidden_states)."""
+    out = engine.generate(
+        prompt="w10 w11 w12",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 4,
+                         "ignore_eos": True},
+        return_hidden_states=True,
+    )
+    hs = out["meta_info"]["hidden_states"]
+    assert len(hs) == 4
+    H = len(hs[0])
+    assert H > 0 and all(len(v) == H for v in hs)
+    assert any(abs(x) > 0 for x in hs[0])
+    # plain requests stay unaffected
+    out2 = engine.generate(
+        prompt="w10 w11 w12",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 4,
+                         "ignore_eos": True},
+    )
+    assert "hidden_states" not in out2["meta_info"]
+    assert out2["output_ids"] == out["output_ids"]
+
+
+def test_custom_logit_processor(engine):
+    """A serialized processor reshapes logits per step; params arrive as
+    [B] arrays (sampling/custom_logit_processor.py; ref
+    srt/sampling/custom_logit_processor.py)."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.sampling.custom_logit_processor import (
+        CustomLogitProcessor,
+    )
+
+    class ForceToken(CustomLogitProcessor):
+        def __call__(self, logits, custom_params):
+            tok = custom_params["token_id"].astype(jnp.int32)
+            B = logits.shape[0]
+            forced = jnp.full_like(logits, -1e30)
+            forced = forced.at[jnp.arange(B), tok].set(0.0)
+            return forced
+
+    out = engine.generate(
+        prompt="w10 w11 w12",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 4,
+                         "ignore_eos": True,
+                         "custom_params": {"token_id": 7}},
+        custom_logit_processor=ForceToken().to_str(),
+    )
+    assert out["output_ids"] == [7, 7, 7, 7]
+    # a second request with a different param value reuses the program
+    out2 = engine.generate(
+        prompt="w10 w11 w12",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 3,
+                         "ignore_eos": True,
+                         "custom_params": {"token_id": 9}},
+        custom_logit_processor=ForceToken().to_str(),
+    )
+    assert out2["output_ids"] == [9, 9, 9]
+
+
+def test_custom_logit_processor_requires_flag(tiny_llama_dir):
+    """Pickled processors are rejected without
+    --enable-custom-logit-processor (registry names always work)."""
+    from sglang_tpu.sampling.custom_logit_processor import (
+        resolve_custom_logit_processor,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="enable-custom-logit-processor"):
+        resolve_custom_logit_processor("aGk=", allow_pickle=False)
