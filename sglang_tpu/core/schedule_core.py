@@ -2220,22 +2220,41 @@ class ScheduleCore:
             else:
                 self.mm_embed_cache.move_to_end(h)
                 self.mm_cache_hits += 1
+            evs_mask = None
+            if (mi.get("modality") == "video"
+                    and float(mi.get("evs_q") or 0.0) > 0.0):
+                # EVS video token pruning (multimodal/evs.py): keep the
+                # top-(1-q) temporally dissimilar merged tokens; the
+                # placeholder span was pre-shrunk to the retained count.
+                from sglang_tpu.multimodal.evs import compute_retention_mask
+
+                evs_mask = compute_retention_mask(
+                    emb, mi["grid_thw"],
+                    getattr(model, "mm_merge", 2), float(mi["evs_q"]),
+                )
+                emb_sel = emb[evs_mask]
+            else:
+                emb_sel = emb
             off = mi["offset"]
             n = mi["num_tokens"]
             for j in range(n):
                 positions.append(off + j)
-                embeds.append(emb[j])
+                embeds.append(emb_sel[j])
                 hashes.append(h)
             if mi.get("grid_thw") is not None:
-                grids.append(tuple(mi["grid_thw"]))
+                grids.append((tuple(mi["grid_thw"]), evs_mask))
         req.mm_positions = positions
         req.mm_embeds = embeds
         req.mm_hashes = hashes
         if getattr(model, "needs_mrope", False) and grids:
             from sglang_tpu.models.qwen2_vl import compute_mrope_positions
 
+            mm_tokens = {model.image_token_id}
+            vt = getattr(model, "video_token_id", None)
+            if vt is not None:
+                mm_tokens.add(vt)
             req.mrope_positions, req.mrope_delta = compute_mrope_positions(
-                req.input_ids, model.image_token_id, grids,
+                req.input_ids, mm_tokens, grids,
                 merge=model.mm_merge,
             )
 

@@ -194,6 +194,7 @@ class Engine:
         input_embeds=None,
         lora_path: Optional[str] = None,
         image_data=None,
+        video_data=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -209,6 +210,7 @@ class Engine:
             input_embeds=input_embeds,
             lora_path=lora_path,
             image_data=image_data,
+            video_data=video_data,
         )
         if stream:
             return self._stream_sync(gri)

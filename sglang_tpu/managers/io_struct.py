@@ -49,6 +49,10 @@ class GenerateReqInput:
     label_token_ids: Optional[Any] = None
     # Multimodal (round-2 surface)
     image_data: Optional[Any] = None
+    # Video input (ref GenerateReqInput.video_data io_struct.py:186):
+    # list of frames / np [T,H,W,3] / {"frames": [...]} / .npy path per
+    # video; expands through the model's video placeholder token.
+    video_data: Optional[Any] = None
     # Audio clips (path / WAV bytes / base64 / data URI / np waveform),
     # one per audio placeholder token (ref GenerateReqInput.audio_data).
     audio_data: Optional[Any] = None

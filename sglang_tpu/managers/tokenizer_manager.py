@@ -149,7 +149,7 @@ class TokenizerManager:
             mm_tok = getattr(cfg, "image_token_id",
                              getattr(cfg, "image_token_index", None))
             items = gri.image_data
-        if not isinstance(items, list):
+        if items is not None and not isinstance(items, list):
             items = [items]
         if getattr(proc, "encoder_decoder", False):
             # Whisper-class ASR: the prompt is the DECODER start sequence
@@ -174,30 +174,86 @@ class TokenizerManager:
                 num_tokens=pr.num_tokens,
             ) for pr in processed]
         else:
-            processed = [proc(load_image(d)) for d in items]
+            processed = [proc(load_image(d)) for d in (items or [])]
             payloads = [dict(
                 pixel_values=pr.pixel_values,
                 grid_thw=pr.grid_thw,
                 mm_hash=pr.mm_hash,
                 num_tokens=pr.num_tokens,
             ) for pr in processed]
+        # Video items expand through their own placeholder token; EVS
+        # token pruning shrinks the placeholder span to the RETAINED
+        # count before scheduling (ref srt/multimodal/evs/evs_core.py
+        # tokens_per_frame — counts are deterministic pre-encode even
+        # though the retention MASK needs the ViT embeddings).
+        video_payloads = []
+        video_tok = getattr(cfg, "video_token_id", None)
+        if getattr(gri, "video_data", None) is not None and not is_audio:
+            from sglang_tpu.multimodal.processors import load_video
+
+            if not getattr(proc, "supports_video", False):
+                raise ValueError(
+                    f"model {self.server_args.model_path} does not "
+                    "support video input"
+                )
+            vids = gri.video_data
+            if not isinstance(vids, list) or (
+                vids and not isinstance(vids[0], (list, dict, str))
+                and not hasattr(vids[0], "ndim")
+            ):
+                vids = [vids]
+            q = float(getattr(self.server_args,
+                              "evs_video_pruning_rate", 0.0) or 0.0)
+            for v in vids:
+                pr = proc.process_video(load_video(v))
+                num_tokens = pr.num_tokens
+                if q > 0.0:
+                    from sglang_tpu.multimodal.evs import (
+                        compute_retained_tokens_count,
+                    )
+
+                    t = pr.grid_thw[0]
+                    num_tokens = compute_retained_tokens_count(
+                        tokens_per_frame=pr.num_tokens // t,
+                        num_frames=t, q=q,
+                    )
+                video_payloads.append(dict(
+                    pixel_values=pr.pixel_values,
+                    grid_thw=pr.grid_thw,
+                    mm_hash=pr.mm_hash,
+                    num_tokens=num_tokens,
+                    modality="video",
+                    evs_q=q,
+                ))
         out_ids: List[int] = []
         mm_inputs = []
         mm_i = 0
+        vid_i = 0
         for tok in input_ids:
             if tok == mm_tok and mm_i < len(payloads):
                 pl = dict(payloads[mm_i])
                 mm_i += 1
-                pl["offset"] = len(out_ids)
-                mm_inputs.append(pl)
-                out_ids.extend([mm_tok] * pl["num_tokens"])
+            elif (video_tok is not None and tok == video_tok
+                  and vid_i < len(video_payloads)):
+                pl = dict(video_payloads[vid_i])
+                vid_i += 1
+                tok = video_tok
             else:
                 out_ids.append(tok)
+                continue
+            pl["offset"] = len(out_ids)
+            mm_inputs.append(pl)
+            out_ids.extend([tok] * pl["num_tokens"])
         if mm_i != len(payloads):
             kind = "audios" if is_audio else "images"
             raise ValueError(
                 f"{len(payloads)} {kind} but only {mm_i} placeholder tokens "
                 "in the prompt"
+            )
+        if vid_i != len(video_payloads):
+            raise ValueError(
+                f"{len(video_payloads)} videos but only {vid_i} video "
+                "placeholder tokens in the prompt"
             )
         return out_ids, mm_inputs
 
@@ -317,7 +373,8 @@ class TokenizerManager:
         input_ids = self._tokenize(gri)
         mm_inputs = None
         if (getattr(gri, "image_data", None) is not None
-                or getattr(gri, "audio_data", None) is not None):
+                or getattr(gri, "audio_data", None) is not None
+                or getattr(gri, "video_data", None) is not None):
             input_ids, mm_inputs = self._process_images(gri, input_ids)
         ctx_limit = self.server_args.context_length
         if ctx_limit and len(input_ids) >= ctx_limit:

@@ -29,28 +29,43 @@ from sglang_tpu.multimodal.vision_qwen2vl import Qwen2VLVisionTower
 
 def compute_mrope_positions(
     input_ids: List[int],
-    image_token_id: int,
-    grids: List[Tuple[int, int, int]],
+    image_token_id,  # int or set of placeholder ids (image + video)
+    grids,  # list of (t, h, w) or ((t, h, w), retention_mask)
     merge: int,
 ) -> Tuple[np.ndarray, int]:
-    """HF Qwen2VLModel.get_rope_index behavior for images: text tokens get
-    sequential (equal t/h/w) positions; each image block gets a (t, h, w)
-    grid starting at the current max+1; text after an image continues from
-    max+1. Returns ([3, L] positions, decode delta)."""
+    """HF Qwen2VLModel.get_rope_index behavior for images AND videos:
+    text tokens get sequential (equal t/h/w) positions; each mm block
+    gets a (t, h, w) grid starting at the current max+1 (videos advance
+    the t component per temporal group); text after a block continues
+    from max+1. EVS-pruned videos keep each retained token's ORIGINAL
+    grid coordinates (the mask selects rows of the full grid).
+    Returns ([3, L] positions, decode delta)."""
+    mm_tokens = (
+        {image_token_id} if isinstance(image_token_id, int)
+        else set(image_token_id)
+    )
     L = len(input_ids)
     pos = np.zeros((3, L), np.int64)
     i = 0
     cur = 0  # next position value
     img_i = 0
     while i < L:
-        if input_ids[i] == image_token_id:
-            t, h, w = grids[img_i]
+        if input_ids[i] in mm_tokens and img_i < len(grids):
+            entry = grids[img_i]
+            mask = None
+            if (isinstance(entry, tuple) and len(entry) == 2
+                    and not isinstance(entry[1], int)):
+                (t, h, w), mask = entry
+            else:
+                t, h, w = entry
             img_i += 1
             hh, ww = h // merge, w // merge
-            n = t * hh * ww
             tt = np.repeat(np.arange(t), hh * ww)
             hp = np.tile(np.repeat(np.arange(hh), ww), t)
             wp = np.tile(np.arange(ww), t * hh)
+            if mask is not None:
+                tt, hp, wp = tt[mask], hp[mask], wp[mask]
+            n = tt.shape[0]
             pos[0, i : i + n] = cur + tt
             pos[1, i : i + n] = cur + hp
             pos[2, i : i + n] = cur + wp
@@ -107,6 +122,7 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         self.image_token_id = getattr(
             hf, "image_token_id", getattr(hf, "image_token_index", None)
         )
+        self.video_token_id = getattr(hf, "video_token_id", None)
         self.vision = Qwen2VLVisionTower(hf.vision_config, config.dtype)
         self.mm_merge = self.vision.merge
 
@@ -117,10 +133,14 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
 
     def encode_images(self, params, pixel_values: jax.Array,
                       grid_thw=None) -> jax.Array:
-        """pixel_values [N, 3*tps*ps*ps] (one image); grid_thw (t, h, w)
-        -> [N/merge^2, H]."""
+        """pixel_values [N, 3*tps*ps*ps] (one image/video); grid_thw
+        (t, h, w) -> [N/merge^2, H]. Videos (t > 1) attend
+        block-diagonally per frame (HF cu_seqlens semantics)."""
         rot = jnp.asarray(self.vision.rot_tables(grid_thw))
-        return self.vision(params, "vision", pixel_values, rot)
+        t, h, w = grid_thw
+        frame_len = h * w if t > 1 else 0
+        return self.vision(params, "vision", pixel_values, rot,
+                           frame_len=frame_len)
 
     def map_hf_weight(self, name: str, arr: np.ndarray):
         for pre in ("model.visual.", "visual."):

@@ -24,6 +24,34 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def load_video(data):
+    """Video input -> list of PIL frames. Accepted forms (ref
+    GenerateReqInput.video_data, srt/managers/io_struct.py:186): a list of
+    image-likes (paths/URLs/base64/PIL/np frames), an np array [T, H, W, 3],
+    a dict {"frames": [...], "fps": f}, or a .npy/.npz path holding
+    [T, H, W, 3] uint8 (container decode is delegated to the client in
+    this build — no video codecs ship in the image)."""
+    import numpy as _np
+    from PIL import Image
+
+    if isinstance(data, dict) and "frames" in data:
+        data = data["frames"]
+    if isinstance(data, str) and (data.endswith(".npy")
+                                  or data.endswith(".npz")):
+        arr = _np.load(data)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+        data = arr
+    if isinstance(data, _np.ndarray):
+        if data.ndim != 4:
+            raise ValueError(f"video array must be [T,H,W,3]; got {data.shape}")
+        return [Image.fromarray(f.astype(_np.uint8)) for f in data]
+    if isinstance(data, (list, tuple)):
+        return [f if isinstance(f, Image.Image) else load_image(f)
+                for f in data]
+    raise ValueError(f"unsupported video_data type {type(data).__name__}")
+
+
 def load_image(data) -> "PIL.Image.Image":
     """Accepts a PIL image, local path, bytes, base64, or data URI."""
     from PIL import Image
@@ -206,6 +234,48 @@ _PROCESSORS = {
     # Encoder-decoder ASR (processor.encoder_decoder == True):
     "WhisperForConditionalGeneration": _whisper_processor,
 }
+
+
+class Qwen2VLVideoMixin:
+    """Video patchify for Qwen2-VL-family processors (ref
+    srt/multimodal/processors/qwen_vl.py video path + HF
+    Qwen2VLImageProcessor(videos=...)): frames smart-resize like images,
+    temporal groups of `temporal_patch_size` frames form grid_t, and rows
+    keep HF's merge-block order with the SAME feature layout as images —
+    the ViT consumes them unchanged (frame-block-diagonal attention)."""
+
+    def process_video(self, frames) -> ProcessedImage:
+        if not frames:
+            raise ValueError("empty video")
+        w, h = frames[0].size
+        factor = self.ps * self.merge
+        h2, w2 = qwen2vl_smart_resize(h, w, factor, self.min_pixels,
+                                      self.max_pixels)
+        chws = [_to_chw_norm(_resize(f, (h2, w2))) for f in frames]
+        T = len(chws)
+        if T % self.tps:
+            chws.extend([chws[-1]] * (self.tps - T % self.tps))
+            T = len(chws)
+        patches = np.stack(chws)  # [T, 3, H, W]
+        ps, m = self.ps, self.merge
+        grid_t = T // self.tps
+        grid_h, grid_w = h2 // ps, w2 // ps
+        x = patches.reshape(
+            grid_t, self.tps, 3, grid_h // m, m, ps, grid_w // m, m, ps
+        )
+        x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        rows = x.reshape(grid_t * grid_h * grid_w, 3 * self.tps * ps * ps)
+        num_tokens = grid_t * (grid_h // m) * (grid_w // m)
+        return ProcessedImage(
+            pixel_values=rows.astype(np.float32),
+            grid_thw=(grid_t, grid_h, grid_w),
+            num_tokens=num_tokens,
+            mm_hash=_hash_pixels(rows),
+        )
+
+
+Qwen2VLImageProcessor.process_video = Qwen2VLVideoMixin.process_video
+Qwen2VLImageProcessor.supports_video = True
 
 
 def get_mm_processor(architectures, hf_config):

@@ -99,10 +99,17 @@ class Qwen2VLVisionTower:
         return np.tile(freqs, (t, 1)).astype(np.float32)
 
     def __call__(self, params: Params, p: str, rows: jax.Array,
-                 rot_freqs: jax.Array) -> jax.Array:
-        """rows [N, 3*tps*ps*ps] (one image); rot_freqs [N, head_dim/2]
-        -> merged features [N/merge^2, out_hidden]."""
+                 rot_freqs: jax.Array, frame_len: int = 0) -> jax.Array:
+        """rows [N, 3*tps*ps*ps] (one image/video); rot_freqs
+        [N, head_dim/2] -> merged features [N/merge^2, out_hidden].
+        frame_len > 0 (= grid_h*grid_w, videos): attention is
+        block-diagonal per temporal frame, matching HF's cu_seqlens
+        (Qwen2VLVisionModel builds h*w-long segments per t)."""
         N = rows.shape[0]
+        frame_mask = None
+        if frame_len and frame_len < N:
+            blk = jnp.arange(N, dtype=jnp.int32) // frame_len
+            frame_mask = blk[:, None] == blk[None, :]  # [N, N]
         x = jnp.dot(rows.astype(self.dtype),
                     params[join(p, "patch_embed/weight")])
         emb = jnp.concatenate([rot_freqs, rot_freqs], axis=-1)  # [N, hd]
@@ -124,6 +131,8 @@ class Qwen2VLVisionTower:
             scores = jnp.einsum(
                 "qhd,khd->hqk", qh, kh, preferred_element_type=jnp.float32
             ) * (self.head_dim**-0.5)
+            if frame_mask is not None:
+                scores = jnp.where(frame_mask[None], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
             o = jnp.einsum("hqk,khd->qhd", probs, vh).reshape(N, self.width)
             x = x + jnp.dot(o, params[join(q, "proj/weight")]) + params[

@@ -116,6 +116,10 @@ class ServerArgs:
     # --enable-custom-logit-processor; registry-named processors are
     # always allowed). See sampling/custom_logit_processor.py.
     enable_custom_logit_processor: bool = False
+    # EVS video token pruning rate q in [0, 1) (ref
+    # srt/multimodal/evs/): keep the top (1-q) temporally-dissimilar
+    # video tokens; 0 disables. See multimodal/evs.py.
+    evs_video_pruning_rate: float = 0.0
     # Debug dump mode (ref srt/debug_utils/dumper.py): write one .npz per
     # batch (forward inputs + sampled outputs) for offline comparison via
     # `python -m sglang_tpu.debug_utils compare A B`.

@@ -135,6 +135,7 @@ register("test_tbo.py", "c", 90)
 register("test_tree_spec.py", "c", 150)
 register("test_vlm_llava.py", "c", 150)
 register("test_vlm_qwen2vl.py", "c", 150)
+register("test_vlm_video.py", "c", 120)
 register("test_weight_cache.py", "c", 90)
 register("test_weight_group.py", "c", 90)
 register("test_whisper.py", "c", 120)
