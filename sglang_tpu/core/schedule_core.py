@@ -368,10 +368,6 @@ class ScheduleCore:
         # does; the step loop polls the receiver and auto-admits.
         self.pd_prealloc: Dict[str, Req] = {}
         if self.pd_mode == "prefill":
-            if runner.kv_pool.config.mla_dim:
-                raise NotImplementedError(
-                    "PD disaggregation does not ship MLA latent pools yet"
-                )
             if server_args.disaggregation_transport == "zmq":
                 from sglang_tpu.disaggregation.zmq_transport import (
                     ZmqKVSender,
@@ -405,17 +401,15 @@ class ScheduleCore:
                 from sglang_tpu.disaggregation.fake import FakeKVReceiver
 
                 self.kv_receiver = FakeKVReceiver()
-        if self.pd_mode == "prefill":
-            import jax
-            import jax.numpy as jnp
+        if self.pd_mode in ("prefill", "decode"):
+            # KV pages travel as flat per-layer BYTES (mem/page_codec.py)
+            # so MHA split pools, MLA latent pools, and MLA+DSA-index
+            # pools all ship over the same transport (ref mooncake/conn.py
+            # moves raw latent bytes the same way).
+            from sglang_tpu.mem.page_codec import PageCodec
 
-            self._pd_gather = jax.jit(
-                lambda kv, pages: jnp.stack(
-                    [jnp.stack([kl[pages], vl[pages]], axis=1)
-                     for kl, vl in kv],
-                    axis=1,
-                )
-            )  # [K, L, 2(kv), ps, 2, FH]
+            if not runner.kv_pool.config.hisparse:
+                self._pd_codec = PageCodec(runner.kv_pool)
 
         # Mock-model oracle mode (ref test/mock_model/utils.py:17-33 —
         # --sampling-backend token_oracle): the next token is a scripted
@@ -2298,15 +2292,14 @@ class ScheduleCore:
         if target <= sent and not final:
             return
         if target > sent:
-            kv_bytes = np.asarray(
-                self._pd_gather(
-                    self.runner.kv_pool.kv,
-                    np.asarray(req.pages[sent:target], np.int32),
-                )
+            kv_bytes = self._pd_codec.gather_bytes(
+                self.runner.kv_pool.kv,
+                np.asarray(req.pages[sent:target], np.int32),
             )
         else:  # final with nothing new (page-aligned fill already sent)
             kv_bytes = np.zeros(
-                (0,) + self._pd_page_shape(), self._pd_page_dtype()
+                (0, len(self.runner.kv_pool.kv),
+                 self._pd_codec.page_bytes), np.uint8,
             )
         req._pd_sent_pages = target
         self.kv_sender.send(
@@ -2320,13 +2313,6 @@ class ScheduleCore:
                 first_logprob=logprob,
             )
         )
-
-    def _pd_page_shape(self):
-        kv = self.runner.kv_pool.kv
-        return (len(kv), 2) + tuple(kv[0][0].shape[1:])
-
-    def _pd_page_dtype(self):
-        return self.runner.kv_pool.kv[0][0].dtype
 
     def _pd_handoff(self, req: Req, first_token: int, logprob: float) -> None:
         """Ship the finished prefill's remaining KV pages + first token."""
@@ -2368,7 +2354,6 @@ class ScheduleCore:
         """Restore a handoff's KV into freshly allocated pages and resume
         `req` directly in RUNNING (ForwardMode.PREBUILT analog, ref
         scheduler.py:3594)."""
-        from sglang_tpu.mem.hicache import copy_pages
         import jax.numpy as jnp
 
         if self.hybrid_swa:
@@ -2392,22 +2377,11 @@ class ScheduleCore:
             pages = self.allocator.alloc(npages)
             if pages is None:
                 raise RuntimeError("decode engine out of KV pages")
-        kv = list(self.runner.kv_pool.kv)
         K = kv_npages
-        pairs = np.empty(2 * K, np.int32)
-        pairs[0::2] = np.arange(K)
-        pairs[1::2] = pages[:K]
-        for l in range(len(kv)):
-            kl = copy_pages(
-                kv[l][0], jnp.asarray(handoff.kv_pages[:, l, 0]),
-                jnp.asarray(pairs), n=K,
-            )
-            vl = copy_pages(
-                kv[l][1], jnp.asarray(handoff.kv_pages[:, l, 1]),
-                jnp.asarray(pairs), n=K,
-            )
-            kv[l] = (kl, vl)
-        self.runner.kv_pool.swap(tuple(kv))
+        new_kv = self._pd_codec.scatter_bytes(
+            self.runner.kv_pool.kv, handoff.kv_pages, pages[:K]
+        )
+        self.runner.kv_pool.swap(new_kv)
 
         req.output_ids = [handoff.first_token]
         if req.return_logprob and handoff.first_logprob is not None:

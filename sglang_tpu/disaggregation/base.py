@@ -32,7 +32,7 @@ class KVHandoff:
 
     room: str
     token_ids: List[int]  # prompt tokens covered by the KV (page-aligned)
-    kv_pages: np.ndarray  # [K, L, 2, ps, ...] pool-native dtype
+    kv_pages: np.ndarray  # [K, L, page_bytes] uint8 (mem/page_codec.py)
     first_token: int
     first_logprob: Optional[float] = None
 
@@ -43,7 +43,7 @@ class KVChunk:
 
     room: str
     start_page: int  # index of kv_pages[0] within the request's pages
-    kv_pages: np.ndarray  # [K, L, 2, ps, ...]
+    kv_pages: np.ndarray  # [K, L, page_bytes] uint8 (mem/page_codec.py)
     is_last: bool = False
     # Final chunk only:
     token_ids: Optional[List[int]] = None

@@ -287,14 +287,26 @@ class HiCacheController:
         self.num_prefetch_hits = 0
         self.kv_pool = kv_pool
         cfg = kv_pool.config
-        if cfg.mla_dim:
+        if cfg.hisparse:
             raise NotImplementedError(
-                "HiCache host tier does not mirror MLA latent pools yet; "
-                "run MLA models without --hicache-ratio"
+                "HiSparse latent pools already live host-side; HiCache "
+                "tiers do not apply"
             )
+        self.codec = None
+        dtype = cfg.storage_dtype
+        if cfg.mla_dim:
+            # MLA latent (+ optional DSA index) pools: heterogeneous
+            # per-layer components mirror host-side as flat page BYTES
+            # (mem/page_codec.py; ref srt/mem_cache/memory_pool_host.py
+            # MLA host mirror).
+            from sglang_tpu.mem.page_codec import PageCodec
+
+            self.codec = PageCodec(kv_pool)
+            page_shape = (self.codec.page_bytes,)
+            dtype = np.uint8
         # Host page = both split-pool pages (storage-native layout; for
         # quantized pools that is the int32-packed row form).
-        if cfg.quant and not cfg.quant_native:
+        elif cfg.quant and not cfg.quant_native:
             page_shape = (2, cfg.page_size, cfg.folded_dim // 4)
         else:
             page_shape = (2, cfg.page_size, 2, cfg.half_dim)
@@ -308,9 +320,9 @@ class HiCacheController:
             )
         self.host = HostKVTier(
             cfg.num_layers, page_shape, cfg.page_size, n_host,
-            cfg.storage_dtype, storage=storage,
+            dtype, storage=storage,
         )
-        self._gather = jax.jit(
+        self._gather = None if self.codec is not None else jax.jit(
             lambda kv, pages: jnp.stack(
                 [jnp.stack([kl[pages], vl[pages]], axis=1) for kl, vl in kv],
                 axis=1,
@@ -340,12 +352,13 @@ class HiCacheController:
                 return
             self.host.make_room(len(todo))
             host_pages = [self.host.free.pop() for _ in todo]
-        staged = np.asarray(
-            self._gather(
-                self.kv_pool.kv,
-                jnp.asarray([device_pages[j] for j in todo], jnp.int32),
-            )
-        )  # [K', L, 2, ps, 2, FH]
+        picked = [device_pages[j] for j in todo]
+        if self.codec is not None:
+            staged = self.codec.gather_bytes(self.kv_pool.kv, picked)
+        else:
+            staged = np.asarray(
+                self._gather(self.kv_pool.kv, jnp.asarray(picked, jnp.int32))
+            )  # [K', L, 2, ps, 2, FH]
         with self._lock:
             self.host.arena[host_pages] = staged
             for hp, j in zip(host_pages, todo):
@@ -419,8 +432,13 @@ class HiCacheController:
         """Copy PRE-STAGED host pages into device pages (prefetch path)."""
         if not len(device_pages):
             return
-        kv = list(self.kv_pool.kv)
         K = len(device_pages)
+        if self.codec is not None:
+            self.kv_pool.swap(self.codec.scatter_bytes(
+                self.kv_pool.kv, staged[:K], device_pages))
+            self.num_restored += K
+            return
+        kv = list(self.kv_pool.kv)
         pairs = np.empty(2 * K, np.int32)
         pairs[0::2] = np.arange(K)
         pairs[1::2] = device_pages
@@ -460,9 +478,14 @@ class HiCacheController:
         assert len(host_pages) == len(device_pages)
         if not host_pages:
             return
-        staged = self.host.arena[host_pages]  # [K, L, 2, ps, 2, FH]
-        kv = list(self.kv_pool.kv)
+        staged = self.host.arena[host_pages]  # [K, L, 2, ps, 2, FH] | bytes
         K = len(host_pages)
+        if self.codec is not None:
+            self.kv_pool.swap(self.codec.scatter_bytes(
+                self.kv_pool.kv, staged, device_pages))
+            self.num_restored += K
+            return
+        kv = list(self.kv_pool.kv)
         pairs = np.empty(2 * K, np.int32)
         pairs[0::2] = np.arange(K)
         pairs[1::2] = device_pages

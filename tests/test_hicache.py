@@ -172,3 +172,49 @@ def _roundtrip_with_storage(tmp_path, tiny_llama_dir, backend):
 def test_hicache_mmap_storage_backend(tiny_llama_dir, tmp_path):
     """The arena-file (mmap) L3 backend round-trips pages byte-exactly."""
     _roundtrip_with_storage(tmp_path, tiny_llama_dir, backend="mmap")
+
+
+@pytest.fixture(scope="module")
+def tiny_dsv2_dir(tmp_path_factory):
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(5)
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=None, kv_lora_rank=32, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, n_group=2,
+        topk_group=1, topk_method="group_limited_greedy",
+        routed_scaling_factor=1.0, first_k_dense_replace=1,
+        moe_layer_freq=1, max_position_embeddings=256, head_dim=24,
+    )
+    model = DeepseekV2ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_dsv2_hic")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_hicache_mla_latent_pool(tiny_dsv2_dir):
+    """HiCache over an MLA LATENT pool (DeepSeek-class): latent pages
+    mirror host-side as codec bytes and restore EXACTLY. Removes the r3
+    NotImplementedError (hicache.py MLA guard). Ref:
+    srt/mem_cache/memory_pool_host.py MLA host mirror."""
+    core, _ = make_core(tiny_dsv2_dir)
+    assert core.hicache.codec is not None
+    prompt_a = [7, 8, 9, 10] * 8  # 32 tokens = 8 pages
+    ra = run_one(core, "a", prompt_a)
+
+    for i in range(6):
+        run_one(core, f"fill{i}",
+                [(11 + i + j) % 120 + 2 for j in range(40)])
+    assert core.hicache.num_stored > 0
+
+    # same prefix again: restored from host, greedy output identical
+    rb = run_one(core, "b", prompt_a)
+    assert rb.output_ids == ra.output_ids
+    assert core.hicache.num_restored > 0
+    assert rb.cached_len > 0

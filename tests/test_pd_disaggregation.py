@@ -270,3 +270,66 @@ def test_pd_tp2_both_sides(tiny_llama_dir):
     decode.add_request(dreq)
     drive(decode)
     assert dreq.output_ids == base.output_ids
+
+
+@pytest.fixture(scope="module")
+def tiny_dsv2_dir(tmp_path_factory):
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(5)
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=None, kv_lora_rank=32, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, n_group=2,
+        topk_group=1, topk_method="group_limited_greedy",
+        routed_scaling_factor=1.0, first_k_dense_replace=1,
+        moe_layer_freq=1, max_position_embeddings=256, head_dim=24,
+    )
+    model = DeepseekV2ForCausalLM(cfg)
+    model.eval()
+    path = tmp_path_factory.mktemp("tiny_dsv2_pd")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_pd_mla_latent_pool(tiny_dsv2_dir):
+    """PD handoff of an MLA LATENT pool (DeepSeek-class): the byte codec
+    ships latent pages; decode output must equal a single engine.
+    Removes the r3 NotImplementedError (schedule_core.py PD+MLA guard).
+    Ref: srt/disaggregation/mooncake/conn.py ships MLA KV the same way."""
+    reset_store()
+    prompt = [7, 8, 9, 10, 11, 12, 13, 14, 15]
+    n_new = 8
+
+    single, _ = make_core(tiny_dsv2_dir, "null")
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                        ignore_eos=True)
+    sp.normalize()
+    base = Req("base-mla", prompt, sp)
+    single.add_request(base)
+    drive(single)
+
+    prefill, _ = make_core(tiny_dsv2_dir, "prefill")
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                         ignore_eos=True)
+    sp2.normalize()
+    preq = Req("room-mla", prompt, sp2)
+    preq.bootstrap_room = "room-mla"
+    prefill.add_request(preq)
+    drive(prefill)
+    assert len(preq.output_ids) == 1
+
+    decode, _ = make_core(tiny_dsv2_dir, "decode")
+    handoff = FakeKVReceiver().poll("room-mla")
+    assert handoff is not None
+    assert handoff.kv_pages.dtype == np.uint8  # codec bytes on the wire
+    sp3 = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                         ignore_eos=True)
+    sp3.normalize()
+    dreq = decode.add_prebuilt_request(handoff, sp3)
+    drive(decode)
+    assert dreq.output_ids == base.output_ids
