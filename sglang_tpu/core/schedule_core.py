@@ -409,7 +409,22 @@ class ScheduleCore:
             from sglang_tpu.mem.page_codec import PageCodec
 
             if not runner.kv_pool.config.hisparse:
-                self._pd_codec = PageCodec(runner.kv_pool)
+                kvc_ = runner.kv_pool.config
+                if self.hybrid_swa:
+                    # Hybrid-SWA models: two page-id spaces — full layers
+                    # ship with req.pages, sliding layers with
+                    # req.swa_pages (out-of-window slots already freed to
+                    # the trash page; masked on the decode side anyway).
+                    wins = kvc_.layer_windows
+                    full_ids = [i for i in range(kvc_.num_layers)
+                                if not (i < len(wins) and wins[i] > 0)]
+                    swa_ids = [i for i in range(kvc_.num_layers)
+                               if i < len(wins) and wins[i] > 0]
+                    self._pd_codec = PageCodec(runner.kv_pool, full_ids)
+                    self._pd_swa_codec = PageCodec(runner.kv_pool, swa_ids)
+                else:
+                    self._pd_codec = PageCodec(runner.kv_pool)
+                    self._pd_swa_codec = None
 
         # Mock-model oracle mode (ref test/mock_model/utils.py:17-33 —
         # --sampling-backend token_oracle): the next token is a scripted
@@ -2291,22 +2306,36 @@ class ScheduleCore:
         target = cdiv(fill, ps) if final else (req.prefill_progress // ps)
         if target <= sent and not final:
             return
+        swa_bytes = None
         if target > sent:
             kv_bytes = self._pd_codec.gather_bytes(
                 self.runner.kv_pool.kv,
                 np.asarray(req.pages[sent:target], np.int32),
             )
+            if self._pd_swa_codec is not None:
+                # 0 slots (trimmed / pre-window) gather the trash page —
+                # garbage bytes the decode side masks by the window.
+                swa_bytes = self._pd_swa_codec.gather_bytes(
+                    self.runner.kv_pool.kv,
+                    np.asarray(req.swa_pages[sent:target], np.int32),
+                )
         else:  # final with nothing new (page-aligned fill already sent)
             kv_bytes = np.zeros(
-                (0, len(self.runner.kv_pool.kv),
+                (0, len(self._pd_codec.layer_ids),
                  self._pd_codec.page_bytes), np.uint8,
             )
+            if self._pd_swa_codec is not None:
+                swa_bytes = np.zeros(
+                    (0, len(self._pd_swa_codec.layer_ids),
+                     self._pd_swa_codec.page_bytes), np.uint8,
+                )
         req._pd_sent_pages = target
         self.kv_sender.send(
             KVChunk(
                 room=getattr(req, "bootstrap_room", req.rid),
                 start_page=sent,
                 kv_pages=kv_bytes,
+                swa_pages=swa_bytes,
                 is_last=final,
                 token_ids=list(req.input_ids) if final else None,
                 first_token=first_token,
@@ -2356,10 +2385,10 @@ class ScheduleCore:
         scheduler.py:3594)."""
         import jax.numpy as jnp
 
-        if self.hybrid_swa:
-            raise NotImplementedError(
-                "PD disaggregation does not ship SWA-pool KV yet; start the "
-                "decode engine with --disable-swa-kv-pool"
+        if self.hybrid_swa and getattr(handoff, "swa_pages", None) is None:
+            raise ValueError(
+                "decode engine has hybrid SWA pools but the handoff "
+                "carries no swa_pages (prefill side older or non-SWA?)"
             )
         ps = self.page_size
         if handoff.token_ids and list(req.input_ids) != list(handoff.token_ids):
@@ -2381,6 +2410,14 @@ class ScheduleCore:
         new_kv = self._pd_codec.scatter_bytes(
             self.runner.kv_pool.kv, handoff.kv_pages, pages[:K]
         )
+        swa_pages_alloc = None
+        if self._pd_swa_codec is not None:
+            swa_pages_alloc = self._swa_alloc(npages)
+            if swa_pages_alloc is None:
+                raise RuntimeError("decode engine out of SWA pages")
+            new_kv = self._pd_swa_codec.scatter_bytes(
+                new_kv, handoff.swa_pages, swa_pages_alloc[:K]
+            )
         self.runner.kv_pool.swap(new_kv)
 
         req.output_ids = [handoff.first_token]
@@ -2388,6 +2425,12 @@ class ScheduleCore:
             req.output_logprobs = [handoff.first_logprob]
         req.status = ReqStatus.RUNNING
         req.pages = pages
+        if swa_pages_alloc is not None:
+            # out-of-window slots hold restored garbage; the window mask
+            # hides them and _swa_trim frees them on the next steps.
+            req.swa_pages = list(swa_pages_alloc)
+            req.swa_adopted = 0
+            req._swa_trim_ptr = 0
         req.cached_len = (fill // ps) * ps
         req.prefill_progress = fill
         req._fill_len = fill

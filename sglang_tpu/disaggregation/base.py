@@ -35,6 +35,8 @@ class KVHandoff:
     kv_pages: np.ndarray  # [K, L, page_bytes] uint8 (mem/page_codec.py)
     first_token: int
     first_logprob: Optional[float] = None
+    # hybrid-SWA models: sliding layers' pages (same K slots, own codec)
+    swa_pages: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -44,6 +46,8 @@ class KVChunk:
     room: str
     start_page: int  # index of kv_pages[0] within the request's pages
     kv_pages: np.ndarray  # [K, L, page_bytes] uint8 (mem/page_codec.py)
+    # hybrid-SWA models: sliding layers' pages (same K slots, own codec)
+    swa_pages: "Optional[np.ndarray]" = None
     is_last: bool = False
     # Final chunk only:
     token_ids: Optional[List[int]] = None
@@ -77,12 +81,21 @@ class ChunkAssembler:
             if len(chunks) == 1
             else np.concatenate([c.kv_pages for c in chunks], axis=0)
         )
+        swa = None
+        if chunks[0].swa_pages is not None:
+            swa = (
+                chunks[0].swa_pages
+                if len(chunks) == 1
+                else np.concatenate(
+                    [c.swa_pages for c in chunks], axis=0)
+            )
         return KVHandoff(
             room=msg.room,
             token_ids=list(msg.token_ids or []),
             kv_pages=kv,
             first_token=msg.first_token,
             first_logprob=msg.first_logprob,
+            swa_pages=swa,
         )
 
 

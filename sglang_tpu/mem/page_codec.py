@@ -20,11 +20,18 @@ import numpy as np
 
 
 class PageCodec:
-    """Derives component layout from a pool's per-layer entries."""
+    """Derives component layout from a pool's per-layer entries.
 
-    def __init__(self, kv_pool):
+    `layer_ids` restricts the codec to a subset of layers (hybrid-SWA
+    models: full-attention layers ship with the request's main pages,
+    sliding layers with its swa_pages — two codecs, two page-id spaces).
+    """
+
+    def __init__(self, kv_pool, layer_ids=None):
         self.kv_pool = kv_pool
-        entry = kv_pool.kv[0]
+        self.layer_ids = (list(layer_ids) if layer_ids is not None
+                          else list(range(len(kv_pool.kv))))
+        entry = kv_pool.kv[self.layer_ids[0]]
         # components = the non-None arrays of a layer entry
         self.n_comps = sum(1 for a in entry if a is not None)
         if self.n_comps == 0:
@@ -44,18 +51,20 @@ class PageCodec:
         self._gather = jax.jit(self._gather_impl)
 
     def _gather_impl(self, kv, pages):
+        layers = [kv[i] for i in self.layer_ids]
         outs = []
-        for c in range(len(kv[0])):
-            if kv[0][c] is None:
+        for c in range(len(layers[0])):
+            if layers[0][c] is None:
                 continue
-            outs.append(jnp.stack([layer[c][pages] for layer in kv], axis=1))
-        return tuple(outs)  # each [K, L, ps, ...]
+            outs.append(jnp.stack([layer[c][pages] for layer in layers],
+                                  axis=1))
+        return tuple(outs)  # each [K, L', ps, ...]
 
     def gather_bytes(self, kv, pages) -> np.ndarray:
         """Device pages -> [K, L, page_bytes] uint8."""
         staged = self._gather(kv, jnp.asarray(pages, jnp.int32))
         K = len(pages)
-        L = len(kv)
+        L = len(self.layer_ids)
         parts = [
             np.ascontiguousarray(np.asarray(a)).view(np.uint8).reshape(
                 K, L, -1
@@ -89,13 +98,13 @@ class PageCodec:
         pairs[1::2] = np.asarray(dst_pages[:K], np.int32)
         jp = jnp.asarray(pairs)
         kv = [list(layer) for layer in kv]
-        for l in range(len(kv)):
+        for li, l in enumerate(self.layer_ids):
             ci = 0
             for c in range(len(kv[l])):
                 if kv[l][c] is None:
                     continue
                 kv[l][c] = copy_pages(
-                    kv[l][c], jnp.asarray(comps[ci][:, l]), jp, n=K
+                    kv[l][c], jnp.asarray(comps[ci][:, li]), jp, n=K
                 )
                 ci += 1
         return tuple(tuple(layer) for layer in kv)

@@ -3,8 +3,9 @@
 import pytest
 
 
-@pytest.fixture(scope="module")
-def tiny_gemma2_dir(tmp_path_factory):
+def _build_tiny_gemma2(path=None):
+    import tempfile
+
     import torch
     from transformers import Gemma2Config, Gemma2ForCausalLM
 
@@ -25,9 +26,15 @@ def tiny_gemma2_dir(tmp_path_factory):
     )
     model = Gemma2ForCausalLM(cfg)
     model.eval()
-    path = tmp_path_factory.mktemp("tiny_gemma2")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="tiny_gemma2_")
     model.save_pretrained(path, safe_serialization=True)
     return str(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_gemma2_dir(tmp_path_factory):
+    return _build_tiny_gemma2(str(tmp_path_factory.mktemp("tiny_gemma2")))
 
 
 def _hf_greedy(model_dir, prompt, n_new):

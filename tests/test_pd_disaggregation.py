@@ -333,3 +333,44 @@ def test_pd_mla_latent_pool(tiny_dsv2_dir):
     dreq = decode.add_prebuilt_request(handoff, sp3)
     drive(decode)
     assert dreq.output_ids == base.output_ids
+
+
+def test_pd_swa_hybrid_pool():
+    """PD handoff for hybrid-SWA models (Gemma-2-class): full layers
+    ship with main pages, sliding layers with swa pages; decode output
+    must equal a single engine. Removes the r3 NotImplementedError
+    (schedule_core.py PD+SWA guard)."""
+    from tests.test_gemma2 import _build_tiny_gemma2
+
+    model_dir = _build_tiny_gemma2()
+    reset_store()
+    prompt = [7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
+    n_new = 10
+
+    single, _ = make_core(model_dir, "null")
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                        ignore_eos=True)
+    sp.normalize()
+    base = Req("base-swa", prompt, sp)
+    single.add_request(base)
+    drive(single)
+    assert single.hybrid_swa  # the fixture really exercises hybrid pools
+
+    prefill, _ = make_core(model_dir, "prefill")
+    sp2 = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                         ignore_eos=True)
+    sp2.normalize()
+    preq = Req("room-swa", prompt, sp2)
+    preq.bootstrap_room = "room-swa"
+    prefill.add_request(preq)
+    drive(prefill)
+
+    decode, _ = make_core(model_dir, "decode")
+    handoff = FakeKVReceiver().poll("room-swa")
+    assert handoff is not None and handoff.swa_pages is not None
+    sp3 = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                         ignore_eos=True)
+    sp3.normalize()
+    dreq = decode.add_prebuilt_request(handoff, sp3)
+    drive(decode)
+    assert dreq.output_ids == base.output_ids
