@@ -464,6 +464,9 @@ class ScheduleCore:
     def add_request(self, req: Req) -> None:
         if not req.eos_token_ids:
             req.eos_token_ids = self.eos_token_ids
+        if req.lora_id and self.runner.lora_manager is not None:
+            # pin for the eviction policy (released in _finish_req)
+            self.runner.lora_manager.pin(req.lora_id)
         if self.hicache is not None and not req.is_embedding:
             # host-tier match + staging runs off-thread while the request
             # queues (ref hiradix_cache prefetch threads)
@@ -1985,6 +1988,9 @@ class ScheduleCore:
             req.req_slot = None
 
     def _finish_req(self, req: Req, reason: FinishReason) -> None:
+        if req.lora_id and self.runner.lora_manager is not None:
+            # release the eviction-policy pin taken at admission
+            self.runner.lora_manager.unpin(req.lora_id)
         req.finish_reason = reason
         req.status = (
             ReqStatus.ABORTED if reason.kind == "abort" else ReqStatus.FINISHED

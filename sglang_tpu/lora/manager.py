@@ -1,12 +1,24 @@
 """Multi-LoRA batching.
 
 Ref: srt/lora/{lora_manager.py:59 (load_lora_adapter:221,
-prepare_lora_batch:428), mem_pool.py, backend/}. TPU-native design: all
-loaded adapters live in stacked device pools `A [G, in, r_max]`,
-`B [G, r_max, out]` per target projection per layer; a batch's tokens are
-sorted by adapter id once and the LoRA deltas run as two grouped GEMMs via
-jax.lax.ragged_dot (the same dropless Megablox pattern as MoE) — no SGMV
-CUDA kernels needed. Slot 0 is the identity (zero) adapter.
+prepare_lora_batch:428), mem_pool.py, backend/, eviction_policy.py}.
+TPU-native design: all loaded adapters live in stacked device pools
+`A [G, in, r_max]`, `B [G, r_max, out]` per target projection per layer;
+a batch's tokens are sorted by adapter id once and the LoRA deltas run as
+two grouped GEMMs via jax.lax.ragged_dot (the same dropless Megablox
+pattern as MoE) — no SGMV CUDA kernels needed. Slot 0 is the identity
+(zero) adapter.
+
+Round-4 depth (the reference's serving features):
+- LRU EVICTION with request pinning: a full pool evicts the
+  least-recently-used adapter not pinned by a running request instead of
+  refusing the load (ref srt/lora/eviction_policy.py).
+- lm_head / embed_tokens adapters (ref lora_manager target_modules):
+  opt-in pools (vocab-sized) applied at the logits tap and the embedding
+  lookup; peft lora_embedding_A/B layouts honored.
+- OVERLAP LOADING: load_async() reads + stages the adapter off-thread
+  and publishes the slot only when every pool is updated, so serving
+  never blocks on adapter IO (ref lora_manager.py overlap loading).
 """
 
 from __future__ import annotations
@@ -64,7 +76,28 @@ def load_adapter(name: str, path: str) -> LoRAAdapter:
             raw[k] = sf.get_tensor(k).astype(np.float32)
     # peft names: base_model.model.model.layers.N.self_attn.q_proj.lora_A.weight
     for key, arr in raw.items():
+        if ".lm_head." in key and (".lora_A." in key or ".lora_B." in key):
+            a, b = weights.get((-1, "lm_head"), (None, None))
+            if ".lora_A." in key:
+                a = arr.T  # [r, H] -> [H, r]
+            else:
+                b = arr.T  # [V, r] -> [r, V]
+            weights[(-1, "lm_head")] = (a, b)
+            continue
+        if ".embed_tokens." in key and ".lora_embedding_" in key:
+            # peft Embedding adapters: lora_embedding_A [r, V],
+            # lora_embedding_B [H, r]; ours: A [V, r] token-gathered,
+            # B [r, H].
+            a, b = weights.get((-1, "embed_tokens"), (None, None))
+            if key.endswith("lora_embedding_A"):
+                a = arr.T
+            else:
+                b = arr.T
+            weights[(-1, "embed_tokens")] = (a, b)
+            continue
         if ".lora_A." not in key and ".lora_B." not in key:
+            continue
+        if "layers" not in key.split("."):
             continue
         parts = key.split(".")
         layer_idx = int(parts[parts.index("layers") + 1])
@@ -96,13 +129,20 @@ class LoRAManager:
     """Owns the stacked device pools + name->slot registry."""
 
     def __init__(self, model, model_config, max_loras: int, max_rank: int,
-                 dtype):
+                 dtype, target_modules: Optional[List[str]] = None):
+        from collections import OrderedDict
+
         self.model_config = model_config
         self.max_loras = max_loras  # slot 0 reserved for "no adapter"
         self.max_rank = max_rank
         self.dtype = dtype
         self.adapters: Dict[str, int] = {}  # name -> slot
         self.scalings = np.zeros(max_loras + 1, np.float32)
+        # LRU order + per-adapter pin counts (running requests) for the
+        # eviction policy (ref srt/lora/eviction_policy.py).
+        self._lru: "OrderedDict[str, None]" = OrderedDict()
+        self._pins: Dict[str, int] = {}
+        self._load_pool = None  # lazy executor for load_async
         L = model_config.num_hidden_layers
         H = model_config.hidden_size
         nq = model_config.num_attention_heads * model_config.head_dim
@@ -118,37 +158,85 @@ class LoRAManager:
             "gate_up_up": (H, I),
             "down": (I, H),
         }
+        # Opt-in vocab-sized targets (--lora-target-modules): embedding
+        # pool A is indexed by TOKEN id ([G, V, r]); lm_head applies at
+        # the logits tap ([G, H, r] -> [G, r, V]). Both carry a dummy
+        # leading layer dim so apply_lora's [L, G, ...] indexing holds.
+        V = model_config.vocab_size
+        if target_modules:
+            if "lm_head" in target_modules:
+                self.target_dims["lm_head"] = (H, V)
+            if "embed_tokens" in target_modules:
+                self.target_dims["embed_tokens"] = (V, H)
+        self.target_modules = list(target_modules or [])
         G = max_loras + 1
         self.pools: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         for t, (din, dout) in self.target_dims.items():
-            A = jnp.zeros((L, G, din, max_rank), dtype)
-            B = jnp.zeros((L, G, max_rank, dout), dtype)
+            nl = 1 if t in ("lm_head", "embed_tokens") else L
+            A = jnp.zeros((nl, G, din, max_rank), dtype)
+            B = jnp.zeros((nl, G, max_rank, dout), dtype)
             self.pools[t] = (A, B)
         self._free_slots = list(range(max_loras, 0, -1))
 
+    # ---- eviction policy + pinning ----
+    def pin(self, name: Optional[str]) -> None:
+        if name:
+            self._pins[name] = self._pins.get(name, 0) + 1
+
+    def unpin(self, name: Optional[str]) -> None:
+        if name and name in self._pins:
+            self._pins[name] -= 1
+            if self._pins[name] <= 0:
+                del self._pins[name]
+
+    def _evict_lru(self) -> bool:
+        """Unload the least-recently-used unpinned adapter. Ref
+        srt/lora/eviction_policy.py LRU policy."""
+        for name in list(self._lru):
+            if self._pins.get(name, 0) == 0:
+                logger.info("LoRA pool full: evicting LRU adapter %r", name)
+                return self.unload(name)
+        return False
+
+    # ---- overlap loading ----
+    def load_async(self, name: str, path: str):
+        """Load an adapter off-thread (host IO + staging + device pool
+        updates); the slot publishes only once every pool is written, so
+        in-flight steps never see a half-loaded adapter. Returns a
+        concurrent.futures.Future[int]."""
+        if self._load_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._load_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lora-load"
+            )
+        return self._load_pool.submit(self.load, name, path)
+
     def load(self, name: str, path: str) -> int:
         if name in self.adapters:
+            self._lru[name] = None
+            self._lru.move_to_end(name)
             return self.adapters[name]
-        if not self._free_slots:
-            raise RuntimeError("LoRA pool full; unload an adapter first")
+        if not self._free_slots and not self._evict_lru():
+            raise RuntimeError(
+                "LoRA pool full and every adapter is pinned by a running "
+                "request"
+            )
         adapter = load_adapter(name, path)
         if adapter.rank > self.max_rank:
             raise ValueError(
                 f"adapter rank {adapter.rank} > max_lora_rank {self.max_rank}"
             )
         slot = self._free_slots.pop()
-        self.adapters[name] = slot
-        self.scalings[slot] = adapter.scaling
         L = self.model_config.num_hidden_layers
         for t in self.target_dims:
             A, B = self.pools[t]
-            A_np = np.zeros(
-                (L,) + tuple(A.shape[2:]), np.float32
-            )
-            B_np = np.zeros((L,) + tuple(B.shape[2:]), np.float32)
+            nl = A.shape[0]
+            A_np = np.zeros((nl,) + tuple(A.shape[2:]), np.float32)
+            B_np = np.zeros((nl,) + tuple(B.shape[2:]), np.float32)
             present = False
-            for l in range(L):
-                w = adapter.weights.get((l, t))
+            for l in range(nl):
+                w = adapter.weights.get((l if nl > 1 else -1, t))
                 if w is None or w[0] is None or w[1] is None:
                     continue
                 a, b = w
@@ -159,12 +247,17 @@ class LoRAManager:
                 A = A.at[:, slot].set(jnp.asarray(A_np, A.dtype))
                 B = B.at[:, slot].set(jnp.asarray(B_np, B.dtype))
                 self.pools[t] = (A, B)
+        # publish LAST: a half-written slot must never be schedulable
+        self.scalings[slot] = adapter.scaling
+        self.adapters[name] = slot
+        self._lru[name] = None
         logger.info("loaded LoRA %r (rank %d) into slot %d", name,
                     adapter.rank, slot)
         return slot
 
     def unload(self, name: str) -> bool:
         slot = self.adapters.pop(name, None)
+        self._lru.pop(name, None)
         if slot is None:
             return False
         self._free_slots.append(slot)
@@ -182,6 +275,8 @@ class LoRAManager:
             return 0
         if name not in self.adapters:
             raise ValueError(f"LoRA adapter {name!r} not loaded")
+        self._lru[name] = None
+        self._lru.move_to_end(name)  # LRU touch
         return self.adapters[name]
 
 
@@ -195,6 +290,7 @@ class LoRABatchState:
     inv_order: jax.Array  # [T]
     group_sizes: jax.Array  # [G+1]
     scaling_per_token: jax.Array  # [T] f32 (sorted order)
+    adapter_ids: jax.Array  # [T] int32 (unsorted; embedding gather)
 
 
 def build_lora_state(
@@ -212,6 +308,7 @@ def build_lora_state(
         inv_order=inv,
         group_sizes=group_sizes,
         scaling_per_token=scale_sorted,
+        adapter_ids=token_adapter_ids,
     )
 
 
@@ -232,3 +329,31 @@ def apply_lora(
     )  # [T, dout]
     d = d * state.scaling_per_token[:, None].astype(d.dtype)
     return d[state.inv_order]
+
+
+def apply_lora_embedding(
+    state: Optional[LoRABatchState], token_ids: jax.Array
+) -> jax.Array:
+    """Embedding-lookup LoRA delta for token_ids [T] -> [T, H] (0 when
+    no embed_tokens pool is configured). A is token-gathered per row,
+    then the rank->hidden projection runs as the usual sorted
+    ragged_dot."""
+    if state is None or "embed_tokens" not in state.pools:
+        return 0.0
+    A, B = state.pools["embed_tokens"]  # [1, G, V, r], [1, G, r, H]
+    a_rows = A[0][state.adapter_ids, token_ids]  # [T, r]
+    a_sorted = a_rows[state.token_order]
+    d = jax.lax.ragged_dot(
+        a_sorted, B[0], state.group_sizes,
+        preferred_element_type=a_sorted.dtype,
+    )  # [T, H]
+    d = d * state.scaling_per_token[:, None].astype(d.dtype)
+    return d[state.inv_order]
+
+
+def apply_lora_logits(state, row_state, hidden: jax.Array) -> jax.Array:
+    """lm_head LoRA delta at the logits tap: hidden [B, H] -> [B, V]
+    using the per-ROW state (logits rows are one per sequence)."""
+    if state is None or "lm_head" not in state.pools:
+        return 0.0
+    return apply_lora(row_state, "lm_head", 0, hidden)

@@ -250,6 +250,7 @@ class ModelRunner:
                 max_loras=self.server_args.max_loras_per_batch,
                 max_rank=self.server_args.max_lora_rank or 64,
                 dtype=self.model_config.dtype,
+                target_modules=self.server_args.lora_target_modules,
             )
         return self.lora_manager
 
@@ -642,6 +643,7 @@ class ModelRunner:
                 fb, input_ids=fb.input_ids.at[fb.mixed_tp:].set(dec_tok)
             )
         lora_state = None
+        lora_row_state = None
         if lora_pack is not None:
             from sglang_tpu.lora.manager import build_lora_state
 
@@ -650,6 +652,9 @@ class ModelRunner:
                 row_ids if fb.mode.is_decode() else row_ids[fb.seq_ids]
             )
             lora_state = build_lora_state(pools, token_ids_, scalings)
+            if "lm_head" in pools:
+                # logits rows are one per sequence: a per-ROW state
+                lora_row_state = build_lora_state(pools, row_ids, scalings)
         input_embeds = embed_mask = None
         if mm_pack is not None:
             input_embeds, embed_mask = mm_pack
@@ -659,6 +664,12 @@ class ModelRunner:
         )
         sel = hidden[fb.logits_indices]  # [B, H]
         logits = self.model.compute_logits(params, sel).astype(jnp.float32)
+        if lora_row_state is not None:
+            from sglang_tpu.lora.manager import apply_lora_logits
+
+            logits = logits + apply_lora_logits(
+                lora_state, lora_row_state, sel
+            ).astype(jnp.float32)
         B = logits.shape[0]
         if banned_tokens is not None:
             # (token_ids [B, K], biases [B, K]): min_new_tokens eos bans

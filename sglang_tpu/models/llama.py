@@ -196,6 +196,10 @@ class LlamaForCausalLM:
         lora=None, input_embeds=None, embed_mask=None,
     ) -> Tuple[jax.Array, jax.Array]:
         x = self.embed(params, "embed", fb.input_ids)
+        if lora is not None and "embed_tokens" in lora.pools:
+            from sglang_tpu.lora.manager import apply_lora_embedding
+
+            x = x + apply_lora_embedding(lora, fb.input_ids)
         if input_embeds is not None:
             # Multimodal embedding injection (ref srt/managers/mm_utils:
             # image features spliced at placeholder positions).

@@ -202,6 +202,10 @@ class ServerArgs:
     enable_lora: bool = False
     max_loras_per_batch: int = 4
     max_lora_rank: Optional[int] = None
+    # Extra LoRA target modules beyond the 7 projection defaults (ref
+    # lora_manager target_modules): "lm_head" and/or "embed_tokens"
+    # allocate vocab-sized pools applied at the logits tap / embedding.
+    lora_target_modules: Optional[List[str]] = None
     lora_paths: Optional[List[str]] = None
 
     # Loading

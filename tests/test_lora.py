@@ -146,3 +146,128 @@ def test_lora_parity_and_mixed_batch(tiny_llama_dir, tiny_lora_dir):
     assert ours[0] == ref_lora, f"{ours[0]} != {ref_lora}"
     assert ours[1] == ref_base, f"{ours[1]} != {ref_base}"
     assert ref_lora != ref_base  # adapter actually changed behavior
+
+
+@pytest.fixture(scope="module")
+def tiny_lora_vocab_dir(tiny_llama_dir, tmp_path_factory):
+    """Adapter that ALSO targets lm_head + embed_tokens (vocab-sized
+    modules; ref srt/lora lm-head mixing)."""
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(13)
+    base = LlamaForCausalLM.from_pretrained(tiny_llama_dir)
+    cfg = LoraConfig(
+        r=4, lora_alpha=8,
+        target_modules=["q_proj", "v_proj", "lm_head", "embed_tokens"],
+        lora_dropout=0.0,
+    )
+    model = get_peft_model(base, cfg)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "lora_B" in name or "lora_embedding_B" in name:
+                p.normal_(0, 0.05)
+            elif "lora_A" in name or "lora_embedding_A" in name:
+                p.normal_(0, 0.05)
+    path = tmp_path_factory.mktemp("tiny_lora_vocab")
+    model.save_pretrained(path)
+    return str(path)
+
+
+def test_lora_lm_head_and_embedding(tiny_llama_dir, tiny_lora_vocab_dir):
+    """Greedy parity vs merged peft for an adapter spanning lm_head and
+    embed_tokens, alongside a base-model request in the same batch."""
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.schedule_core import ScheduleCore
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    prompt = [11, 12, 13, 14, 15, 16]
+    n_new = 6
+    ref_lora = _hf_lora_greedy(tiny_llama_dir, tiny_lora_vocab_dir,
+                               prompt, n_new)
+
+    args = ServerArgs(
+        model_path=tiny_llama_dir, dtype="float32",
+        attention_backend="xla_native", page_size=4,
+        max_total_tokens=2048, enable_lora=True, max_lora_rank=8,
+        lora_paths=[f"vocab={tiny_lora_vocab_dir}"],
+        lora_target_modules=["lm_head", "embed_tokens"],
+    )
+    runner = ModelRunner(args)
+    core = ScheduleCore(args, runner)
+    reqs = []
+    for i, name in enumerate(["vocab", None]):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                            ignore_eos=True)
+        sp.normalize()
+        r = Req(f"v{i}", list(prompt), sp, lora_id=name)
+        reqs.append(r)
+        core.add_request(r)
+    while core.has_work():
+        core.step()
+    assert reqs[0].output_ids == ref_lora
+    # the base-model request in the same batch is unaffected
+    base_args = ServerArgs(
+        model_path=tiny_llama_dir, dtype="float32",
+        attention_backend="xla_native", page_size=4,
+        max_total_tokens=2048,
+    )
+    br = ModelRunner(base_args)
+    bc = ScheduleCore(base_args, br)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new,
+                        ignore_eos=True)
+    sp.normalize()
+    rb = Req("b", list(prompt), sp)
+    bc.add_request(rb)
+    while bc.has_work():
+        bc.step()
+    assert reqs[1].output_ids == rb.output_ids
+
+
+def test_lora_eviction_policy(tiny_llama_dir, tiny_lora_dir):
+    """A full pool evicts the LRU unpinned adapter on load; pinned
+    adapters survive (ref srt/lora/eviction_policy.py)."""
+    from sglang_tpu.lora.manager import LoRAManager
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(model_path=tiny_llama_dir, dtype="float32",
+                      page_size=4, max_total_tokens=512)
+    runner = ModelRunner(args)
+    mgr = LoRAManager(runner.model, runner.model_config, max_loras=2,
+                      max_rank=8, dtype=runner.model_config.dtype)
+    mgr.load("a", tiny_lora_dir)
+    mgr.load("b", tiny_lora_dir)
+    # touch "a" so "b" is LRU
+    mgr.slot_of("a")
+    mgr.load("c", tiny_lora_dir)  # evicts b
+    assert set(mgr.adapters) == {"a", "c"}
+    # pin both; a further load must fail
+    mgr.pin("a")
+    mgr.pin("c")
+    with pytest.raises(RuntimeError, match="pinned"):
+        mgr.load("d", tiny_lora_dir)
+    mgr.unpin("c")
+    mgr.load("d", tiny_lora_dir)  # evicts c (unpinned LRU)
+    assert "a" in mgr.adapters and "d" in mgr.adapters
+
+
+def test_lora_overlap_loading(tiny_llama_dir, tiny_lora_dir):
+    """load_async publishes the slot only when complete; the adapter is
+    usable right after the future resolves."""
+    from sglang_tpu.lora.manager import LoRAManager
+    from sglang_tpu.model_exec.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(model_path=tiny_llama_dir, dtype="float32",
+                      page_size=4, max_total_tokens=512)
+    runner = ModelRunner(args)
+    mgr = LoRAManager(runner.model, runner.model_config, max_loras=2,
+                      max_rank=8, dtype=runner.model_config.dtype)
+    fut = mgr.load_async("bg", tiny_lora_dir)
+    slot = fut.result(timeout=120)
+    assert mgr.slot_of("bg") == slot
+    assert mgr.scalings[slot] == 2.0  # alpha 8 / r 4
