@@ -418,6 +418,18 @@ class DeepSeekV3Detector(BaseDetector):
         return ParseResult(pre.strip(), calls)
 
 
+class DeepSeekV31Detector(DeepSeekV3Detector):
+    """DeepSeek-V3.1 simplified markup (ref deepseekv31_detector.py):
+    <｜tool▁call▁begin｜>{name}<｜tool▁sep｜>{json args}<｜tool▁call▁end｜>
+    — no per-call type tag and no ```json fence (unlike V3/R1)."""
+
+    name = "deepseekv31"
+    _call_re = re.compile(
+        r"<｜tool▁call▁begin｜>(.*?)<｜tool▁sep｜>(.*?)<｜tool▁call▁end｜>",
+        re.DOTALL,
+    )
+
+
 class KimiK2Detector(BaseDetector):
     """Kimi K2 tool-call markup (ref kimik2_detector.py):
     <|tool_calls_section_begin|><|tool_call_begin|>functions.{name}:{i}
@@ -1410,7 +1422,7 @@ DETECTORS = {
     "mistral": MistralDetector,
     "json": JsonDetector,
     "deepseekv3": DeepSeekV3Detector,
-    "deepseekv31": DeepSeekV3Detector,
+    "deepseekv31": DeepSeekV31Detector,
     "kimi_k2": KimiK2Detector,
     "glm45": Glm4MoeDetector,
     "glm4_moe": Glm4MoeDetector,

@@ -238,3 +238,66 @@ def test_inkling_streaming_header_without_tool_frame():
         assert not calls
     texts.append(p.finish_stream())
     assert "".join(texts) == "x<|message_model|>assistant<|content_text|>hello"
+
+
+def test_deepseekv31_simplified_format():
+    """V3.1 drops the ```json fence (ref deepseekv31_detector.py)."""
+    import json as _json
+
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "get_weather", "parameters": {}}}]
+    p = FunctionCallParser(tools, "deepseekv31")
+    text = (
+        "ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_weather"
+        '<｜tool▁sep｜>{"city": "Paris"}<｜tool▁call▁end｜>'
+        "<｜tool▁calls▁end｜>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "ok"
+    assert len(calls) == 1 and calls[0].name == "get_weather"
+    assert _json.loads(calls[0].parameters) == {"city": "Paris"}
+
+
+def test_hermes_and_mimo_aliases():
+    """hermes = <tool_call>{json}</tool_call> (qwen25 wire format);
+    mimo = <function=..><parameter=..> (qwen3_coder wire format)."""
+    import json as _json
+
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "add", "parameters": {
+                  "type": "object",
+                  "properties": {"a": {"type": "integer"},
+                                 "b": {"type": "integer"}}}}}]
+    p = FunctionCallParser(tools, "hermes")
+    normal, calls = p.parse_non_stream(
+        'x<tool_call>{"name": "add", "arguments": {"a": 1, "b": 2}}'
+        "</tool_call>"
+    )
+    assert calls and calls[0].name == "add"
+    assert _json.loads(calls[0].parameters) == {"a": 1, "b": 2}
+
+    p = FunctionCallParser(tools, "mimo")
+    normal, calls = p.parse_non_stream(
+        "y<tool_call><function=add><parameter=a>1</parameter>"
+        "<parameter=b>2</parameter></function></tool_call>"
+    )
+    assert calls and calls[0].name == "add"
+    assert _json.loads(calls[0].parameters) == {"a": 1, "b": 2}
+
+
+def test_poolside_glm47_alias():
+    from sglang_tpu.function_call.parser import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "now", "parameters": {}}}]
+    for fam in ("poolside_v1", "glm47_moe"):
+        p = FunctionCallParser(tools, fam)
+        normal, calls = p.parse_non_stream(
+            "t<tool_call>now\n<arg_key>tz</arg_key>"
+            "<arg_value>utc</arg_value></tool_call>"
+        )
+        assert calls and calls[0].name == "now", fam
