@@ -12,9 +12,17 @@ from sglang_tpu.lang.api import (
     function,
     gen,
     gen_int,
+    image,
+    run_parallel,
     select,
     set_default_backend,
     system,
     user,
+    video,
 )
-from sglang_tpu.lang.backends import EngineBackend, RuntimeEndpoint
+from sglang_tpu.lang.backends import (
+    AnthropicBackend,
+    EngineBackend,
+    OpenAIBackend,
+    RuntimeEndpoint,
+)

@@ -42,6 +42,30 @@ class Select:
 
 
 @dataclasses.dataclass
+class Image:
+    """Multimodal prompt item (ref lang/api.py image): any image_data form
+    the server accepts (path/URL/base64/PIL/np)."""
+
+    def __init__(self, data):
+        self.data = data
+
+
+class Video:
+    """Video prompt item (ref lang/api.py video): frames list / np array /
+    {"frames": [...]} — see GenerateReqInput.video_data."""
+
+    def __init__(self, data):
+        self.data = data
+
+
+def image(data) -> "Image":
+    return Image(data)
+
+
+def video(data) -> "Video":
+    return Video(data)
+
+
 class RoleBegin:
     role: str
 
@@ -99,8 +123,29 @@ class ProgramState:
         self.text_parts: List[str] = []
         self.messages: List[Dict[str, str]] = []
         self.variables: Dict[str, Any] = {}
+        self.images: List[Any] = []
+        self.videos: List[Any] = []
         self._role: Optional[str] = None
         self._role_buf: List[str] = []
+
+    def fork(self, n: int) -> List["ProgramState"]:
+        """n independent continuations sharing this prefix (ref
+        lang/interpreter.py fork): each fork gets a COPY of the state;
+        run them concurrently with `sgl.run_parallel` or any executor."""
+        import copy as _copy
+
+        out = []
+        for _ in range(n):
+            st = ProgramState(self.backend)
+            st.text_parts = list(self.text_parts)
+            st.messages = _copy.deepcopy(self.messages)
+            st.variables = dict(self.variables)
+            st.images = list(self.images)
+            st.videos = list(self.videos)
+            st._role = self._role
+            st._role_buf = list(self._role_buf)
+            out.append(st)
+        return out
 
     # state += fragment
     def __iadd__(self, other):
@@ -111,15 +156,25 @@ class ProgramState:
         if isinstance(item, str):
             self._emit(item)
         elif isinstance(item, Gen):
-            out = self.backend.generate(self._prompt(), item)
+            out = self.backend.generate(self._prompt(), item,
+                                        images=self.images or None,
+                                        videos=self.videos or None)
             if item.name:
                 self.variables[item.name] = out
             self._emit(out)
+        elif isinstance(item, Image):
+            self.images.append(item.data)
+            self._emit("<image>")
+        elif isinstance(item, Video):
+            self.videos.append(item.data)
+            self._emit("<video>")
         elif isinstance(item, Select):
             pattern = "(" + "|".join(re.escape(c) for c in item.choices) + ")"
             out = self.backend.generate(
                 self._prompt(),
                 Gen(max_tokens=64, temperature=0.0, regex=pattern),
+                images=self.images or None,
+                videos=self.videos or None,
             )
             if item.name:
                 self.variables[item.name] = out
@@ -173,8 +228,18 @@ class SglFunction:
         self.fn(state, *args, **kwargs)
         return state
 
-    def run_batch(self, arg_list: List[Dict], backend=None) -> List[ProgramState]:
-        return [self.run(backend=backend, **args) for args in arg_list]
+    def run_batch(self, arg_list: List[Dict], backend=None,
+                  num_threads: int = 8) -> List[ProgramState]:
+        """Run many program instances CONCURRENTLY (ref lang run_batch:
+        threads drive the interpreter so the server batches them)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(arg_list) <= 1:
+            return [self.run(backend=backend, **args) for args in arg_list]
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            futs = [pool.submit(self.run, backend=backend, **args)
+                    for args in arg_list]
+            return [f.result() for f in futs]
 
     def __call__(self, *args, **kwargs):
         return self.run(*args, **kwargs)
@@ -182,3 +247,16 @@ class SglFunction:
 
 def function(fn: Callable) -> SglFunction:
     return SglFunction(fn)
+
+
+def run_parallel(fns_and_states, num_threads: int = 8):
+    """Drive forked continuations concurrently: items are (callable,
+    state) pairs; each callable mutates its state (ref interpreter
+    fork/join). Returns the states in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        futs = [pool.submit(fn, st) for fn, st in fns_and_states]
+        for f in futs:
+            f.result()
+    return [st for _, st in fns_and_states]
