@@ -133,11 +133,18 @@ class EagleWorker:
 
     # ------------------------------------------------------------- plumbing
     def _extend_impl(self, dparams, tparams, kv, fb, aux,
-                     want_tokens: bool = True, topk: int = 0):
+                     logit_rows=None, want_tokens: bool = True,
+                     topk: int = 0):
         hidden, kv = self.model(dparams, fb, kv, self.backend, aux)
         if not want_tokens and not topk:
             return kv, None, hidden
-        logits = self.target.model.compute_logits(tparams, hidden).astype(
+        # Draft levels extend 1-2 REAL tokens per sequence but pad each
+        # segment to the 16-row extend alignment; the 128k-vocab head over
+        # every padded row was ~270 GFLOP/level of pure waste (PERF_NOTES
+        # r3 "Tree-speculation round cost"). Gather the real frontier rows
+        # first: the head and top-k run on B*w rows instead of B*16.
+        sel = hidden if logit_rows is None else hidden[logit_rows]
+        logits = self.target.model.compute_logits(tparams, sel).astype(
             jnp.float32
         )
         if topk:
@@ -149,7 +156,8 @@ class EagleWorker:
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return kv, tokens, hidden
 
-    def _run_extend(self, seq_inputs, aux, want_tokens=True, topk=0):
+    def _run_extend(self, seq_inputs, aux, want_tokens=True, topk=0,
+                    logit_rows=None):
         fb = build_forward_batch(
             seq_inputs, self.page_size, ForwardMode.EXTEND, align=16,
         )
@@ -159,6 +167,8 @@ class EagleWorker:
             aux = jnp.concatenate([aux, pad], axis=0)
         kv, tokens, hidden = self._extend(
             self.params, self.target.params, self.kv_pool.kv, fb, aux,
+            logit_rows=(None if logit_rows is None
+                        else jnp.asarray(logit_rows, jnp.int32)),
             want_tokens=want_tokens, topk=topk,
         )
         self.kv_pool.swap(kv)
@@ -311,8 +321,16 @@ class EagleWorker:
                         slot_base=p + first_id,
                     )
                 )
+            # head/top-k on the REAL frontier rows only (compact output:
+            # row i*w + j = sequence i, frontier offset j)
+            segs = []
+            off = 0
+            for si in seq_inputs:
+                segs.extend(off + j for j in range(w))
+                off += 16 * ((len(si.new_token_ids) + 15) // 16)
             return self._run_extend(
-                seq_inputs, frontier_rows_aux, want_tokens=False, topk=K
+                seq_inputs, frontier_rows_aux, want_tokens=False, topk=K,
+                logit_rows=segs,
             )
 
         # --- root forward ---
@@ -325,10 +343,12 @@ class EagleWorker:
                                       jnp.float32))
         aux = jnp.concatenate(aux_rows, axis=0)
         (lp_d, idx_d), hidden, seg = run_level(0, aux)
-        lp_np = np.asarray(lp_d)
+        lp_np = np.asarray(lp_d)  # COMPACT rows: [B*w, K]
         idx_np = np.asarray(idx_d)
         # node -> hidden row (in the LAST extend that computed it)
         node_row = {r.rid: {0: int(seg[i])} for i, r in enumerate(active)}
+        # node -> compact logits row of the extend that computed it
+        lp_row = {r.rid: {0: i} for i, r in enumerate(active)}
 
         for level in range(1, self.steps + 1):
             # children of the previous frontier
@@ -336,14 +356,14 @@ class EagleWorker:
                 rid = r.rid
                 n0 = len(tokens[rid])
                 if level == 1:
-                    cand = [(float(lp_np[node_row[rid][0], j]),
-                             int(idx_np[node_row[rid][0], j]), 0)
+                    cand = [(float(lp_np[lp_row[rid][0], j]),
+                             int(idx_np[lp_row[rid][0], j]), 0)
                             for j in range(K)]
                 else:
                     cand = []
                     first = 1 + (level - 2) * K
                     for fi in range(first, first + K):
-                        rrow = node_row[rid][fi]
+                        rrow = lp_row[rid][fi]
                         for j in range(K):
                             cand.append((
                                 scores[rid][fi] + float(lp_np[rrow, j]),
@@ -386,6 +406,7 @@ class EagleWorker:
             for i, r in enumerate(active):
                 for j in range(K):
                     node_row[r.rid][first_id + j] = int(seg[i]) + j
+                    lp_row[r.rid][first_id + j] = i * K + j
         # --- prune to tree_size and emit TreeDrafts ---
         keep = self.tree_size - 1
         pos_of = {r.rid: i for i, r in enumerate(reqs)}
@@ -458,13 +479,14 @@ class EagleWorker:
                 aux_rows.append(jnp.zeros((15, aux_bank.shape[1]),
                                           aux_bank.dtype))
             aux = jnp.concatenate(aux_rows, axis=0)
+            starts_lr = [16 * i for i in range(len(active))]
             tokens_dev, hidden_dev, seg = self._run_extend(
-                batch, aux, want_tokens=True
+                batch, aux, want_tokens=True, logit_rows=starts_lr
             )
-            tokens = np.asarray(tokens_dev)
+            tokens = np.asarray(tokens_dev)  # compact [B]
             starts = [int(seg[i]) for i in range(len(active))]
             for i, req in enumerate(active):
-                tok = int(tokens[starts[i]])
+                tok = int(tokens[i])
                 drafts[req.rid].append(tok)
                 current[req.rid] = tok
             aux_bank = hidden_dev[jnp.asarray(starts, jnp.int32)].astype(
