@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Two configs run back to back (dummy weights — no checkpoints in the image):
 
   8b — Llama-3-8B shape (the NORTH STAR: BASELINE.md row 1's 3800 tok/s
-       CI gate is 8B-class on a 32 GB GPU). int8 weights (~8 GB — bf16's
-       16 GB does not fit this 16 GB chip; weight streaming halves, which
-       is what decode is bound by anyway) + fp8 KV, 128 concurrent
+       CI gate is 8B-class on a 32 GB GPU). int4 weights (~5.6 GB —
+       bf16's 16 GB does not fit this 16 GB chip) + bf16 KV (the fp8
+       pools' int32-unpack lowering costs more than the halved gather
+       saves at 8B shapes — PERF_NOTES round 4), 128 concurrent
        requests, 512-token prompts, 128 output tokens.
   1b — Llama-3.2-1B shape, bf16 weights, 256 requests (the round-1/2
        trend metric, kept for continuity with PERF_NOTES.md).
@@ -32,13 +33,13 @@ CONFIGS = {
         vocab_size=128256, hidden_size=2048, num_hidden_layers=16,
         num_attention_heads=32, num_key_value_heads=8, head_dim=64,
         intermediate_size=8192, n_reqs=256, quantization=None,
-        max_total_tokens=262144,
+        max_total_tokens=262144, kv_dtype="fp8_e5m2",
     ),
     "8b": dict(
         vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
         num_attention_heads=32, num_key_value_heads=8, head_dim=128,
-        intermediate_size=14336, n_reqs=128, quantization="int8",
-        max_total_tokens=98304,
+        intermediate_size=14336, n_reqs=128, quantization="int4",
+        max_total_tokens=66560, kv_dtype="auto",
     ),
 }
 
@@ -83,10 +84,11 @@ def run_config(name: str) -> float:
         chunked_prefill_size=8192,
         random_seed=0,
         quantization=cfg["quantization"],
-        # fp8 KV is the production-recommended config on this hardware
-        # (+16% decode; exact-byte storage, see PERF_NOTES.md). Override
-        # with BENCH_KV_DTYPE=auto for the bf16 comparison run.
-        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "fp8_e5m2"),
+        # Per-config KV dtype: the 1B keeps fp8 (its measured +16% win);
+        # the 8B runs bf16 KV — at hd=128 shapes the fp8 unpack lowering
+        # costs ~105 ms/step, far more than the halved gather saves
+        # (PERF_NOTES round 4). Override with BENCH_KV_DTYPE for A/B.
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", cfg["kv_dtype"]),
     )
     runner = ModelRunner(args, model_config=config)
     core = ScheduleCore(args, runner)
