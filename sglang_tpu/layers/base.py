@@ -77,29 +77,10 @@ def materialize_param(name: str, spec: ParamSpec, arr, mesh_ctx=None) -> Dict[st
     quantizing when the spec asks for it."""
 
     def put(a, pspec):
-        import ml_dtypes
-        import numpy as np
-
-        sharding = (
-            jax.sharding.NamedSharding(mesh_ctx.mesh, pspec)
-            if mesh_ctx is not None else None
-        )
-        if getattr(a, "dtype", None) == ml_dtypes.int4:
-            # S4 host->device transfers break through the tunneled-TPU
-            # path (PJRT layout recursion); upload the nibble values as
-            # int8 and convert on device — the transient int8 copy is
-            # freed right after load.
-            a8 = np.asarray(a).astype(np.int8)
-            dev = (
-                jax.device_put(a8, sharding)
-                if sharding is not None else jnp.asarray(a8)
+        if mesh_ctx is not None:
+            return jax.device_put(
+                a, jax.sharding.NamedSharding(mesh_ctx.mesh, pspec)
             )
-            conv = jax.jit(
-                lambda t: t.astype(jnp.int4), out_shardings=sharding
-            )
-            return conv(dev)
-        if sharding is not None:
-            return jax.device_put(a, sharding)
         return jnp.asarray(a)
 
     return {

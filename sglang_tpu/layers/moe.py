@@ -238,6 +238,11 @@ class FusedMoE:
         if self.quant:
             s_gu = params[join(prefix, "w_gate_up/qscale")]  # [E, 2, I]
             s_dn = params[join(prefix, "w_down/qscale")]  # [E, H]
+            if self.quant == "int4":
+                from sglang_tpu.quantization import unpack_int4
+
+                w_gu = unpack_int4(w_gu, 1)
+                w_dn = unpack_int4(w_dn, 1)
             w_gu = w_gu.astype(dtype) * s_gu[:, None].astype(dtype)
             w_dn = w_dn.astype(dtype) * s_dn[:, None].astype(dtype)
         return w_gu, w_dn

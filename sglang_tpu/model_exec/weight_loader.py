@@ -203,9 +203,18 @@ def update_params_from_named_tensors(
                 # np.asarray of a device buffer is read-only — copy.
                 spec = specs[pname]
                 if spec.quant_method:
-                    # Dequantize the stored int8/fp8 weight back to float so
-                    # slot updates compose, then requantize on materialize.
-                    qw = np.array(params[pname], dtype=np.float32, copy=True)
+                    # Dequantize the stored quantized weight back to float
+                    # so slot updates compose, then requantize on
+                    # materialize.
+                    if spec.quant_method == "int4":
+                        from sglang_tpu.quantization import unpack_int4
+
+                        qw = unpack_int4(
+                            np.asarray(params[pname]), spec.quant_axes[0]
+                        ).astype(np.float32)
+                    else:
+                        qw = np.array(params[pname], dtype=np.float32,
+                                      copy=True)
                     scale = np.asarray(params[pname + "/qscale"], np.float32)
                     touched[pname] = qw * np.expand_dims(
                         scale, spec.quant_axes

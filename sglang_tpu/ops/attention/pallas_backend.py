@@ -118,10 +118,28 @@ class PallasBackend(AttentionBackend):
             # shard-local only.
             return write_kv_xla(kv_layer, k, v, fb.out_cache_loc, ps)
         if self.kv_quant:
+            import os as _os
+
             from sglang_tpu.ops.quant_kv import pack_f8
 
             kr = pack_f8(k.reshape(T, -1), self.num_kv_heads, self.kv_quant)
             vr = pack_f8(v.reshape(T, -1), self.num_kv_heads, self.kv_quant)
+            if _os.environ.get("SGLANG_TPU_QUANT_WRITE", "scatter") == "scatter":
+                # Default: XLA scatter. The Pallas row-DMA kernel needs the
+                # pool viewed as [NP, ps, g, 128] (tile-legal row units),
+                # and THAT reshape makes XLA relayout the ENTIRE pool
+                # T(8,128)->T(2,128) before the kernel and back after —
+                # measured 37.6 ms/step at 8B bs=128 (two 100 MB pool
+                # relayouts x 31 layers; PERF_NOTES round 4). A donated
+                # in-place scatter of the [T, lanes] i32 rows has no such
+                # bracket. The kernel stays selectable for A/B
+                # (SGLANG_TPU_QUANT_WRITE=pallas).
+                pages = fb.out_cache_loc // ps
+                offs = fb.out_cache_loc % ps
+                return (
+                    kv_layer[0].at[pages, offs].set(kr),
+                    kv_layer[1].at[pages, offs].set(vr),
+                )
             return write_kv_pages(
                 kv_layer[0], kv_layer[1], kr, vr, fb.out_cache_loc,
                 page_size=ps,

@@ -10,12 +10,17 @@ or a true int8xint8->int32 MXU dot for the w8a8 path.
 Methods:
 - "int8"      — weight-only W8A16: int8 storage, bf16 math. Halves weight
                 HBM streaming; bit-identical activations path.
-- "int4"      — weight-only W4A16: native s4 storage (XLA packs two
-                nibbles per byte on TPU), bf16 math. Quarter the weight
-                bytes of bf16 — the capacity/streaming lever that lets an
-                8B model serve bs>=256 on a 16 GB chip. Ref analog:
-                AWQ/GPTQ-class int4 (srt/layers/quantization/awq/), minus
-                the zero-point/group machinery (symmetric per-channel).
+- "int4"      — weight-only W4A16: two nibbles packed per int8 byte
+                along the contraction axis (interleaved pairs, so
+                tp-sharded axes stay shard-local), bf16 math via a
+                two-dot formulation whose nibble shifts fuse into the
+                dot reads. Quarter the weight bytes of bf16 — the
+                capacity lever that lets an 8B model serve larger
+                batches on a 16 GB chip. (Native XLA s4 arrays break
+                the tunneled-TPU PJRT path, hence explicit packing.)
+                Ref analog: AWQ/GPTQ-class int4
+                (srt/layers/quantization/awq/), minus the zero-point /
+                group machinery (symmetric per-channel).
 - "fp8"       — weight-only: float8_e4m3fn storage, bf16 math.
 - "w8a8_int8" — int8 weights + dynamic per-token int8 activations; the
                 dot runs int8xint8->int32 (MXU-native on TPUs that
@@ -44,7 +49,7 @@ _QUANT_METHOD: Optional[str] = None
 
 WEIGHT_DTYPES = {
     "int8": jnp.int8,
-    "int4": jnp.int4,
+    "int4": jnp.int8,  # storage: nibble pairs packed per byte
     "w8a8_int8": jnp.int8,
     "fp8": jnp.float8_e4m3fn,
 }
@@ -85,14 +90,34 @@ def quantize_np(
     if method in ("int8", "w8a8_int8"):
         qw = np.clip(np.rint(q), -127, 127).astype(np.int8)
     elif method == "int4":
-        import ml_dtypes
-
-        qw = np.clip(np.rint(q), -7, 7).astype(ml_dtypes.int4)
+        q4 = np.clip(np.rint(q), -7, 7).astype(np.int8)
+        qw = pack_int4(q4, axes[0])
     else:
         import ml_dtypes
 
         qw = np.clip(q, -448, 448).astype(ml_dtypes.float8_e4m3fn)
     return qw, np.squeeze(scale, axis=axes)
+
+
+def pack_int4(q: np.ndarray, axis: int) -> np.ndarray:
+    """int8 values in [-7, 7] -> nibble-packed int8, halving `axis`.
+    Pairs are INTERLEAVED along the axis (2i, 2i+1 share a byte) so a
+    tp-sharded axis packs shard-locally for any even shard size."""
+    q = np.moveaxis(q, axis, 0)
+    assert q.shape[0] % 2 == 0, "int4 needs an even contraction dim"
+    lo, hi = q[0::2], q[1::2]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.int8)
+    return np.moveaxis(packed, 0, axis)
+
+
+def unpack_int4(p, axis: int):
+    """Packed int8 -> int8 with `axis` doubled (jnp or np arrays)."""
+    xp = jnp if isinstance(p, jax.Array) else np
+    p = xp.moveaxis(p, axis, 0)
+    lo = xp.right_shift(xp.left_shift(p, 4), 4)  # arithmetic: sign-extend
+    hi = xp.right_shift(p, 4)
+    out = xp.stack([lo, hi], axis=1).reshape((2 * p.shape[0],) + p.shape[1:])
+    return xp.moveaxis(out, 0, axis)
 
 
 def full_weight(params, name: str, dtype, axes: Tuple[int, ...] = (0,)):
@@ -102,6 +127,8 @@ def full_weight(params, name: str, dtype, axes: Tuple[int, ...] = (0,)):
     s = params.get(name + "/qscale")
     if s is None:
         return w
+    if _QUANT_METHOD == "int4":
+        w = unpack_int4(w, axes[0])
     return w.astype(dtype) * jnp.expand_dims(s, axes).astype(dtype)
 
 
@@ -129,6 +156,28 @@ def dequant_matmul(
         xs = xs.reshape(xs.shape[:-1] + (1,) * (y.ndim - (x.ndim - 1)))
         out = y * xs.astype(jnp.float32) * scale
         return out.astype(x.dtype)
+    if method == "int4":
+        # Nibble-packed pairs along the weight's contraction axis (0):
+        # two dots over the even/odd sub-weights; the shift/sign-extend
+        # chains fuse into the dot operand reads like the int8 astype.
+        (xc,), (wc,) = dimension_numbers[0]
+        assert wc == 0 and xc == x.ndim - 1, (
+            "int4 dequant_matmul expects contraction on w-axis 0 / "
+            "x's last axis"
+        )
+        lo = jnp.right_shift(jnp.left_shift(qweight, 4), 4)
+        hi = jnp.right_shift(qweight, 4)
+        xp = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
+        y = jax.lax.dot_general(
+            xp[..., 0], lo.astype(x.dtype),
+            dimension_numbers=dimension_numbers,
+            preferred_element_type=x.dtype,
+        ) + jax.lax.dot_general(
+            xp[..., 1], hi.astype(x.dtype),
+            dimension_numbers=dimension_numbers,
+            preferred_element_type=x.dtype,
+        )
+        return y * scale.astype(x.dtype)
     # Weight-only: dequant folds into the dot's weight read.
     y = jax.lax.dot_general(
         x, qweight.astype(x.dtype), dimension_numbers=dimension_numbers,

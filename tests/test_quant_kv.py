@@ -201,3 +201,4 @@ def test_fp8_native_pool_matches_packed(tiny_llama_dir, monkeypatch):
         np.asarray(packed_req.output_logprobs, np.float32),
         rtol=2e-4, atol=2e-5,
     )
+

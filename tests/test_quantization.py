@@ -146,15 +146,23 @@ def test_int4_matmul_and_storage():
     w = rng.standard_normal((128, 64)).astype(np.float32)
     x = rng.standard_normal((4, 128)).astype(np.float32)
     qw, scale = quantize_np(w, "int4", (0,))
-    import ml_dtypes
-
-    assert qw.dtype == ml_dtypes.int4 and scale.shape == (64,)
-    jq = jnp.asarray(qw)
-    assert jq.dtype == jnp.int4
+    assert qw.dtype == np.int8 and qw.shape == (64, 64)  # axis 0 halved
+    assert scale.shape == (64,)
     y = np.asarray(
-        dequant_matmul(jnp.asarray(x), jq, jnp.asarray(scale), "int4")
+        dequant_matmul(jnp.asarray(x), jnp.asarray(qw),
+                       jnp.asarray(scale), "int4")
     )
     # exact vs the dequantized-weight matmul (the quant error itself is
     # the grid step; the MATMUL must be exact against the stored nibbles)
-    ref = x @ (qw.astype(np.float32) * scale[None, :])
+    from sglang_tpu.quantization import unpack_int4
+
+    wq = unpack_int4(qw, 0).astype(np.float32)
+    ref = x @ (wq * scale[None, :])
     np.testing.assert_allclose(y, ref, rtol=2e-3, atol=2e-3)
+    # pack/unpack roundtrip is exact
+    np.testing.assert_array_equal(
+        unpack_int4(qw, 0),
+        np.clip(np.rint(w / np.maximum(
+            np.abs(w).max(0, keepdims=True) / 7.0, 1e-8)), -7, 7
+        ).astype(np.int8),
+    )
