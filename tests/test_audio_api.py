@@ -93,7 +93,7 @@ def server(audio_model_dir, tmp_path_factory):
         env=env, stdout=log_f, stderr=subprocess.STDOUT,
     )
     base = f"http://127.0.0.1:{port}"
-    deadline = time.time() + 300
+    deadline = time.time() + 480  # xdist load starves boots
     while time.time() < deadline:
         try:
             if requests.get(base + "/health", timeout=2).status_code == 200:
@@ -109,7 +109,11 @@ def server(audio_model_dir, tmp_path_factory):
         raise TimeoutError("server did not become healthy")
     yield base
     proc.terminate()
-    proc.wait(timeout=10)
+    try:
+        proc.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait(timeout=30)
     log_f.close()
 
 

@@ -60,7 +60,7 @@ def test_sidecar_spawn_and_stop(sidecar_module):
         watch=False,  # the real watchdog SIGTERMs the server (and pytest)
     )
     out = os.environ["SIDECAR_OUT"]
-    deadline = time.time() + 60
+    deadline = time.time() + 240  # xdist load starves boots
     while not os.path.exists(out):
         assert time.time() < deadline, "sidecar never wrote output"
         assert sc.proc.is_alive() or sc.proc.exitcode is None or \
