@@ -43,6 +43,11 @@ class ParamSpec:
     # carry E logical experts but the physical array holds P = E + R
     # slots; the hook replicates the initial replica rows (layers/moe.py).
     post_load: Any = None  # Optional[Callable[[np.ndarray], np.ndarray]]
+    # Per-leading-slice RNG names for stacked params (PP's layers_stacked):
+    # dummy init draws each slice with its ORIGINAL per-layer name so a
+    # stacked program gets the SAME dummy weights as the unstacked model
+    # (required for n-device vs 1-device parity checks).
+    dummy_names: Any = None  # Optional[Tuple[str, ...]]
 
 
 SpecTree = Dict[str, ParamSpec]
@@ -100,10 +105,19 @@ def init_dummy_params(
 
     Deterministic per param name so TP shards agree across hosts.
     """
+    def dense_draw(name, shape, init_scale):
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
+        )
+        return jax.random.normal(key, shape, jnp.float32) * init_scale
+
     params: Params = {}
     for name, spec in sorted(specs.items()):
         if spec.init_value is not None:
             arr = jnp.asarray(spec.init_value, spec.dtype)
+            if arr.shape != tuple(spec.shape):
+                # e.g. a per-layer init_value on a PP-stacked spec
+                arr = jnp.broadcast_to(arr, spec.shape)
             if mesh_ctx is not None:
                 arr = jax.device_put(
                     arr, jax.sharding.NamedSharding(mesh_ctx.mesh, spec.spec)
@@ -134,10 +148,15 @@ def init_dummy_params(
                 arr_np = spec.post_load(arr_np)
             params.update(materialize_param(name, spec, arr_np, mesh_ctx))
             continue
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(seed), hash(name) & 0x7FFFFFFF
-        )
-        arr = jax.random.normal(key, spec.shape, jnp.float32) * spec.init_scale
+        if spec.dummy_names is not None:
+            # Stacked param (PP): draw each slice with its per-layer name
+            # so stacked and unstacked programs share dummy weights.
+            arr = jnp.stack([
+                dense_draw(n, spec.shape[1:], spec.init_scale)
+                for n in spec.dummy_names
+            ])
+        else:
+            arr = dense_draw(name, spec.shape, spec.init_scale)
         arr = arr.astype(spec.dtype)
         if mesh_ctx is not None:
             arr = jax.device_put(

@@ -27,9 +27,17 @@ class LayerNorm:
         self.plus_one = plus_one
 
     def specs(self, prefix: str) -> SpecTree:
+        # Dummy-load init: plain norms get weight=1 (plus_one variants get
+        # 0, which is effectively 1) so dummy-weight runs produce
+        # non-degenerate logits — a zero norm weight would collapse every
+        # hidden state (and make dryrun parity checks vacuous).
+        import numpy as _np
+
+        w_init = None if self.plus_one else _np.ones(self.size, _np.float32)
         s = {
             join(prefix, "weight"): ParamSpec(
-                (self.size,), self.dtype, P(), init_scale=0.0
+                (self.size,), self.dtype, P(), init_scale=0.0,
+                init_value=w_init,
             ),
         }
         if self.bias:
@@ -60,9 +68,17 @@ class RMSNorm:
         self.gemma_style = gemma_style
 
     def specs(self, prefix: str) -> SpecTree:
+        # See LayerNorm.specs: dummy init 1 for plain RMSNorm, 0 for
+        # gemma_style (whose effective weight is w + 1).
+        import numpy as _np
+
+        w_init = (
+            None if self.gemma_style else _np.ones(self.size, _np.float32)
+        )
         return {
             join(prefix, "weight"): ParamSpec(
-                (self.size,), self.dtype, P(), init_scale=0.0
+                (self.size,), self.dtype, P(), init_scale=0.0,
+                init_value=w_init,
             )
         }
 

@@ -105,6 +105,11 @@ class PipelinedModel:
                 P(AXIS_PP, *sp.spec),
                 init_scale=sp.init_scale,
                 init_value=sp.init_value,
+                # dummy loads draw each layer slice with its per-layer
+                # name: stacked == unstacked weights (parity checks).
+                dummy_names=tuple(
+                    f"layers/{l}/{suffix}" for l in range(self.L)
+                ),
             )
         return s
 
