@@ -34,6 +34,12 @@ from sglang_tpu.ops.attention.pallas_kernels import (
 from sglang_tpu.parallel.mesh import AXIS_TP, get_mesh_context
 
 
+def _extend_v2_enabled() -> bool:
+    import os
+
+    return os.environ.get("SGLANG_TPU_EXTEND_KERNEL", "v2") == "v2"
+
+
 @register_attention_backend("pallas")
 class PallasBackend(AttentionBackend):
     """Hybrid production backend.
@@ -262,6 +268,55 @@ class PallasBackend(AttentionBackend):
         scale = scale or self.scale
         ps, hd = self.page_size, self.head_dim
         T, nq, _ = q.shape
+        fh_lanes = (self.num_kv_heads * hd) // 2
+        if (not self.kv_quant and _extend_v2_enabled()
+                and fh_lanes % 128 == 0):
+            # (fh must be lane-aligned: the windowed DMA slices the pool's
+            # trailing [2, fh] as one 2*fh lane group; Mosaic requires 128.)
+            # v2: window-buffered KV + group-folded MXU dots (25 -> ~2
+            # ms/layer at 8B bench shapes; see pallas_kernels.py). Falls
+            # back to v1 for quantized pools (packed int32 rows).
+            from sglang_tpu.ops.attention.pallas_kernels import (
+                paged_extend_attention_v2,
+            )
+
+            tp = self._tp_size()
+            if tp > 1 and self._shardable(tp):
+                spec = self._kv_spec(tp)
+                qb = q.reshape(T, 2, (nq // 2), hd)
+
+                def local_v2(qs, kps, vps, pt, sl, pfl, qls, bseq, bqoff):
+                    nk_local = 2 * kps.shape[-1] // hd
+                    return paged_extend_attention_v2(
+                        qs.reshape(T, -1, hd), kps, vps, pt, sl, pfl, qls,
+                        bseq, bqoff, scale=scale, page_size=ps,
+                        num_kv_heads=nk_local, block_q=fb.extend_align,
+                        window=int(window or 0),
+                        logit_cap=float(logit_cap or 0.0),
+                    ).reshape(T, 2, -1, hd)
+
+                out = jax.shard_map(
+                    local_v2,
+                    mesh=get_mesh_context().mesh,
+                    in_specs=(
+                        P(None, None, AXIS_TP, None), spec, spec,
+                        P(), P(), P(), P(), P(), P(),
+                    ),
+                    out_specs=P(None, None, AXIS_TP, None),
+                    check_vma=False,
+                )(
+                    qb, kv_layer[0], kv_layer[1], fb.page_table,
+                    fb.seq_lens, fb.prefix_lens, fb.q_lens, fb.block_seq,
+                    fb.block_q_off,
+                )
+                return out.reshape(T, nq, hd)
+            return paged_extend_attention_v2(
+                q, kv_layer[0], kv_layer[1], fb.page_table, fb.seq_lens,
+                fb.prefix_lens, fb.q_lens, fb.block_seq, fb.block_q_off,
+                scale=scale, page_size=ps, num_kv_heads=self.num_kv_heads,
+                block_q=fb.extend_align, window=int(window or 0),
+                logit_cap=float(logit_cap or 0.0),
+            )
         q_folded = q.reshape(T, nq * hd)
         block_q = fb.extend_align
 

@@ -435,6 +435,285 @@ def _extend_kernel(
         o_ref[:, h * hd : (h + 1) * hd] = out.astype(o_ref.dtype)
 
 
+# --------------------------------------------------------------------------
+# Ragged prefill v2: window-buffered KV + group-folded per-kv-head MXU dots.
+#
+# Why v1 was slow (8B bench trace, round 5): 25 ms/layer/chunk — per-PAGE
+# DMA trips re-fetched every page for every 64-token q block (O(blocks x
+# pages) page fetches) and the inner loop issued 32 tiny [64,128]x[128,64]
+# dots per page (one per q head), starving the MXU and drowning in per-op
+# overhead. v2 restructures:
+#   - KV arrives in WINDOWS of up to KVW pages DMA'd into one contiguous
+#     VMEM buffer [KVW*ps, 2, FH]; an SMEM signature (seq, window, npages)
+#     skips re-fetching pages already resident from the previous grid step
+#     (the grid is sequential on TPU, scratch persists) — consecutive q
+#     blocks of the same sequence reuse the window.
+#   - Scores are ONE 2-D dot per kv head per window: q arrives pre-arranged
+#     head-major [nk, T*group, hd] so q_ref[kh] is already the 2-D
+#     [BQ*group, hd] MXU operand, and the window buffer's head slice
+#     [KVW*ps, hd] is 2-D by construction (no value reshapes, which this
+#     Mosaic build rejects).
+# bf16 pools only; quantized pools stay on v1 (packed int32 rows).
+# --------------------------------------------------------------------------
+
+KVW = 8  # pages per KV window (VMEM: 2 pools * KVW * ps * F bytes)
+
+
+def _extend_kernel_v2(
+    # scalar prefetch
+    page_table_ref,  # [B, P]
+    seq_lens_ref,  # [B]
+    prefix_lens_ref,  # [B]
+    q_lens_ref,  # [B]
+    block_seq_ref,  # [NB]
+    block_q_off_ref,  # [NB]
+    # inputs
+    q_ref,  # [nk, BQ*group, hd] VMEM block (head-major fold)
+    k_pages_hbm,  # [NP, ps, 2, FH] ANY
+    v_pages_hbm,
+    # outputs
+    o_ref,  # [nk, BQ*group, hd]
+    # scratch
+    k_win,  # [KVW*ps, 2, FH] VMEM
+    v_win,
+    sems,  # [2*KVW] DMA sems
+    loaded,  # SMEM [4]: seq, window, npages_loaded, <pad>
+    *,
+    scale: float,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    block_q: int,
+    group: int,
+    window: int = 0,
+    logit_cap: float = 0.0,
+):
+    i = pl.program_id(0)
+    b = block_seq_ref[i]
+    q_start = block_q_off_ref[i]
+    prefix = prefix_lens_ref[b]
+    q_len = q_lens_ref[b]
+    seq_len = seq_lens_ref[b]
+    ps = page_size
+    hd = head_dim
+    nk = num_kv_heads
+    fh = k_pages_hbm.shape[-1]
+    rows = block_q * group
+    block_active = q_start < q_len
+
+    @pl.when(i == 0)
+    def _():
+        loaded[0] = -1
+        loaded[1] = -1
+        loaded[2] = 0
+        # Zero the window buffers: rows beyond a window's fetched pages are
+        # read (then masked) by the full-window dots — the masked
+        # probability is 0, but 0 * uninitialized would still poison the
+        # accumulator if the stale memory held a NaN.
+        k_win[...] = jnp.zeros_like(k_win)
+        v_win[...] = jnp.zeros_like(v_win)
+
+    # Pages this block attends: 0 .. ceil(min(prefix + q_end, seq)/ps).
+    q_end_abs = prefix + jnp.minimum(q_start + block_q, q_len)
+    num_pages = jnp.where(
+        block_active, pl.cdiv(jnp.minimum(q_end_abs, seq_len), ps), 0
+    )
+    num_wins = pl.cdiv(num_pages, KVW)
+    # Sliding-window attention never looks before this window index.
+    w_lo = (
+        jnp.maximum(prefix + q_start + 1 - window, 0) // (KVW * ps)
+        if window > 0 else 0
+    )
+
+    # q stays in its storage dtype: the MXU takes bf16 operands with f32
+    # accumulation for free, and f32 copies of q/k here blow the VMEM
+    # budget at 8B shapes. Scale is applied to the f32 scores.
+    q = q_ref[...]  # [nk, rows, hd]
+    # Absolute position of each folded row's token: row r -> token r//group.
+    row_pos = (
+        prefix + q_start
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // group
+    )
+
+    def run_window(w, carry):
+        ms, ls, accs = carry
+        win_pages = jnp.minimum(num_pages - w * KVW, KVW)
+
+        # Fetch the window's pages, skipping any already resident.
+        same = (loaded[0] == b) & (loaded[1] == w)
+        start_pg = jnp.where(same, loaded[2], 0)
+
+        def issue(j, _):
+            @pl.when((j >= start_pg) & (j < win_pages))
+            def _():
+                page = page_table_ref[b, w * KVW + j]
+                pltpu.make_async_copy(
+                    k_pages_hbm.at[page],
+                    k_win.at[pl.ds(j * ps, ps)],
+                    sems.at[2 * j],
+                ).start()
+                pltpu.make_async_copy(
+                    v_pages_hbm.at[page],
+                    v_win.at[pl.ds(j * ps, ps)],
+                    sems.at[2 * j + 1],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, KVW, issue, 0)
+
+        def wait(j, _):
+            @pl.when((j >= start_pg) & (j < win_pages))
+            def _():
+                pltpu.make_async_copy(
+                    k_pages_hbm.at[0], k_win.at[pl.ds(j * ps, ps)],
+                    sems.at[2 * j],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_pages_hbm.at[0], v_win.at[pl.ds(j * ps, ps)],
+                    sems.at[2 * j + 1],
+                ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, KVW, wait, 0)
+        loaded[0] = b
+        loaded[1] = w
+        loaded[2] = jnp.maximum(win_pages, jnp.where(same, loaded[2], 0))
+
+        N = KVW * ps
+        ctx_pos = w * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        valid = (ctx_pos <= row_pos) & (
+            ctx_pos < jnp.minimum(seq_len, (w * KVW + win_pages) * ps)
+        )
+        if window > 0:
+            valid &= ctx_pos > row_pos - window
+
+        new_ms, new_ls, new_accs = [], [], []
+        for kh in range(nk):
+            start = kh * hd
+            half, col = start // fh, start % fh
+            k_kh = k_win[:, half, col:col + hd]  # [N, hd] storage dtype
+            q_kh = q[kh]  # [rows, hd]
+            scores = jax.lax.dot_general(
+                q_kh, k_kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [rows, N]
+            if logit_cap > 0:
+                scores = jnp.tanh(scores / logit_cap) * logit_cap
+            scores = jnp.where(valid, scores, NEG_INF)
+            v_kh = v_win[:, half, col:col + hd]  # [N, hd] bf16
+            m2, l2, a2 = _online_update(
+                ms[kh], ls[kh], accs[kh], scores, v_kh
+            )
+            new_ms.append(m2)
+            new_ls.append(l2)
+            new_accs.append(a2)
+        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+    ms0 = tuple(jnp.full((rows, 1), NEG_INF, jnp.float32) for _ in range(nk))
+    ls0 = tuple(jnp.zeros((rows, 1), jnp.float32) for _ in range(nk))
+    accs0 = tuple(jnp.zeros((rows, hd), jnp.float32) for _ in range(nk))
+    ms, ls, accs = jax.lax.fori_loop(
+        w_lo, num_wins, run_window, (ms0, ls0, accs0)
+    )
+    for kh in range(nk):
+        out = accs[kh] / jnp.maximum(ls[kh], 1e-20)
+        o_ref[kh] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "page_size", "block_q", "num_kv_heads",
+                     "window", "logit_cap"),
+)
+def paged_extend_attention_v2(
+    q: jax.Array,  # [T, nq, hd] (T multiple of block_q; aligned segments)
+    k_pages: jax.Array,  # [NP, ps, 2, FH] bf16
+    v_pages: jax.Array,
+    page_table: jax.Array,  # [B, P]
+    seq_lens: jax.Array,  # [B]
+    prefix_lens: jax.Array,  # [B]
+    q_lens: jax.Array,  # [B]
+    block_seq: jax.Array,  # [T/block_q]
+    block_q_off: jax.Array,  # [T/block_q]
+    *,
+    scale: float,
+    page_size: int,
+    num_kv_heads: int,
+    block_q: int = 64,
+    window: int = 0,
+    logit_cap: float = 0.0,
+) -> jax.Array:
+    T, nq, hd = q.shape
+    _, ps, _, fh = k_pages.shape
+    assert 2 * fh == num_kv_heads * hd and T % block_q == 0
+    nk = num_kv_heads
+    group = nq // nk
+    # Head-major fold: [T, nk, group, hd] -> [nk, T*group, hd] so the
+    # kernel's per-head operand is a contiguous 2-D block.
+    qh = q.reshape(T, nk, group, hd).transpose(1, 0, 2, 3).reshape(
+        nk, T * group, hd
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(T // block_q,),
+        in_specs=[
+            pl.BlockSpec(
+                (nk, block_q * group, hd),
+                lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nk, block_q * group, hd),
+            lambda i, *_: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KVW * ps, 2, fh), k_pages.dtype),
+            pltpu.VMEM((KVW * ps, 2, fh), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2 * KVW,)),
+            pltpu.SMEM((4,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _extend_kernel_v2,
+        scale=scale,
+        page_size=page_size,
+        num_kv_heads=nk,
+        head_dim=hd,
+        block_q=block_q,
+        group=group,
+        window=window,
+        logit_cap=logit_cap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(
+        page_table,
+        seq_lens,
+        prefix_lens,
+        q_lens,
+        block_seq,
+        block_q_off,
+        qh,
+        k_pages,
+        v_pages,
+    )
+    # [nk, T*group, hd] -> [T, nq, hd]
+    return out.reshape(nk, T, group, hd).transpose(1, 0, 2, 3).reshape(
+        T, nq, hd
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "block_q", "num_kv_heads",

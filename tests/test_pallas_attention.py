@@ -144,3 +144,88 @@ def test_extend_kernel_matches_reference():
             out[seg_off[b] : seg_off[b] + ql], ref, rtol=2e-5, atol=2e-5,
             err_msg=f"seq {b}",
         )
+
+
+@pytest.mark.parametrize("window", [0, 48])
+def test_extend_kernel_v2_matches_reference(window):
+    """v2 (window-buffered KV + head-major folded dots) vs reference math,
+    including sequences spanning multiple KV windows (seq > KVW*ps) and
+    sliding-window attention."""
+    from sglang_tpu.ops.attention.pallas_kernels import (
+        KVW,
+        paged_extend_attention_v2,
+    )
+
+    rng = np.random.default_rng(2)
+    nq, nk, hd, ps = 8, 2, 64, 16
+    BQ = 64
+    B = 3
+    prefix_lens = np.array([0, 32, 170], np.int32)
+    q_lens = np.array([50, 64, 130], np.int32)
+    seq_lens = prefix_lens + q_lens  # seq 2 = 300 > KVW*ps = 256
+    assert int(seq_lens.max()) > KVW * ps
+    P = 32
+    NP = 128
+    k_pages, v_pages = make_pool(rng, NP, ps, nk, hd)
+    page_table = np.zeros((B, P), np.int32)
+    next_page = 1
+    for b in range(B):
+        n = -(-int(seq_lens[b]) // ps)
+        page_table[b, :n] = np.arange(next_page, next_page + n)
+        next_page += n
+
+    seg_off, off = [], 0
+    for b in range(B):
+        seg_off.append(off)
+        off += -(-int(q_lens[b]) // BQ) * BQ
+    T = off
+    NB = T // BQ
+    q = rng.standard_normal((T, nq, hd)).astype(np.float32)
+    block_seq = np.zeros(NB, np.int32)
+    block_q_off = np.zeros(NB, np.int32)
+    for b in range(B):
+        nb = -(-int(q_lens[b]) // BQ)
+        b0 = seg_off[b] // BQ
+        block_seq[b0 : b0 + nb] = b
+        block_q_off[b0 : b0 + nb] = np.arange(nb) * BQ
+
+    scale = hd**-0.5
+    out = np.asarray(
+        paged_extend_attention_v2(
+            jnp.asarray(q),
+            jnp.asarray(k_pages.reshape(NP, ps, 2, nk * hd // 2)),
+            jnp.asarray(v_pages.reshape(NP, ps, 2, nk * hd // 2)),
+            jnp.asarray(page_table),
+            jnp.asarray(seq_lens),
+            jnp.asarray(prefix_lens),
+            jnp.asarray(q_lens),
+            jnp.asarray(block_seq),
+            jnp.asarray(block_q_off),
+            scale=scale,
+            page_size=ps,
+            num_kv_heads=nk,
+            block_q=BQ,
+            window=window,
+        )
+    )
+
+    C = P * ps
+    ctx_pos = np.arange(C)
+    for b in range(B):
+        k_ctx = k_pages[page_table[b]].reshape(C, nk, hd)
+        v_ctx = v_pages[page_table[b]].reshape(C, nk, hd)
+        ql = int(q_lens[b])
+        qs = q[seg_off[b] : seg_off[b] + ql]
+        row_pos = prefix_lens[b] + np.arange(ql)
+        mask = ctx_pos[None, :] <= row_pos[:, None]
+        mask &= ctx_pos[None, :] < int(seq_lens[b])
+        if window:
+            mask &= ctx_pos[None, :] > row_pos[:, None] - window
+        ref = ref_attention(
+            qs, np.broadcast_to(k_ctx, (ql, C, nk, hd)),
+            np.broadcast_to(v_ctx, (ql, C, nk, hd)), scale, mask
+        )
+        np.testing.assert_allclose(
+            out[seg_off[b] : seg_off[b] + ql], ref, rtol=2e-5, atol=2e-5,
+            err_msg=f"seq {b} window={window}",
+        )
