@@ -85,6 +85,24 @@ def check_invariants(core) -> List[str]:
                     f"req {req.rid} cached pages not in tree: {missing[:8]}"
                 )
 
+    # Recurrent-state checkpoints (mem/state_ckpt.py): a checkpoint's tail
+    # page is its own ownership class — never free, tree-owned, or any
+    # request's own page.
+    ckpt = getattr(core, "state_ckpt", None)
+    if ckpt is not None:
+        for e in ckpt.by_node.values():
+            p = e.tail_page
+            if p is None:
+                continue
+            if p in free_set:
+                errs.append(f"ckpt tail page {p} is in the free list")
+            if tree_pages is not None and p in tree_pages:
+                errs.append(f"ckpt tail page {p} is tree-owned")
+            if p in own_owner:
+                errs.append(
+                    f"ckpt tail page {p} also owned by req {own_owner[p]}"
+                )
+
     # Hybrid SWA pool: swa pages are owned by the free list, the shadow
     # registry (tree-retained windows), or exactly one request's own slots.
     if getattr(core, "hybrid_swa", False):

@@ -117,8 +117,17 @@ class ScheduleCore:
         # Recurrent (SSM) models: states are not page-addressable, so
         # prefix caching / cascade / speculative verify are off.
         self.recurrent = bool(getattr(runner.model, "is_recurrent", False))
+        # Recurrent models: prefix reuse is legal only at state-checkpoint
+        # boundaries (mem/state_ckpt.py; ref mem_cache/mamba_radix_cache.py)
+        # — with checkpoint rows available the radix tree stays ON and
+        # anchors checkpoints; without them (or when the model bans prefix
+        # caching for non-state reasons) the tree is disabled.
+        use_state_ckpt = (
+            self.recurrent and getattr(runner, "state_ckpt_rows", 0) > 0
+        )
         if getattr(runner.model, "no_prefix_cache", False):
-            server_args.disable_radix_cache = True
+            if not use_state_ckpt:
+                server_args.disable_radix_cache = True
         if getattr(runner, "dcp_pool_sharded", False):
             # DCP memory sharding: a sequence's i-th page must land on
             # mesh shard i % n (mem/allocator.py DcpPageAllocator).
@@ -184,6 +193,11 @@ class ScheduleCore:
             self.kv_events = KVEventPublisher(server_args.kv_events_config)
 
         radix_cls = RadixCache
+        if use_state_ckpt:
+            # Checkpoints anchor to python TreeNodes (ancestor walks +
+            # per-node locks); the C++ tree's opaque handles can't host
+            # them.
+            server_args.radix_cache_impl = "python"
         if server_args.radix_cache_impl == "cpp":
             try:
                 from sglang_tpu.core.radix_cache_cpp import CppRadixCache
@@ -224,6 +238,14 @@ class ScheduleCore:
                 radix_alloc,
                 disable=False,
                 on_evict=on_evict,
+            )
+        self.state_ckpt = None
+        self._pending_state_saves: List[Tuple[Req, int]] = []
+        if use_state_ckpt and not server_args.disable_radix_cache:
+            from sglang_tpu.mem.state_ckpt import StateCheckpointRegistry
+
+            self.state_ckpt = StateCheckpointRegistry(
+                runner.state_ckpt_rows, runner, self.radix, self.allocator
             )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
         self.slots = ReqSlotPool(server_args.max_running_requests)
@@ -587,6 +609,8 @@ class ScheduleCore:
         if self.running or self.waiting or self.chunked_req or self.pending:
             return False
         self.radix.reset()
+        if self.state_ckpt is not None:
+            self.state_ckpt.reset()
         self.allocator.clear()
         if self.hybrid_swa:
             self.swa_shadow.map.clear()
@@ -752,6 +776,11 @@ class ScheduleCore:
                           hidden_idx=(np.asarray(fb.logits_indices)
                                       if want_hidden_api else None))
         )
+        if self._pending_state_saves:
+            # State-checkpoint saves queued by this batch's admission: the
+            # device copies must be enqueued AFTER the forward that
+            # computes the state being snapshotted (jit-stream order).
+            self._flush_state_saves()
         # Structural-tag rows attach their grammar mid-stream (on trigger) —
         # keep them host-synced like grammar rows so no step launches
         # between the trigger token and the mask attach, and never arm the
@@ -954,6 +983,10 @@ class ScheduleCore:
                 req._device_seq_len = req._fill_len  # last token KV pending
                 self.chunked_req = None
                 self.running.append(req)
+                if self.state_ckpt is not None:
+                    self._pending_state_saves.append(
+                        (req, req.prefill_progress)
+                    )
             return rows, seq_inputs
 
         if not self.waiting:
@@ -982,18 +1015,38 @@ class ScheduleCore:
             cached = min(mr.length, req._fill_len - 1)
             cached = (cached // self.page_size) * self.page_size
             cached = self._swa_clamp_match(mr, cached)
+            # Recurrent models: page hits alone are unusable (the SSM state
+            # at that position doesn't exist) — reuse happens only via a
+            # state checkpoint, whose exact (unaligned) position becomes
+            # the prefill start; its tail rows ride a copy-on-adopt page.
+            ckpt = ckpt_tail_page = None
+            if self.state_ckpt is not None:
+                ckpt = self.state_ckpt.lookup(
+                    mr, req.cache_ids, req._fill_len - 1
+                )
+                if ckpt is not None and ckpt.length > ckpt.aligned:
+                    ckpt_tail_page = self.state_ckpt.adopt_tail(ckpt)
+                    if ckpt_tail_page is None:
+                        ckpt = None  # no page for the tail -> cold run
+            if self.recurrent:
+                cached = 0 if ckpt is None else ckpt.aligned
+            start = cached if ckpt is None else ckpt.length
             npages_cached = cached // self.page_size
             req.cached_len = cached
-            req.cached_report = cached
-            req.prefill_progress = cached
+            req.cached_report = start
+            req.prefill_progress = start
             req.pages = list(mr.pages[:npages_cached])
             self._swa_adopt(req, mr, npages_cached)
             req.last_node = mr.node
             self.radix.inc_lock(mr.node)
             req.req_slot = slot
+            if ckpt is not None:
+                self.state_ckpt.restore(ckpt, slot)
+                if ckpt_tail_page is not None:
+                    req.pages.append(ckpt_tail_page)
 
-            q = min(req._fill_len - cached, budget)
-            target = cached + q
+            q = min(req._fill_len - start, budget)
+            target = start + q
             if not self._extend_pages(req, target):
                 self._evict_for(cdiv(target, self.page_size) - len(req.pages))
                 if not self._extend_pages(req, target):
@@ -1002,6 +1055,9 @@ class ScheduleCore:
                     self.slots.free(slot)
                     req.req_slot = None
                     self._swa_release(req, False, 0, 0, 0)
+                    if len(req.pages) > npages_cached:
+                        # req-owned pages (the adopted checkpoint tail)
+                        self.allocator.free(req.pages[npages_cached:])
                     req.pages = []
                     break
             is_final = target >= req._fill_len
@@ -1015,21 +1071,23 @@ class ScheduleCore:
             )
             seq_inputs.append(
                 SeqInput(
-                    req.all_ids[cached:target],
-                    cached,
+                    req.all_ids[start:target],
+                    start,
                     req.pages,
                     req_slot=req.req_slot if is_final else -1,
                     state_slot=req.req_slot,
                     swa_page_ids=req.swa_pages if self.hybrid_swa else None,
-                    **self._mrope_args(req, cached, target),
+                    **self._mrope_args(req, start, target),
                 )
             )
             req.prefill_progress = target
             req._device_seq_len = target
             self._cache_unfinished(req)
+            if self.state_ckpt is not None and is_final:
+                self._pending_state_saves.append((req, target))
             budget -= q
             self.num_prefill_tokens += q
-            self.num_cached_tokens += cached
+            self.num_cached_tokens += start
             if getattr(req, "cross_kv", None) is not None:
                 # Encoder-decoder: install cross-K/V at the (possibly new,
                 # after retraction) slot. Kept on the req for re-admission.
@@ -1805,6 +1863,63 @@ class ScheduleCore:
         req.cached_len = mlen
         req._pages_np = None
 
+    # ---- recurrent-state checkpoints (mem/state_ckpt.py) ----
+    def _flush_state_saves(self) -> None:
+        """Anchor queued checkpoints (called right after batch dispatch so
+        the device row copies land after the forward that computed them)."""
+        from sglang_tpu.mem.state_ckpt import _node_end
+
+        saves, self._pending_state_saves = self._pending_state_saves, []
+        for req, length in saves:
+            aligned = (length // self.page_size) * self.page_size
+            node = req.last_node
+            if (
+                aligned <= 0
+                or node is None
+                or req.req_slot is None
+                or _node_end(node) != aligned  # boundary moved (split race)
+            ):
+                continue
+            self.state_ckpt.save(
+                node,
+                req.req_slot,
+                aligned,
+                length,
+                req.cache_ids[aligned:length],
+                req.pages[aligned // self.page_size]
+                if length > aligned and len(req.pages) > aligned // self.page_size
+                else None,
+            )
+
+    def _try_finish_state_save(self, req: Req, kv_len: int) -> None:
+        """Snapshot a FINISHING request's state (multi-turn reuse: the next
+        turn's prompt extends this conversation). Skipped whenever a
+        dispatched-but-unprocessed step might still advance the state row
+        (its donated update would race the snapshot)."""
+        from sglang_tpu.mem.state_ckpt import _node_end
+
+        if self._resident is not None:
+            return  # device-side decode loop may step the slot invisibly
+        for pb in self.pending:
+            if any(row.req is req for row in pb.rows):
+                return
+        aligned = (kv_len // self.page_size) * self.page_size
+        if aligned <= 0 or req.req_slot is None:
+            return
+        mr = self.radix.match_prefix(req.cache_ids[:aligned])
+        if mr.length != aligned or _node_end(mr.node) != aligned:
+            return
+        self.state_ckpt.save(
+            mr.node,
+            req.req_slot,
+            aligned,
+            kv_len,
+            req.cache_ids[aligned:kv_len],
+            req.pages[aligned // self.page_size]
+            if kv_len > aligned and len(req.pages) > aligned // self.page_size
+            else None,
+        )
+
     # ---- memory helpers ----
     def _extend_pages(self, req: Req, target_tokens: int) -> bool:
         need = cdiv(target_tokens, self.page_size) - len(req.pages)
@@ -1925,7 +2040,17 @@ class ScheduleCore:
     def _evict_for(self, num_pages: int) -> int:
         if num_pages <= 0:
             return 0
-        return self.radix.evict(num_pages)
+        got = self.radix.evict(num_pages)
+        # Checkpoints lock their anchor nodes; under real pressure drop
+        # LRU checkpoints (unlocking subtrees + freeing tail pages) and
+        # retry — requests always outrank cached state.
+        while got < num_pages and self.state_ckpt is not None:
+            freed = self.allocator.available_pages()
+            if not self.state_ckpt.release_lru(1):
+                break
+            got += self.allocator.available_pages() - freed  # tail page
+            got += self.radix.evict(num_pages - got)
+        return got
 
     def _retract_one(self) -> Optional[Req]:
         """Kick the newest running request back to the waiting queue."""
@@ -1968,6 +2093,10 @@ class ScheduleCore:
                     req.cache_ids[:aligned], req.pages[:npages]
                 )
                 self._kv_insert_event(req.cache_ids[:aligned])
+                if self.state_ckpt is not None:
+                    # before the tail pages are freed below — the tail copy
+                    # (if taken) is enqueued on the device stream first
+                    self._try_finish_state_save(req, kv_len)
                 # free our duplicates in [cached_len, matched) and the tail
                 dup = req.pages[own_start : matched // ps]
                 tail = req.pages[npages:]

@@ -154,6 +154,8 @@ class ModelRunner:
         )
         logger.info("weights loaded in %.1fs", time.perf_counter() - t0)
 
+        self.state_ckpt_rows = 0  # recurrent models: see _init_kv_pool
+        self.state_pool_hybrid = False
         self._init_kv_pool()
         backend_name = server_args.attention_backend or (
             "pallas" if jax.default_backend() == "tpu" else "xla_native"
@@ -327,15 +329,24 @@ class ModelRunner:
             # SSM models: slot-indexed state arrays instead of paged KV.
             # Hybrid models (Jamba-class) mix paged attention layers with
             # state layers (ref memory_pool.py HybridLinearKVPool:3555).
-            layout = self.model.state_shapes(sa.max_running_requests)
+            # State rows: [0, S) request slots, S trash, [S+1, S+1+n_ckpt)
+            # prefix-cache checkpoints (mem/state_ckpt.py; ref
+            # mem_cache/mamba_radix_cache.py).
+            n_ckpt = (
+                0 if sa.disable_radix_cache else sa.num_state_checkpoints
+            )
+            self.state_ckpt_rows = n_ckpt
+            layout = self.model.state_shapes(sa.max_running_requests + n_ckpt)
             if any(s is None for s in layout):
                 from sglang_tpu.mem.kv_pool import HybridStatePool
 
                 self.kv_pool = HybridStatePool(cfg, layout)
+                self.state_pool_hybrid = True
             else:
                 from sglang_tpu.mem.kv_pool import RecurrentStatePool
 
                 self.kv_pool = RecurrentStatePool(cfg, layout)
+            self._build_state_copy_fns(layout)
             self.max_total_tokens = (num_pages - 1) * sa.page_size
             return
         if self.mesh_ctx.pp_size > 1:
@@ -372,6 +383,51 @@ class ModelRunner:
             sum(1 for w in layer_windows if w > 0),
             cfg.bytes_total() / (1 << 30),
         )
+
+    def _build_state_copy_fns(self, layout) -> None:
+        """Donated jitted row/page copies for recurrent state pools
+        (checkpoint save/restore, mem/state_ckpt.py). src/dst ride as
+        traced scalars so every copy reuses one compiled program."""
+        state_idx = frozenset(
+            i for i, ly in enumerate(layout) if ly is not None
+        )
+        attn_idx = frozenset(
+            i for i in range(len(layout)) if i not in state_idx
+        )
+
+        def _copy_rows(kv, src, dst):
+            return tuple(
+                tuple(a.at[dst].set(a[src]) for a in layer)
+                if i in state_idx else layer
+                for i, layer in enumerate(kv)
+            )
+
+        def _copy_page(kv, src, dst):
+            return tuple(
+                tuple(a.at[dst].set(a[src]) for a in layer)
+                if i in attn_idx else layer
+                for i, layer in enumerate(kv)
+            )
+
+        self._copy_state_jit = jax.jit(_copy_rows, donate_argnums=(0,))
+        self._copy_page_jit = jax.jit(_copy_page, donate_argnums=(0,))
+
+    def copy_state(self, src_row: int, dst_row: int) -> None:
+        """On-device copy of one state row across every recurrent state
+        array (all layers). Used by the state-checkpoint registry; the
+        caller guarantees the copy is enqueued after the forward that
+        produced the source row (jit-stream order is issue order)."""
+        self.kv_pool.swap(self._copy_state_jit(
+            self.kv_pool.kv, jnp.int32(src_row), jnp.int32(dst_row)
+        ))
+
+    def copy_kv_page(self, src_page: int, dst_page: int) -> None:
+        """On-device copy of one KV page across every ATTENTION layer of a
+        hybrid state pool (checkpoint tail pages; no-op set for pure
+        recurrent models whose pages carry no data)."""
+        self.kv_pool.swap(self._copy_page_jit(
+            self.kv_pool.kv, jnp.int32(src_page), jnp.int32(dst_page)
+        ))
 
     @staticmethod
     def _write_cross_impl(kv, slot, ck, cv, *, n_layers: int):

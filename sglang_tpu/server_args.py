@@ -57,6 +57,12 @@ class ServerArgs:
     schedule_policy: str = "lpm"  # lpm | fcfs | dfs-weight | lof | random
     enable_hierarchical_cache: bool = False  # host KV tier (HiCache)
     radix_cache_impl: str = "cpp"  # cpp (native) | python
+    # Recurrent-state checkpoint slots (mamba/hybrid radix cache, ref
+    # srt/mem_cache/mamba_radix_cache.py): extra rows in the state pools
+    # that snapshot a request's SSM state at radix-node boundaries so
+    # later same-prefix requests skip re-prefilling. 0 disables (recurrent
+    # models then run with prefix caching off).
+    num_state_checkpoints: int = 32
     hicache_ratio: float = 2.0  # host tier size vs device pool
     # L3 KV storage (ref srt/mem_cache/storage/): host-tier evictions
     # spill to one file per page under this directory; host misses fault
