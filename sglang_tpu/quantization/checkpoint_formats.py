@@ -83,6 +83,23 @@ def load_checkpoint_quant_config(model_path: str) -> Optional[dict]:
             "method": "fp8",
             "weight_block_size": qc.get("weight_block_size"),
         }
+    if "mxfp4" in method:
+        # gpt-oss native format (ref srt/layers/quantization/mxfp4.py:244):
+        # e2m1 nibble pairs in uint8 `*_blocks` + ue8m0 `*_scales`, g32.
+        return {"method": "mxfp4"}
+    if "modelopt" in method:
+        algo = (qc.get("quant_algo") or
+                ("FP4" if "fp4" in method else "FP8")).upper()
+        return {"method": "modelopt", "algo": algo}
+    if method == "bitsandbytes":
+        if not qc.get("load_in_4bit", True):
+            logger.warning("bitsandbytes 8-bit checkpoints unsupported; "
+                           "loading tensors as-is")
+            return None
+        return {
+            "method": "bitsandbytes",
+            "quant_type": qc.get("bnb_4bit_quant_type", "nf4"),
+        }
     logger.warning(
         "quantization_config method %r is not a load-time unpack format; "
         "loading tensors as-is", method,
@@ -152,6 +169,87 @@ def dequant_gptq(
     return (iw.astype(np.float32) - z) * s
 
 
+# FP4 e2m1 value table, sign bit = nibble MSB (OCP MX spec; ref
+# srt/layers/quantization/mxfp4.py dequant_mxfp4).
+FP4_E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+FP4_LUT = np.concatenate([FP4_E2M1, -FP4_E2M1])
+
+# Standard NF4 codebook (fallback when a bnb checkpoint omits quant_map).
+NF4_CODE = np.array(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], np.float32)
+
+
+def _unpack_fp4_low_first(packed: np.ndarray) -> np.ndarray:
+    """uint8 [..., B] -> float32 [..., 2B]; element 2j = low nibble of
+    byte j (OCP MX / NVFP4 packing)."""
+    lo = (packed & 0xF).astype(np.int64)
+    hi = (packed >> 4).astype(np.int64)
+    pair = np.stack([lo, hi], axis=-1)
+    return FP4_LUT[pair.reshape(*packed.shape[:-1], packed.shape[-1] * 2)]
+
+
+def dequant_mxfp4(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """MXFP4 (gpt-oss native; ref mxfp4.py:244): blocks uint8
+    [..., G, 16] (32 e2m1 values per group), scales uint8 [..., G]
+    (UE8M0 biased exponents, 127 = 1.0). Returns float32 [..., G*32]."""
+    vals = _unpack_fp4_low_first(blocks)  # [..., G, 32]
+    scale = np.exp2(scales.astype(np.float32) - 127.0)
+    out = vals * scale[..., None]
+    return out.reshape(*blocks.shape[:-2], blocks.shape[-2] * 32)
+
+
+def dequant_nvfp4(
+    weight: np.ndarray,  # uint8 [out, in/2] packed e2m1
+    weight_scale: np.ndarray,  # f8e4m3 [out, in/16] per-16-group scales
+    weight_scale_2: np.ndarray,  # f32 scalar (global)
+) -> np.ndarray:
+    """ModelOpt NVFP4 (ref modelopt_quant.py ModelOptFp4Config): w =
+    e2m1 * f32(group_scale) * global_scale. Returns float32 [out, in]."""
+    vals = _unpack_fp4_low_first(weight)  # [out, in]
+    gs = weight_scale.astype(np.float32)  # [out, in/16]
+    gs = np.repeat(gs, 16, axis=1)[:, : vals.shape[1]]
+    g2 = float(np.asarray(weight_scale_2, np.float32).reshape(-1)[0])
+    return vals * gs * g2
+
+
+def dequant_bnb4(
+    packed: np.ndarray,  # uint8 [N/2] or [N/2, 1] (bnb flattens)
+    absmax: np.ndarray,  # f32 [N/bs] or uint8 (double-quantized)
+    quant_map: Optional[np.ndarray],  # f32[16] codebook (nf4/fp4)
+    shape: Tuple[int, ...],
+    blocksize: int = 64,
+    nested: Optional[dict] = None,  # {absmax, quant_map, offset, blocksize}
+) -> np.ndarray:
+    """BitsAndBytes 4-bit (ref model_loader/loader.py:2522
+    BitsAndBytesModelLoader): packed HIGH-nibble-first codebook indices,
+    blockwise absmax, optional double quantization of the absmax."""
+    code = (np.asarray(quant_map, np.float32)
+            if quant_map is not None else NF4_CODE)
+    q = packed.reshape(-1)
+    idx = np.stack([(q >> 4), (q & 0xF)], axis=-1).reshape(-1).astype(np.int64)
+    vals = code[idx]
+    amax = np.asarray(absmax)
+    if nested is not None:
+        nmap = np.asarray(nested["quant_map"], np.float32)
+        namax = np.asarray(nested["absmax"], np.float32)
+        nbs = int(nested.get("blocksize", 256))
+        offset = float(nested.get("offset", 0.0))
+        reals = nmap[amax.astype(np.int64).reshape(-1)]
+        namax_rep = np.repeat(namax, nbs)[: reals.size]
+        amax = reals * namax_rep + offset
+    amax = amax.astype(np.float32).reshape(-1)
+    n = int(np.prod(shape))
+    nb = (n + blocksize - 1) // blocksize
+    v = np.zeros(nb * blocksize, np.float32)
+    v[: min(vals.size, v.size)] = vals[: v.size]
+    v = v.reshape(nb, blocksize) * amax[:nb, None]
+    return v.reshape(-1)[:n].reshape(shape)
+
+
 def _block_dequant_fp8(
     w: np.ndarray, scale_inv: np.ndarray, block: Tuple[int, int]
 ) -> np.ndarray:
@@ -178,6 +276,13 @@ def dequantize_stream(
     peak host memory is one module's worth of packed + dense data."""
     method = qcfg["method"]
     pending: Dict[str, Dict[str, np.ndarray]] = {}
+
+    if method == "mxfp4":
+        yield from _mxfp4_stream(it)
+        return
+    if method == "bitsandbytes":
+        yield from _bnb_stream(it)
+        return
 
     def _try_emit(mod: str):
         parts = pending[mod]
@@ -209,6 +314,25 @@ def dequantize_stream(
                     w = w * s.reshape(-1, 1)
                 del pending[mod]
                 return w
+        elif method == "modelopt":
+            algo = qcfg.get("algo", "FP8")
+            if "FP4" in algo:
+                if all(k in parts for k in
+                       ("weight", "weight_scale", "weight_scale_2")):
+                    w = dequant_nvfp4(
+                        parts["weight"], parts["weight_scale"],
+                        parts["weight_scale_2"],
+                    )
+                    del pending[mod]
+                    return w
+            else:  # FP8 per-tensor
+                if "weight" in parts and "weight_scale" in parts:
+                    w = parts["weight"].astype(np.float32) * float(
+                        np.asarray(parts["weight_scale"],
+                                   np.float32).reshape(-1)[0]
+                    )
+                    del pending[mod]
+                    return w
         elif method == "fp8":
             block = qcfg.get("weight_block_size")
             if block and "weight" in parts and "weight_scale_inv" in parts:
@@ -231,18 +355,21 @@ def dequantize_stream(
         "compressed-tensors": ("weight", "weight_scale", "weight_shape",
                                "input_scale", "weight_zero_point"),
         "fp8": ("weight", "weight_scale_inv", "weight_scale", "input_scale"),
+        "modelopt": ("weight", "weight_scale", "weight_scale_2",
+                     "input_scale"),
     }[method]
 
     for name, arr in it:
         mod, _, suffix = name.rpartition(".")
         grouped = False
         if suffix in quant_suffixes and mod:
-            if method in ("compressed-tensors", "fp8"):
+            if method in ("compressed-tensors", "fp8", "modelopt"):
                 # Dense float weights (norms/embeddings) are also
                 # "<mod>.weight" — only group genuinely quantized dtypes
                 # or scale/meta parts.
                 if suffix == "weight":
                     is_q = (arr.dtype == np.int8
+                            or arr.dtype == np.uint8  # packed nvfp4
                             or "float8" in str(arr.dtype))
                     grouped = is_q
                 elif suffix in ("input_scale", "weight_zero_point",
@@ -276,6 +403,115 @@ def dequantize_stream(
                 "quantized module %s missing companion tensors %s; skipped",
                 mod, sorted(parts),
             )
+
+
+def _mxfp4_stream(it):
+    """mxfp4 grouping: `<base>_blocks`/`<base>_scales` (HF gpt-oss names)
+    or `<base>.blocks`/`.scales` (openai layout) pairs -> dense `<base>`.
+    3D+ tensors (per-expert stacks) are swapped back to the HF dense
+    convention (contraction dim before output dim — gpt-oss experts'
+    gate_up_proj is [E, H, 2I] dense but [E, 2I, H/32, 16] packed)."""
+    pending: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _split(name: str):
+        for sep in ("_", "."):
+            for part in ("blocks", "scales"):
+                suf = sep + part
+                if name.endswith(suf):
+                    return name[: -len(suf)], part
+        return None, None
+
+    for name, arr in it:
+        base, part = _split(name)
+        if base is None:
+            yield name, arr
+            continue
+        pending.setdefault(base, {})[part] = arr
+        parts = pending[base]
+        if "blocks" in parts and "scales" in parts:
+            w = dequant_mxfp4(parts["blocks"], parts["scales"])
+            if w.ndim >= 3:
+                w = np.swapaxes(w, -1, -2)
+            del pending[base]
+            yield base, np.ascontiguousarray(w)
+    for base, parts in pending.items():
+        logger.warning("mxfp4 module %s missing companion tensors %s",
+                       base, sorted(parts))
+
+
+_BNB_PARTS = ("absmax", "quant_map", "nested_absmax", "nested_quant_map")
+
+
+def _bnb_stream(it):
+    """BitsAndBytes 4-bit grouping (ref model_loader/loader.py:2522):
+    `<mod>.weight` uint8 packed + `.weight.absmax/quant_map/...` siblings
+    + the serialized `.weight.quant_state.bitsandbytes__{nf4,fp4}` JSON
+    blob (shape/blocksize/nesting) -> dense `<mod>.weight`."""
+    import json as _json
+
+    pending: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _emit(key: str):
+        parts = pending[key]
+        if "packed" not in parts or "state" not in parts:
+            return None
+        state = _json.loads(
+            bytes(bytearray(
+                np.asarray(parts["state"], np.uint8).reshape(-1)
+            )).decode("utf-8")
+        )
+        nested = "nested_blocksize" in state or "nested_offset" in state
+        if "absmax" not in parts:
+            return None
+        if nested and not ("nested_absmax" in parts
+                           and "nested_quant_map" in parts):
+            return None
+        w = dequant_bnb4(
+            parts["packed"],
+            parts["absmax"],
+            parts.get("quant_map"),
+            tuple(state["shape"]),
+            blocksize=int(state.get("blocksize", 64)),
+            nested={
+                "absmax": parts["nested_absmax"],
+                "quant_map": parts["nested_quant_map"],
+                "offset": state.get("nested_offset", 0.0),
+                "blocksize": state.get("nested_blocksize", 256),
+            } if nested else None,
+        )
+        del pending[key]
+        return w
+
+    for name, arr in it:
+        key = part = None
+        if name.endswith(".weight") and arr.dtype == np.uint8:
+            key, part = name, "packed"
+        else:
+            for suf in _BNB_PARTS:
+                if name.endswith(".weight." + suf):
+                    key, part = name[: -(len(suf) + 1)], suf
+                    break
+            else:
+                for qt in ("nf4", "fp4"):
+                    suf = f".quant_state.bitsandbytes__{qt}"
+                    if name.endswith(suf):
+                        key, part = name[: -len(suf)], "state"
+                        break
+        if key is None:
+            yield name, arr
+            continue
+        pending.setdefault(key, {})[part] = arr
+        w = _emit(key)
+        if w is not None:
+            yield key, w
+    for key in list(pending):
+        w = _emit(key)
+        if w is not None:
+            yield key, w
+    for key, parts in pending.items():
+        if "packed" in parts:
+            logger.warning("bnb module %s missing companion tensors %s",
+                           key, sorted(parts))
 
 
 # ---------------------------------------------------------------- pack
@@ -325,3 +561,107 @@ def pack_gptq(
         "qzeros": np.ascontiguousarray(qzeros.astype(np.int32)),
         "scales": np.ascontiguousarray(scales.astype(np.float16)),
     }
+
+
+def _pack_fp4_low_first(codes: np.ndarray) -> np.ndarray:
+    """int [..., 2B] FP4_LUT indices -> uint8 [..., B], low nibble first."""
+    c = codes.astype(np.uint8).reshape(*codes.shape[:-1], -1, 2)
+    return (c[..., 0] | (c[..., 1] << 4)).astype(np.uint8)
+
+
+def pack_mxfp4(codes: np.ndarray, exps: np.ndarray) -> Dict[str, np.ndarray]:
+    """codes int [..., G, 32] (FP4_LUT indices), exps int [..., G]
+    (unbiased power-of-2 exponents) -> {blocks, scales} as serialized."""
+    blocks = _pack_fp4_low_first(codes)
+    return {
+        "blocks": np.ascontiguousarray(blocks),
+        "scales": np.ascontiguousarray((exps + 127).astype(np.uint8)),
+    }
+
+
+def quantize_mxfp4(w: np.ndarray) -> Dict[str, np.ndarray]:
+    """Float [..., K] (K % 32 == 0) -> serialized mxfp4 tensors, nearest
+    e2m1 rounding with per-32-group power-of-2 shared scales."""
+    g = w.reshape(*w.shape[:-1], -1, 32).astype(np.float32)
+    amax = np.abs(g).max(axis=-1)
+    exps = np.where(
+        amax > 0, np.ceil(np.log2(np.maximum(amax, 1e-30) / 6.0)), 0.0
+    ).astype(np.int32)
+    scaled = g / np.exp2(exps)[..., None]
+    codes = np.abs(scaled[..., None] - FP4_LUT).argmin(axis=-1)
+    return pack_mxfp4(codes, exps)
+
+
+def pack_nvfp4(
+    codes: np.ndarray,  # int [out, in] FP4_LUT indices
+    group_scales: np.ndarray,  # f32 [out, in/16] (stored as f8e4m3)
+    global_scale: float,
+) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
+    return {
+        "weight": np.ascontiguousarray(_pack_fp4_low_first(codes)),
+        "weight_scale": np.ascontiguousarray(
+            group_scales.astype(ml_dtypes.float8_e4m3fn)
+        ),
+        "weight_scale_2": np.float32(global_scale),
+    }
+
+
+def pack_bnb4(
+    idx: np.ndarray,  # int [n] codebook indices (flattened weight)
+    absmax: np.ndarray,  # f32 [ceil(n/blocksize)]
+    shape,
+    blocksize: int = 64,
+    quant_type: str = "nf4",
+    quant_map: Optional[np.ndarray] = None,
+    nested: bool = False,
+    nested_blocksize: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Serialize a bitsandbytes 4-bit module the way HF saves it: packed
+    bytes (HIGH nibble first), absmax (optionally double-quantized), the
+    codebook, and the JSON quant_state blob."""
+    import json as _json
+
+    n = int(np.prod(shape))
+    pad = (-n) % 2
+    flat = np.concatenate([idx.reshape(-1), np.zeros(pad, np.int64)])
+    packed = ((flat[0::2].astype(np.uint8) << 4)
+              | flat[1::2].astype(np.uint8))
+    code = quant_map if quant_map is not None else NF4_CODE
+    state = {
+        "quant_type": quant_type,
+        "blocksize": blocksize,
+        "dtype": "bfloat16",
+        "shape": list(shape),
+    }
+    out = {
+        "weight": packed.reshape(-1, 1),
+        "weight.quant_map": np.asarray(code, np.float32),
+    }
+    if nested:
+        # Double quantization: absmax stored as uint8 indices into a
+        # 256-entry codebook with its own blockwise absmax + offset.
+        offset = float(absmax.mean())
+        centered = absmax - offset
+        nb = (absmax.size + nested_blocksize - 1) // nested_blocksize
+        padded = np.zeros(nb * nested_blocksize, np.float32)
+        padded[: absmax.size] = centered
+        namax = np.abs(padded.reshape(nb, -1)).max(axis=1)
+        namax = np.maximum(namax, 1e-12)
+        norm = padded.reshape(nb, -1) / namax[:, None]
+        nmap = np.linspace(-1.0, 1.0, 256).astype(np.float32)
+        q8 = np.abs(norm.reshape(-1, 1) - nmap).argmin(axis=1)
+        out["weight.absmax"] = q8[: absmax.size].astype(np.uint8)
+        out["weight.nested_absmax"] = namax.astype(np.float32)
+        out["weight.nested_quant_map"] = nmap
+        state["nested_blocksize"] = nested_blocksize
+        state["nested_offset"] = offset
+        state["nested_dtype"] = "float32"
+    else:
+        out["weight.absmax"] = absmax.astype(np.float32)
+    blob = np.frombuffer(
+        _json.dumps(state).encode("utf-8"), dtype=np.uint8
+    ).copy()
+    out[f"weight.quant_state.bitsandbytes__{quant_type}"] = blob
+    return out

@@ -218,3 +218,135 @@ def test_awq_checkpoint_end_to_end(tiny_llama_dir, tmp_path):
     toks_awq = _greedy(awq_dir, prompt, 8)
     toks_dense = _greedy(dense_dir, prompt, 8)
     assert toks_awq == toks_dense, (toks_awq, toks_dense)
+
+
+# ------------------------------------------------------ mxfp4 / modelopt / bnb
+
+def test_mxfp4_stream_roundtrip():
+    """mxfp4 (gpt-oss native, ref layers/quantization/mxfp4.py): e2m1
+    codes * ue8m0 group scales dequantize exactly; expert stacks come
+    back in the HF dense layout (contraction dim before output dim)."""
+    from sglang_tpu.quantization.checkpoint_formats import (
+        FP4_LUT, dequantize_stream, pack_mxfp4,
+    )
+
+    rng = np.random.default_rng(7)
+    E, O, K = 2, 8, 64  # expert stack, out rows, contraction
+    codes = rng.integers(0, 16, size=(E, O, K // 32, 32))
+    exps = rng.integers(-4, 5, size=(E, O, K // 32))
+    packed = pack_mxfp4(codes, exps)
+    stream = [
+        ("model.layers.0.mlp.experts.gate_up_proj_blocks", packed["blocks"]),
+        ("model.layers.0.mlp.experts.gate_up_proj_scales", packed["scales"]),
+        ("model.layers.0.norm.weight", np.ones(4, np.float32)),
+    ]
+    out = dict(dequantize_stream(iter(stream), {"method": "mxfp4"}))
+    expect = (FP4_LUT[codes] * np.exp2(exps)[..., None]).reshape(E, O, K)
+    got = out["model.layers.0.mlp.experts.gate_up_proj"]
+    assert got.shape == (E, K, O)  # HF dense expert layout
+    np.testing.assert_allclose(got, np.swapaxes(expect, -1, -2))
+    np.testing.assert_array_equal(
+        out["model.layers.0.norm.weight"], np.ones(4, np.float32)
+    )
+
+
+def test_mxfp4_quantize_dequant_close():
+    from sglang_tpu.quantization.checkpoint_formats import (
+        dequant_mxfp4, quantize_mxfp4,
+    )
+
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=(16, 128)).astype(np.float32)
+    t = quantize_mxfp4(w)
+    deq = dequant_mxfp4(t["blocks"], t["scales"])
+    # e2m1 with power-of-2 group scale: worst-case relative step ~25%
+    err = np.abs(deq - w).max() / np.abs(w).max()
+    assert err < 0.2, err
+
+
+def test_modelopt_fp8_stream():
+    import ml_dtypes
+
+    from sglang_tpu.quantization.checkpoint_formats import dequantize_stream
+
+    rng = np.random.default_rng(9)
+    w = (rng.normal(size=(32, 64)) * 0.1).astype(ml_dtypes.float8_e4m3fn)
+    scale = np.float32(0.37)
+    stream = [
+        ("model.layers.0.self_attn.q_proj.weight", w),
+        ("model.layers.0.self_attn.q_proj.weight_scale", scale),
+        ("model.layers.0.self_attn.q_proj.input_scale", np.float32(1.0)),
+        ("model.norm.weight", np.ones(4, np.float32)),
+    ]
+    out = dict(dequantize_stream(
+        iter(stream), {"method": "modelopt", "algo": "FP8"}
+    ))
+    np.testing.assert_allclose(
+        out["model.layers.0.self_attn.q_proj.weight"],
+        w.astype(np.float32) * 0.37,
+    )
+    np.testing.assert_array_equal(out["model.norm.weight"],
+                                  np.ones(4, np.float32))
+
+
+def test_modelopt_nvfp4_stream():
+    from sglang_tpu.quantization.checkpoint_formats import (
+        FP4_LUT, dequantize_stream, pack_nvfp4,
+    )
+
+    rng = np.random.default_rng(10)
+    O, K = 16, 64
+    codes = rng.integers(0, 16, size=(O, K))
+    gs = rng.uniform(0.25, 2.0, size=(O, K // 16)).astype(np.float32)
+    packed = pack_nvfp4(codes, gs, 0.5)
+    stream = [
+        ("model.layers.0.mlp.up_proj.weight", packed["weight"]),
+        ("model.layers.0.mlp.up_proj.weight_scale", packed["weight_scale"]),
+        ("model.layers.0.mlp.up_proj.weight_scale_2",
+         packed["weight_scale_2"]),
+    ]
+    out = dict(dequantize_stream(
+        iter(stream), {"method": "modelopt", "algo": "NVFP4"}
+    ))
+    # scales round-trip through f8e4m3 (the serialized dtype)
+    gs_f8 = packed["weight_scale"].astype(np.float32)
+    expect = FP4_LUT[codes] * np.repeat(gs_f8, 16, axis=1) * 0.5
+    np.testing.assert_allclose(
+        out["model.layers.0.mlp.up_proj.weight"], expect, rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("nested", [False, True])
+def test_bnb_nf4_stream(nested):
+    """BitsAndBytes 4-bit (ref model_loader/loader.py BitsAndBytesModelLoader):
+    packed nf4 + blockwise absmax (+ double quantization) round-trips
+    through the stream dequantizer."""
+    from sglang_tpu.quantization.checkpoint_formats import (
+        NF4_CODE, dequantize_stream, pack_bnb4,
+    )
+
+    rng = np.random.default_rng(11)
+    O, K, BS = 8, 64, 64
+    n = O * K
+    idx = rng.integers(0, 16, size=n)
+    absmax = rng.uniform(0.1, 3.0, size=n // BS).astype(np.float32)
+    tensors = pack_bnb4(idx, absmax, (O, K), blocksize=BS, nested=nested)
+    mod = "model.layers.0.self_attn.q_proj"
+    stream = [(f"{mod}.{k}", v) for k, v in tensors.items()]
+    stream.append(("model.norm.weight", np.ones(4, np.float32)))
+    out = dict(dequantize_stream(
+        iter(stream), {"method": "bitsandbytes", "quant_type": "nf4"}
+    ))
+    got = out[f"{mod}.weight"]
+    assert got.shape == (O, K)
+    if nested:
+        # double-quantized absmax is lossy (8-bit): bound the error
+        expect = (NF4_CODE[idx].reshape(-1, BS)
+                  * absmax[:, None]).reshape(O, K)
+        assert np.abs(got - expect).max() <= np.abs(expect).max() * 0.02
+    else:
+        expect = (NF4_CODE[idx].reshape(-1, BS)
+                  * absmax[:, None]).reshape(O, K)
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+    np.testing.assert_array_equal(out["model.norm.weight"],
+                                  np.ones(4, np.float32))
