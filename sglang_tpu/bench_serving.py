@@ -70,16 +70,41 @@ async def _one_request(session, base_url, input_ids, output_len, results):
     results.append(r)
 
 
+def sample_sharegpt_lengths(rng: random.Random, n: int,
+                            max_input: int = 4096, max_output: int = 1024):
+    """(input_len, output_len) pairs matching the ShareGPT trace shape the
+    reference benchmarks sample from (benchmark/serving.py sample_requests:
+    filtered 4 <= len, prompt+output <= ctx). The trace itself isn't
+    shippable; its well-known marginals are approximately lognormal with
+    median ~55 input / ~180 output tokens and heavy right tails — we draw
+    from those, clipped the same way the reference filters."""
+    pairs = []
+    while len(pairs) < n:
+        ilen = int(rng.lognormvariate(4.0, 1.3))  # median ~55, p95 ~470
+        olen = int(rng.lognormvariate(5.2, 1.0))  # median ~180, p95 ~940
+        if ilen < 4 or olen < 4:
+            continue
+        pairs.append((min(ilen, max_input), min(olen, max_output)))
+    return pairs
+
+
 async def run_benchmark(args) -> dict:
     rng = random.Random(args.seed)
     vocab = args.vocab_size
     prompts = []
-    for _ in range(args.num_prompts):
-        n = args.input_len
-        if args.random_range_ratio < 1.0:
-            lo = int(n * args.random_range_ratio)
-            n = rng.randint(max(lo, 4), args.input_len)
-        prompts.append([rng.randrange(2, vocab - 2) for _ in range(n)])
+    out_lens = []
+    if args.dataset == "sharegpt":
+        for ilen, olen in sample_sharegpt_lengths(rng, args.num_prompts):
+            prompts.append([rng.randrange(2, vocab - 2) for _ in range(ilen)])
+            out_lens.append(olen)
+    else:
+        for _ in range(args.num_prompts):
+            n = args.input_len
+            if args.random_range_ratio < 1.0:
+                lo = int(n * args.random_range_ratio)
+                n = rng.randint(max(lo, 4), args.input_len)
+            prompts.append([rng.randrange(2, vocab - 2) for _ in range(n)])
+            out_lens.append(args.output_len)
 
     results: List[ReqResult] = []
     conn = aiohttp.TCPConnector(limit=args.max_concurrency or 0)
@@ -87,11 +112,10 @@ async def run_benchmark(args) -> dict:
     t_start = time.perf_counter()
     async with aiohttp.ClientSession(connector=conn, timeout=timeout) as sess:
         tasks = []
-        for ids in prompts:
+        for ids, olen in zip(prompts, out_lens):
             tasks.append(
                 asyncio.create_task(
-                    _one_request(sess, args.base_url, ids, args.output_len,
-                                 results)
+                    _one_request(sess, args.base_url, ids, olen, results)
                 )
             )
             if args.request_rate != float("inf"):
@@ -137,6 +161,11 @@ def main(argv=None):
     parser.add_argument("--base-url", type=str,
                         default="http://127.0.0.1:30000")
     parser.add_argument("--num-prompts", type=int, default=500)
+    parser.add_argument("--dataset", type=str, default="random",
+                        choices=["random", "sharegpt"],
+                        help="sharegpt = sampled length distribution "
+                             "(lognormal marginals, per-request output "
+                             "lens); random = fixed/--random-range-ratio")
     parser.add_argument("--request-rate", type=lambda x: float(x), default=float("inf"))
     parser.add_argument("--max-concurrency", type=int, default=None)
     parser.add_argument("--input-len", type=int, default=512)
