@@ -34,21 +34,31 @@ class VocabEmbedding:
 class LMHead:
     """logits = h @ W.T; W: [vocab, hidden] sharded on vocab over tp."""
 
-    def __init__(self, vocab_size: int, hidden_size: int, dtype):
+    def __init__(self, vocab_size: int, hidden_size: int, dtype,
+                 bias: bool = False):
         self.vocab_size, self.hidden_size, self.dtype = vocab_size, hidden_size, dtype
+        self.bias = bias  # PhiMoE lm_head_bias
 
     def specs(self, prefix: str) -> SpecTree:
-        return {
+        s = {
             join(prefix, "weight"): ParamSpec(
                 (self.vocab_size, self.hidden_size), self.dtype, P(AXIS_TP, None)
             )
         }
+        if self.bias:
+            s[join(prefix, "bias")] = ParamSpec(
+                (self.vocab_size,), self.dtype, P(AXIS_TP), init_scale=0.0
+            )
+        return s
 
     def __call__(self, params: Params, prefix: str, h: jax.Array) -> jax.Array:
         w = params[join(prefix, "weight")]
-        return jax.lax.dot_general(
+        logits = jax.lax.dot_general(
             h,
             w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if self.bias:
+            logits = logits + params[join(prefix, "bias")].astype(jnp.float32)
+        return logits

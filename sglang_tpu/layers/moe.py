@@ -141,6 +141,7 @@ class FusedMoE:
         intermediate_size: int,
         dtype,
         renormalize: bool = True,
+        route_fn=None,
     ):
         self.num_experts = num_experts
         self.top_k = top_k
@@ -148,6 +149,9 @@ class FusedMoE:
         self.intermediate_size = intermediate_size
         self.dtype = dtype
         self.renormalize = renormalize
+        # Optional custom router: logits [T, E] -> (weights, idx) [T, K]
+        # (e.g. PhiMoE's sparsemixer; models/phimoe.py).
+        self.route_fn = route_fn
         ctx = get_mesh_context()
         self.ep_size = ctx.ep_size if (
             ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
@@ -256,7 +260,9 @@ class FusedMoE:
                 jnp.float32
             )
         )  # [T, E]
-        if self.renormalize:
+        if self.route_fn is not None:
+            topk_weights, topk_idx = self.route_fn(router_logits)
+        elif self.renormalize:
             topk_logits, topk_idx = jax.lax.top_k(router_logits, K)
             topk_weights = jax.nn.softmax(topk_logits, axis=-1)
         else:

@@ -153,6 +153,43 @@ class RotaryEmbedding:
                 inv_freq, mscale = apply_yarn_scaling(
                     self.rotary_dim, rope_theta, rope_scaling, max_position
                 )
+            elif rtype == "longrope":
+                # Phi-3/PhiMoE LongRoPE (HF _compute_longrope_parameters):
+                # per-frequency short/long scale factors; positions beyond
+                # original_max use the long factors. The caller injects
+                # original_max_position_embeddings into the scaling dict
+                # (HF keeps it on the config object).
+                import numpy as np
+
+                orig = int(
+                    rope_scaling.get("original_max_position_embeddings")
+                    or max_position
+                )
+                factor = max_position / orig
+                mscale = rope_scaling.get("attention_factor")
+                if mscale is None:
+                    mscale = (
+                        1.0 if factor <= 1.0
+                        else math.sqrt(1 + math.log(factor) / math.log(orig))
+                    )
+                # PhiMoE overrides the paper mscale with explicit
+                # short/long ones (HF PhimoeRotaryEmbedding.forward).
+                ms_s = rope_scaling.get("short_mscale") or mscale
+                ms_l = rope_scaling.get("long_mscale") or mscale
+                base = np.asarray(compute_inv_freq(self.rotary_dim, rope_theta))
+                short = base / np.asarray(
+                    rope_scaling["short_factor"], np.float32
+                )
+                long = base / np.asarray(
+                    rope_scaling["long_factor"], np.float32
+                )
+                t = np.arange(max_position, dtype=np.float32)
+                in_short = (t < orig)[:, None]
+                freqs = np.where(in_short, np.outer(t, short), np.outer(t, long))
+                ms = np.where(in_short, ms_s, ms_l)
+                self.cos_table = jnp.asarray(np.cos(freqs) * ms)
+                self.sin_table = jnp.asarray(np.sin(freqs) * ms)
+                return
             elif rtype in ("default", "mrope", ""):
                 pass
         t = jnp.arange(max_position, dtype=jnp.float32)

@@ -88,6 +88,9 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Glm4vMoeForCausalLM": ("sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
     "GraniteMoeForCausalLM": ("sglang_tpu.models.granite_moe",
                               "GraniteMoeForCausalLM"),
+    "GraniteMoeSharedForCausalLM": ("sglang_tpu.models.granite_moe_shared",
+                                    "GraniteMoeSharedForCausalLM"),
+    "PhimoeForCausalLM": ("sglang_tpu.models.phimoe", "PhimoeForCausalLM"),
     "LlamaForSequenceClassification": (
         "sglang_tpu.models.llama_classification",
         "LlamaForSequenceClassification",
