@@ -177,6 +177,7 @@ class ModelRunner:
             dcp=server_args.enable_dcp,
         )
         self.attn_backend.cp = bool(server_args.enable_cp)
+        self.attn_backend.cp_strategy = server_args.cp_strategy
         self.attn_backend.hisparse_pool = getattr(self, "hisparse_pool",
                                                   None)
         self.attn_backend.dp_attn = bool(

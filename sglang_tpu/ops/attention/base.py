@@ -298,13 +298,21 @@ class AttentionBackend:
         NB = T // align
         if cpn <= 1 or NB % cpn != 0:
             return self.forward_extend(q, kv_layer, fb, **kw)
-        # zigzag deal: forward then backward over chips, repeating
-        order = []
-        fwd = True
-        for c0 in range(0, NB, cpn):
-            chunk = list(range(c0, c0 + cpn))
-            order.extend(chunk if fwd else chunk[::-1])
-            fwd = not fwd
+        if getattr(self, "cp_strategy", "zigzag") == "interleave":
+            # Interleave layout (ref srt/layers/cp/interleave.py:14-26,
+            # block-granular here — our extend unit is the aligned q
+            # block, the reference's is the token): chip c owns blocks
+            # c, c+cpn, c+2cpn, ... A strided deal also mixes early
+            # (cheap) and late (expensive) causal blocks per chip.
+            order = list(range(NB))
+        else:
+            # zigzag deal: forward then backward over chips, repeating
+            order = []
+            fwd = True
+            for c0 in range(0, NB, cpn):
+                chunk = list(range(c0, c0 + cpn))
+                order.extend(chunk if fwd else chunk[::-1])
+                fwd = not fwd
         # chip c gets blocks where position-in-deal % cpn pattern lands on c
         perm = np.empty((cpn, NB // cpn), np.int32)
         counts = [0] * cpn

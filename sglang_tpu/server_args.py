@@ -179,6 +179,9 @@ class ServerArgs:
     # extend q blocks dealt boustrophedon over the tp-axis devices so the
     # causal triangle balances; each chip attends only its blocks.
     enable_cp: bool = False
+    # CP block layout: zigzag (boustrophedon deal, ref cp/zigzag.py) or
+    # interleave (strided deal, ref cp/interleave.py:14-26).
+    cp_strategy: str = "zigzag"
     pp_size: int = 1
     # GPipe microbatches per step under PP (default pp_size; ref
     # scheduler_pp_mixin microbatch count).

@@ -91,7 +91,7 @@ def test_dcp_deepseek_mla(tmp_path_factory):
 
 
 def run_greedy_cp(model_dir, tp_size, prompt, n_new, cp=False,
-                  backend="xla_native"):
+                  backend="xla_native", cp_strategy="zigzag"):
     from sglang_tpu.core.req import Req
     from sglang_tpu.core.schedule_core import ScheduleCore
     from sglang_tpu.model_exec.model_runner import ModelRunner
@@ -107,6 +107,7 @@ def run_greedy_cp(model_dir, tp_size, prompt, n_new, cp=False,
         max_total_tokens=1024,
         tp_size=tp_size,
         enable_cp=cp,
+        cp_strategy=cp_strategy,
     )
     mesh_ctx = create_mesh(tp_size=tp_size)
     runner = ModelRunner(args, mesh_ctx=mesh_ctx)
@@ -137,6 +138,19 @@ def test_cp_zigzag_prefill_matches_single_device(tiny_llama_dir):
     cp2p = run_greedy_cp(tiny_llama_dir, 2, prompt, 6, cp=True,
                          backend="pallas")
     assert cp2p == ref, f"cp2p={cp2p} ref={ref}"
+
+
+def test_cp_interleave_prefill_matches_single_device(tiny_llama_dir):
+    """Interleave CP (ref layers/cp/interleave.py): chip c owns every
+    cpn-th extend block; greedy outputs must be identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    prompt = [int(t) for t in rng.integers(3, 200, size=40)]
+    ref = run_greedy_cp(tiny_llama_dir, 1, prompt, 6)
+    il2 = run_greedy_cp(tiny_llama_dir, 2, prompt, 6, cp=True,
+                        cp_strategy="interleave")
+    assert il2 == ref, f"il2={il2} ref={ref}"
 
 
 def test_dcp_pool_memory_sharded(tiny_llama_dir):
