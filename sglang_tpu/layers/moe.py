@@ -85,6 +85,35 @@ def get_tbo() -> bool:
     return _TBO
 
 
+# Single-batch overlap (ref srt/batch_overlap/single_batch_overlap.py:28):
+# the reference launches the shared-expert GEMMs on a side stream so they
+# ride under the routed dispatch's all-to-all. TPU recast: with SBO on,
+# models with shared experts hand FusedMoE the (replicated) shared weights
+# and the shared FFN is computed INSIDE the EP shard_map on each shard's
+# LOCAL token slice — an independent dataflow chain beside the a2a (the
+# latency-hiding scheduler overlaps them), sharded over tokens instead of
+# TP-sharded over features, and needing no psum of its own.
+_SBO: bool = False
+
+
+def set_sbo(enabled: bool) -> None:
+    global _SBO
+    _SBO = bool(enabled)
+
+
+def get_sbo() -> bool:
+    return _SBO
+
+
+def shared_expert_ffn(x: jax.Array, sgu: jax.Array, sdn: jax.Array
+                      ) -> jax.Array:
+    """Gated shared-expert MLP on raw weight arrays: sgu [H, 2, Is],
+    sdn [Is, H]."""
+    gu = jnp.einsum("th,hni->tni", x, sgu.astype(x.dtype))
+    h = jax.nn.silu(gu[:, 0, :]) * gu[:, 1, :]
+    return jnp.dot(h, sdn.astype(x.dtype))
+
+
 # EPLB redundant experts (ref --ep-num-redundant-experts,
 # srt/eplb/eplb_algorithms/deepseek.py): each MoE layer carries
 # P = E + R physical expert slots; hot logical experts occupy several
@@ -303,12 +332,15 @@ class FusedMoE:
         )  # [TK, H]
 
     def compute_experts(self, params: Params, prefix: str, x: jax.Array,
-                        topk_weights: jax.Array, topk_idx: jax.Array
-                        ) -> jax.Array:
+                        topk_weights: jax.Array, topk_idx: jax.Array,
+                        shared=None) -> jax.Array:
         """Dropless grouped-GEMM expert compute given routing decisions.
 
         topk_idx carries PHYSICAL slot ids (post-EPLB placement); all
-        group bookkeeping below runs over the P = E + R physical slots."""
+        group bookkeeping below runs over the P = E + R physical slots.
+        shared: optional (sgu, sdn) replicated shared-expert weights (SBO,
+        see shared_expert_ffn) — computed inside the EP shard_map when the
+        ragged-a2a path runs, added structurally otherwise."""
         T, H = x.shape
         E, K = self.num_physical, topk_idx.shape[-1]
         if (
@@ -321,14 +353,16 @@ class FusedMoE:
                 # Two-batch overlap: two independent dispatch chains.
                 h = T // 2
                 out_a = self._experts_ep_a2a(
-                    x[:h], topk_weights[:h], topk_idx[:h], w_gu, w_dn
+                    x[:h], topk_weights[:h], topk_idx[:h], w_gu, w_dn,
+                    shared=shared,
                 )
                 out_b = self._experts_ep_a2a(
-                    x[h:], topk_weights[h:], topk_idx[h:], w_gu, w_dn
+                    x[h:], topk_weights[h:], topk_idx[h:], w_gu, w_dn,
+                    shared=shared,
                 )
                 return jnp.concatenate([out_a, out_b], axis=0).astype(x.dtype)
             return self._experts_ep_a2a(
-                x, topk_weights, topk_idx, w_gu, w_dn
+                x, topk_weights, topk_idx, w_gu, w_dn, shared=shared
             ).astype(x.dtype)
         # Flatten (token, k) pairs and sort by expert for grouped GEMM.
         flat_expert = topk_idx.reshape(-1)  # [T*K]
@@ -352,9 +386,11 @@ class FusedMoE:
         # Scatter-add back to tokens.
         out = jnp.zeros((T, H), out_sorted.dtype)
         out = out.at[token_of].add(out_sorted)
+        if shared is not None:
+            out = out + shared_expert_ffn(x, *shared).astype(out.dtype)
         return out.astype(x.dtype)
 
-    def _experts_ep_a2a(self, x, topk_w, topk_i, w_gu, w_dn):
+    def _experts_ep_a2a(self, x, topk_w, topk_i, w_gu, w_dn, shared=None):
         """Ragged all-to-all EP dispatch (ref token_dispatcher/deepep.py
         recast with jax.lax.ragged_all_to_all over the mesh axis).
 
@@ -372,7 +408,7 @@ class FusedMoE:
         TK = T * K  # worst-case recv capacity (all rows to one shard)
         ctx = get_mesh_context()
 
-        def local(xl, ti, tw, gu, dn):
+        def local(xl, ti, tw, gu, dn, *sh):
             me = jax.lax.axis_index(AXIS_TP)
             flat_e = ti.reshape(-1)  # [Tl*K]
             order = jnp.argsort(flat_e)
@@ -433,18 +469,30 @@ class FusedMoE:
             ws = tw.reshape(-1)[order][:, None]
             out_tok = jnp.zeros((Tl, H), back.dtype)
             out_tok = out_tok.at[tok_of].add(back * ws.astype(back.dtype))
+            if sh:
+                # SBO: shared-expert FFN on this shard's LOCAL rows — an
+                # independent chain beside the a2a (overlapped by the
+                # latency-hiding scheduler), no collective of its own.
+                out_tok = out_tok + shared_expert_ffn(
+                    xl, *sh
+                ).astype(out_tok.dtype)
             return out_tok
 
+        in_specs = [
+            P(AXIS_TP, None), P(AXIS_TP, None), P(AXIS_TP, None),
+            P(AXIS_TP, None, None, None), P(AXIS_TP, None, None),
+        ]
+        operands = [x, topk_i, topk_w.astype(jnp.float32), w_gu, w_dn]
+        if shared is not None:
+            in_specs += [P(None, None, None), P(None, None)]
+            operands += list(shared)
         return jax.shard_map(
             local,
             mesh=ctx.mesh,
-            in_specs=(
-                P(AXIS_TP, None), P(AXIS_TP, None), P(AXIS_TP, None),
-                P(AXIS_TP, None, None, None), P(AXIS_TP, None, None),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=P(AXIS_TP, None),
             check_vma=False,
-        )(x, topk_i, topk_w.astype(jnp.float32), w_gu, w_dn)
+        )(*operands)
 
     def _experts_ep(self, x_sorted, group_sizes, w_gu, w_dn):
         """Expert-parallel grouped GEMM: each shard holds E/ep experts and

@@ -115,11 +115,13 @@ class ModelRunner:
         from sglang_tpu.layers.moe import (
             set_moe_a2a,
             set_redundant_experts,
+            set_sbo,
             set_tbo,
         )
 
         set_moe_a2a(server_args.moe_a2a_backend)
         set_tbo(server_args.enable_two_batch_overlap)
+        set_sbo(server_args.enable_single_batch_overlap)
         set_redundant_experts(server_args.ep_num_redundant_experts)
 
         model_cls = get_model_class(model_config.architectures)

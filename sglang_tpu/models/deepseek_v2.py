@@ -285,6 +285,7 @@ class DeepseekV2MoE:
         )
         n_shared = getattr(hf, "n_shared_experts", 0) or 0
         self.shared = None
+        self.sbo = False
         if n_shared:
             shared_inter = hf.moe_intermediate_size * n_shared
             self.sh_gate_up = FusedColumnLinear(
@@ -293,6 +294,13 @@ class DeepseekV2MoE:
             self.sh_down = RowParallelLinear(shared_inter, c.hidden_size,
                                              c.dtype)
             self.shared = True
+            from sglang_tpu.layers.moe import get_sbo
+            from sglang_tpu.quantization import get_quant_method
+
+            # SBO (layers/moe.py set_sbo): shared weights ship replicated
+            # and unquantized so the shared FFN can run on each EP shard's
+            # local token slice inside the dispatch shard_map.
+            self.sbo = get_sbo() and not get_quant_method()
 
     def specs(self, p: str) -> SpecTree:
         s = self.moe.specs(p)
@@ -305,6 +313,19 @@ class DeepseekV2MoE:
         if self.shared:
             s.update(self.sh_gate_up.specs(join(p, "shared_gate_up")))
             s.update(self.sh_down.specs(join(p, "shared_down")))
+            if self.sbo:
+                # Replicate (and de-quantize) the shared weights: the SBO
+                # chain computes them per-shard on local rows.
+                import dataclasses as _dc
+
+                from jax.sharding import PartitionSpec as P
+
+                for k in (join(p, "shared_gate_up/weight"),
+                          join(p, "shared_down/weight")):
+                    s[k] = _dc.replace(
+                        s[k], spec=P(*([None] * len(s[k].shape))),
+                        quant_method=None,
+                    )
         return s
 
     def _route(self, params, p, x):
@@ -346,6 +367,13 @@ class DeepseekV2MoE:
         w, idx = self._route(params, p, x)
         maybe_record(p, idx, self.n_experts)
         idx = params[_join(p, "eplb_log2phy")][idx]  # EPLB placement
+        if self.shared and self.sbo:
+            # SBO: shared-expert FFN rides inside the EP dispatch
+            # (layers/moe.py shared_expert_ffn).
+            shared = (params[join(p, "shared_gate_up/weight")],
+                      params[join(p, "shared_down/weight")])
+            return self.moe.compute_experts(params, p, x, w, idx,
+                                            shared=shared)
         out = self.moe.compute_experts(params, p, x, w, idx)
         if self.shared:
             h = silu_and_mul(

@@ -158,6 +158,11 @@ class ServerArgs:
     # scheduler can ride one chain's all-to-all under the other's grouped
     # GEMMs (layers/moe.py set_tbo). Only affects EP + ragged-a2a runs.
     enable_two_batch_overlap: bool = False
+    # Single-batch overlap (ref --enable-single-batch-overlap,
+    # srt/batch_overlap/single_batch_overlap.py): shared-expert FFN
+    # computed inside the EP dispatch shard_map on each shard's local
+    # rows, an independent chain beside the a2a (layers/moe.py set_sbo).
+    enable_single_batch_overlap: bool = False
     # Decode context parallelism (ref srt/layers/dcp/): context pages
     # shard over the tp-axis devices with an LSE merge — THE way MLA
     # models parallelize decode attention (the single latent head cannot
