@@ -171,6 +171,7 @@ class FusedMoE:
         dtype,
         renormalize: bool = True,
         route_fn=None,
+        scale_input: bool = False,
     ):
         self.num_experts = num_experts
         self.top_k = top_k
@@ -181,6 +182,10 @@ class FusedMoE:
         # Optional custom router: logits [T, E] -> (weights, idx) [T, K]
         # (e.g. PhiMoE's sparsemixer; models/phimoe.py).
         self.route_fn = route_fn
+        # Llama4 (HF Llama4TextMoe): routing weights multiply the expert
+        # INPUT (silu(W1 wx)*(W3 wx) is nonlinear in w, so this is not
+        # output scaling); combine weights become 1.
+        self.scale_input = scale_input
         ctx = get_mesh_context()
         self.ep_size = ctx.ep_size if (
             ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
@@ -374,6 +379,9 @@ class FusedMoE:
 
         w_gu, w_dn = self._expert_weights(params, prefix, x.dtype)
         w_sorted = flat_weight[order][:, None]
+        if self.scale_input:
+            x_sorted = x_sorted * w_sorted.astype(x_sorted.dtype)
+            w_sorted = jnp.ones_like(w_sorted)
 
         if self.ep_size > 1:
             out_sorted = self._experts_ep(
@@ -414,6 +422,8 @@ class FusedMoE:
             order = jnp.argsort(flat_e)
             tok_of = order // K
             xs = xl[tok_of]  # [Tl*K, H] expert-sorted
+            if self.scale_input:
+                xs = xs * tw.reshape(-1)[order][:, None].astype(xs.dtype)
             gs_e = jnp.bincount(flat_e, length=E).astype(jnp.int32)  # [E]
             send_sizes = gs_e.reshape(ep, El).sum(axis=1)  # [ep]
             csum = jnp.cumsum(send_sizes)
@@ -466,7 +476,10 @@ class FusedMoE:
                 in_off_mat[:, me].astype(jnp.int32),
                 send_sizes.astype(jnp.int32), AXIS_TP,
             )  # [Tl*K, H] in my expert-sorted order
-            ws = tw.reshape(-1)[order][:, None]
+            if self.scale_input:
+                ws = jnp.ones((Tl * K, 1), jnp.float32)
+            else:
+                ws = tw.reshape(-1)[order][:, None]
             out_tok = jnp.zeros((Tl, H), back.dtype)
             out_tok = out_tok.at[tok_of].add(back * ws.astype(back.dtype))
             if sh:

@@ -121,10 +121,15 @@ class RotaryEmbedding:
         max_position: int,
         rope_theta: float,
         rope_scaling: Optional[dict] = None,
+        interleaved: bool = False,
     ):
         self.head_dim = head_dim
         self.rotary_dim = rotary_dim or head_dim
         self.max_position = max_position
+        # GPT-J-style pair interleaving (Llama4 apply_rotary_emb's complex
+        # rotation over (x[2i], x[2i+1]) pairs) vs the default neox
+        # rotate-half convention.
+        self.interleaved = interleaved
         inv_freq = compute_inv_freq(self.rotary_dim, rope_theta)
         mscale = 1.0
         if rope_scaling:
@@ -203,9 +208,24 @@ class RotaryEmbedding:
         """positions: [T]; q: [T, nq, hd]; k: [T, nk, hd]."""
         cos = self.cos_table[positions][:, None, :]  # [T, 1, rot/2]
         sin = self.sin_table[positions][:, None, :]
-        q = _apply_neox(q, cos, sin, self.rotary_dim)
-        k = _apply_neox(k, cos, sin, self.rotary_dim)
+        fn = _apply_gptj if self.interleaved else _apply_neox
+        q = fn(q, cos, sin, self.rotary_dim)
+        k = fn(k, cos, sin, self.rotary_dim)
         return q, k
+
+
+def _apply_gptj(x: jax.Array, cos, sin, rotary_dim: int) -> jax.Array:
+    """Interleaved-pair rotation: (x[2i], x[2i+1]) rotated by freq i."""
+    dtype = x.dtype
+    rot = x[..., :rotary_dim].astype(jnp.float32)
+    x1 = rot[..., 0::2]
+    x2 = rot[..., 1::2]
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    out = jnp.stack([o1, o2], axis=-1).reshape(rot.shape).astype(dtype)
+    if rotary_dim == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rotary_dim:]], axis=-1)
 
 
 def _apply_neox(x: jax.Array, cos, sin, rotary_dim: int) -> jax.Array:

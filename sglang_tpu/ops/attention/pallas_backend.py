@@ -256,9 +256,10 @@ class PallasBackend(AttentionBackend):
     def forward_extend(self, q, kv_layer, fb: ForwardBatch, window=0,
                        logit_cap=0.0, scale=None, sinks=None,
                        alibi_slopes=None):
-        if sinks is not None or alibi_slopes is not None:
-            # The pallas extend kernel has no sink/ALiBi term yet; sink
-            # (GPT-OSS) and ALiBi (Bloom/MPT) models take the XLA path.
+        if sinks is not None or alibi_slopes is not None or (window or 0) < 0:
+            # The pallas extend kernel has no sink/ALiBi/chunked-mask term
+            # yet; sink (GPT-OSS), ALiBi (Bloom/MPT) and chunked-local
+            # (Llama4, window<0) layers take the XLA path.
             from sglang_tpu.ops.attention.xla_backend import XlaNativeBackend
 
             return XlaNativeBackend.forward_extend(

@@ -92,7 +92,7 @@ class XlaNativeBackend(AttentionBackend):
                        alibi_slopes=None):
         if (
             getattr(self, "dcp", False)
-            and not (window and window > 0)
+            and not window
             and sinks is None
             and alibi_slopes is None
             and fb.shared_pages is None
@@ -132,10 +132,16 @@ class XlaNativeBackend(AttentionBackend):
         mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
         if window and window > 0:
             mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
+        elif window and window < 0:
+            # Chunked local attention (Llama4, ref srt chunked attention
+            # masks): the decode query at position L-1 sees only its own
+            # chunk [floor((L-1)/c)*c, L).
+            c = -window
+            mask &= ctx[None, :] >= ((fb.seq_lens[:, None] - 1) // c) * c
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
 
         if (fb.shared_pages is not None and sinks is None
-                and not (window and window > 0)):
+                and not window):
             # Cascade: the batch-shared prefix is gathered ONCE (vs B times)
             # and attended as a single dense matmul, then merged with the
             # per-row suffix via a joint softmax (mergeable LSE form).
@@ -520,6 +526,9 @@ class XlaNativeBackend(AttentionBackend):
         mask = ctx[None, :] <= fb.positions[:, None]  # [T, C]
         if window and window > 0:
             mask &= ctx[None, :] > fb.positions[:, None] - window
+        elif window and window < 0:
+            # Chunked local attention: position p sees [floor(p/c)*c, p].
+            mask &= ctx[None, :] >= (fb.positions[:, None] // -window) * -window
         scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         if sinks is not None:
             sk = sinks.astype(jnp.float32).reshape(1, nk, group, 1)
