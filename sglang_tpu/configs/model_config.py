@@ -201,9 +201,19 @@ class ModelConfig:
             })
             hf_config.architectures = ["LlamaForCausalLM"]
         else:
-            hf_config = AutoConfig.from_pretrained(
-                model_path, trust_remote_code=trust_remote_code
-            )
+            try:
+                hf_config = AutoConfig.from_pretrained(
+                    model_path, trust_remote_code=trust_remote_code
+                )
+            except (ValueError, KeyError):
+                # model_type unknown to this transformers version (grok,
+                # kimi-linear, ...): read config.json into a generic
+                # PretrainedConfig — the registry keys on architectures[0].
+                from transformers import PretrainedConfig
+
+                hf_config = PretrainedConfig.from_json_file(
+                    os.path.join(model_path, "config.json")
+                )
         if model_override_args:
             for k, v in json.loads(model_override_args).items():
                 setattr(hf_config, k, v)

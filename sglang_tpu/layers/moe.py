@@ -172,6 +172,7 @@ class FusedMoE:
         renormalize: bool = True,
         route_fn=None,
         scale_input: bool = False,
+        activation: str = "silu",
     ):
         self.num_experts = num_experts
         self.top_k = top_k
@@ -186,6 +187,9 @@ class FusedMoE:
         # INPUT (silu(W1 wx)*(W3 wx) is nonlinear in w, so this is not
         # output scaling); combine weights become 1.
         self.scale_input = scale_input
+        # Expert FFN activation: "silu" (default) or "gelu" (tanh approx,
+        # Grok; ref srt/models/grok.py Grok1MoE activation="gelu").
+        self.activation = activation
         ctx = get_mesh_context()
         self.ep_size = ctx.ep_size if (
             ctx.ep_size > 1 and num_experts % ctx.ep_size == 0
@@ -320,8 +324,7 @@ class FusedMoE:
             topk_idx = l2p[topk_idx]
         return self.compute_experts(params, prefix, x, topk_weights, topk_idx)
 
-    @staticmethod
-    def _grouped_ffn(x_sorted, group_sizes, w_gu, w_dn):
+    def _grouped_ffn(self, x_sorted, group_sizes, w_gu, w_dn):
         """gate/up/down grouped GEMMs over an expert-sorted token stream."""
         gate = jax.lax.ragged_dot(
             x_sorted, w_gu[:, :, 0, :], group_sizes,
@@ -331,7 +334,10 @@ class FusedMoE:
             x_sorted, w_gu[:, :, 1, :], group_sizes,
             preferred_element_type=x_sorted.dtype,
         )
-        h = jax.nn.silu(gate) * up
+        if getattr(self, "activation", "silu") == "gelu":
+            h = jax.nn.gelu(gate, approximate=True) * up
+        else:
+            h = jax.nn.silu(gate) * up
         return jax.lax.ragged_dot(
             h, w_dn, group_sizes, preferred_element_type=x_sorted.dtype
         )  # [TK, H]

@@ -16,6 +16,8 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "Qwen3ForCausalLM": ("sglang_tpu.models.llama", "Qwen3ForCausalLM"),
     "MistralForCausalLM": ("sglang_tpu.models.llama", "LlamaForCausalLM"),
     "Llama4ForCausalLM": ("sglang_tpu.models.llama4", "Llama4ForCausalLM"),
+    "Grok1ForCausalLM": ("sglang_tpu.models.grok", "Grok1ForCausalLM"),
+    "Grok1ModelForCausalLM": ("sglang_tpu.models.grok", "Grok1ForCausalLM"),
     "Qwen2MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("sglang_tpu.models.qwen2_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("sglang_tpu.models.mixtral", "MixtralForCausalLM"),

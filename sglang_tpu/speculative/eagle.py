@@ -129,6 +129,18 @@ class EagleWorker:
             self._extend_impl, donate_argnums=(2,),
             static_argnames=("want_tokens", "topk"),
         )
+        # On-device expansion (ref eagle_worker_v2.py:489 recast): the
+        # per-level candidate selection / ancestor-mask growth / next-level
+        # batch construction all run inside jit, so a k-level round
+        # dispatches k async device calls and host-syncs ONCE at the end
+        # (the r4 round was dominated by per-level np.asarray round trips
+        # through the tunnel — PERF_NOTES "Spec round re-measure").
+        self._tree_root = jax.jit(self._tree_root_impl, donate_argnums=(2,))
+        self._tree_level = jax.jit(
+            self._tree_level_impl, donate_argnums=(2, 6, 7, 8, 9, 10),
+        )
+        self._chain_step = jax.jit(self._chain_step_impl,
+                                   donate_argnums=(2,))
         self._zeros_f = jnp.zeros(cfg.hidden_size, jnp.float32)
 
     # ------------------------------------------------------------- plumbing
@@ -173,6 +185,158 @@ class EagleWorker:
         )
         self.kv_pool.swap(kv)
         return tokens, hidden, np.asarray(fb.cu_q_lens)
+
+    # ------------------------------------------- on-device expansion
+    def _spec_fb(self, input_ids, positions, page_table, prefix, slot0,
+                 q, mode, tree_mask=None):
+        """Build a ForwardBatch inside jit for a uniform q-rows-per-seq
+        draft step. slot0 [B]: first KV slot this step writes."""
+        from sglang_tpu.model_exec.forward_batch import ForwardBatch
+
+        B = page_table.shape[0]
+        T = B * q
+        ps = self.page_size
+        j = jnp.arange(q, dtype=jnp.int32)
+        slot = (slot0[:, None] + j[None, :])  # [B, q]
+        page = jnp.take_along_axis(page_table, slot // ps, axis=1)
+        loc = (page * ps + slot % ps).reshape(T)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        return ForwardBatch(
+            input_ids=input_ids.reshape(T),
+            positions=positions.reshape(T),
+            seq_lens=slot0 + q,
+            q_lens=jnp.full((B,), q, jnp.int32),
+            cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32) * q,
+            seq_ids=jnp.repeat(bidx, q),
+            page_table=page_table,
+            out_cache_loc=loc,
+            logits_indices=bidx * q + (q - 1),
+            num_seqs=jnp.asarray(B, jnp.int32),
+            req_slots=jnp.zeros(B, jnp.int32),
+            block_seq=jnp.zeros(1, jnp.int32),
+            block_q_off=jnp.zeros(1, jnp.int32),
+            prefix_lens=prefix,
+            spec_tree_mask=tree_mask,
+            mode=mode,
+            extend_align=1,
+        )
+
+    def _tree_root_impl(self, dparams, tparams, kv, page_table, prefix,
+                        root_tok, aux0):
+        """Root extend + the level-1 children selection, all on device."""
+        K = self.topk
+        N = 1 + self.steps * K
+        B = page_table.shape[0]
+        mask = jnp.zeros((B, 1, N), jnp.bool_).at[:, 0, 0].set(True)
+        fb = self._spec_fb(root_tok, prefix, page_table, prefix, prefix,
+                           1, ForwardMode.EXTEND, tree_mask=mask)
+        hidden, kv = self.model(dparams, fb, kv, self.backend, aux0)
+        logits = self.target.model.compute_logits(
+            tparams, hidden
+        ).astype(jnp.float32)
+        vals, idx = jax.lax.top_k(logits, K)  # [B, K]
+        lp = vals - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        tokens = jnp.zeros((B, N), jnp.int32).at[:, 0].set(
+            root_tok
+        ).at[:, 1:K + 1].set(idx.astype(jnp.int32))
+        parents = jnp.full((B, N), -1, jnp.int32).at[:, 1:K + 1].set(0)
+        scores = jnp.zeros((B, N), jnp.float32).at[:, 1:K + 1].set(lp)
+        eye = jnp.eye(N, dtype=jnp.bool_)
+        amask = jnp.broadcast_to(eye, (B, N, N))
+        # children see the root (node 0) and themselves
+        amask = amask.at[:, 1:K + 1, 0].set(True)
+        aux_next = jnp.broadcast_to(
+            hidden.astype(jnp.float32)[:, None, :], (B, K, hidden.shape[-1])
+        )
+        return kv, tokens, parents, scores, amask, aux_next
+
+    def _tree_level_impl(self, dparams, tparams, kv, page_table, prefix,
+                         level, tokens, parents, scores, amask, aux):
+        """Extend the level-`level` frontier (K nodes/seq) and append the
+        level+1 children. `level` is traced: one compile serves all
+        levels."""
+        K = self.topk
+        N = tokens.shape[1]
+        B = page_table.shape[0]
+        first = 1 + (level - 1) * K
+        frontier_tok = jax.lax.dynamic_slice(tokens, (0, first), (B, K))
+        fscores = jax.lax.dynamic_slice(scores, (0, first), (B, K))
+        fmask = jax.lax.dynamic_slice(amask, (0, first, 0), (B, K, N))
+        positions = jnp.broadcast_to(
+            (prefix + level)[:, None], (B, K)
+        )
+        fb = self._spec_fb(frontier_tok, positions, page_table, prefix,
+                           prefix + first, K, ForwardMode.EXTEND,
+                           tree_mask=fmask)
+        hidden, kv = self.model(dparams, fb, kv, self.backend,
+                                aux.reshape(B * K, -1))
+        logits = self.target.model.compute_logits(
+            tparams, hidden
+        ).astype(jnp.float32)
+        vals, idx = jax.lax.top_k(logits, K)  # [B*K, K]
+        lp = (vals - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+              ).reshape(B, K, K)
+        idx = idx.reshape(B, K * K)
+        cand = (fscores[:, :, None] + lp).reshape(B, K * K)
+        cvals, ci = jax.lax.top_k(cand, K)  # [B, K] best children
+        parent_local = (ci // K).astype(jnp.int32)
+        tok_new = jnp.take_along_axis(idx, ci, axis=1).astype(jnp.int32)
+        n0 = first + K
+        tokens = jax.lax.dynamic_update_slice(tokens, tok_new, (0, n0))
+        parents = jax.lax.dynamic_update_slice(
+            parents, first + parent_local, (0, n0)
+        )
+        scores = jax.lax.dynamic_update_slice(scores, cvals, (0, n0))
+        parent_rows = jnp.take_along_axis(
+            fmask, parent_local[:, :, None], axis=1
+        )  # [B, K, N]
+        self_cols = (jnp.arange(N)[None, None, :]
+                     == (n0 + jnp.arange(K, dtype=jnp.int32))[None, :, None])
+        amask = jax.lax.dynamic_update_slice(
+            amask, parent_rows | self_cols, (0, n0, 0)
+        )
+        hid = hidden.astype(jnp.float32).reshape(B, K, -1)
+        aux_next = jnp.take_along_axis(
+            hid, parent_local[:, :, None], axis=1
+        )
+        return kv, tokens, parents, scores, amask, aux_next
+
+    def _chain_step_impl(self, dparams, tparams, kv, page_table, base_len,
+                         step, tok, aux):
+        """One chained greedy draft step as a decode-mode forward."""
+        B = page_table.shape[0]
+        pos = base_len + step  # [B]
+        fb = self._spec_fb(tok, pos, page_table, pos, pos, 1,
+                           ForwardMode.DECODE)
+        hidden, kv = self.model(dparams, fb, kv, self.backend,
+                                aux.astype(jnp.float32))
+        logits = self.target.model.compute_logits(
+            tparams, hidden
+        ).astype(jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return kv, nxt, hidden.astype(jnp.float32)
+
+    def _spec_tables(self, active):
+        """Padded [Bp, P] page table + per-seq prefix/root arrays."""
+        from sglang_tpu.model_exec.batch_builder import (
+            DEFAULT_DECODE_BS_BUCKETS,
+            PAGE_BUCKETS,
+        )
+        from sglang_tpu.utils import bucketize
+
+        B = len(active)
+        Bp = bucketize(B, DEFAULT_DECODE_BS_BUCKETS)
+        maxp = max(len(self.states[r.rid].pages) for r in active)
+        P = bucketize(max(maxp, 1), PAGE_BUCKETS)
+        pt = np.zeros((Bp, P), np.int32)
+        prefix = np.zeros(Bp, np.int32)
+        root = np.zeros(Bp, np.int32)
+        for i, r in enumerate(active):
+            st = self.states[r.rid]
+            pt[i, : len(st.pages)] = st.pages
+            prefix[i] = st.kv_len
+            root[i] = r.all_ids[-1]
+        return (jnp.asarray(pt), jnp.asarray(prefix), jnp.asarray(root), Bp)
 
     def release(self, rid: str) -> None:
         st = self.states.pop(rid, None)
@@ -285,6 +449,10 @@ class EagleWorker:
             active.append(req)
         if not active:
             return out
+        import os
+
+        if os.environ.get("SGLANG_TPU_SPEC_EXPAND", "device") == "device":
+            return self._propose_tree_device(reqs, active, out)
         K = self.topk
         B = len(active)
         prefix = {r.rid: self.states[r.rid].kv_len for r in active}
@@ -444,6 +612,68 @@ class EagleWorker:
             )
         return out
 
+    def _propose_tree_device(self, reqs, active, out):
+        """Device-side tree expansion: dispatches `steps` async draft
+        forwards (selection/masks/batch-build inside jit) and host-syncs
+        once, vs one round trip per level on the host path."""
+        from sglang_tpu.speculative.tree import TreeDraft
+
+        K = self.topk
+        B = len(active)
+        pt, prefix, root, Bp = self._spec_tables(active)
+        aux0 = jnp.stack(
+            [self.states[r.rid].f_last.astype(jnp.float32) for r in active]
+            + [self._zeros_f] * (Bp - B)
+        )
+        kv, tokens, parents, scores, amask, aux = self._tree_root(
+            self.params, self.target.params, self.kv_pool.kv, pt, prefix,
+            root, aux0,
+        )
+        for level in range(1, self.steps):
+            kv, tokens, parents, scores, amask, aux = self._tree_level(
+                self.params, self.target.params, kv, pt, prefix,
+                jnp.asarray(level, jnp.int32), tokens, parents, scores,
+                amask, aux,
+            )
+        self.kv_pool.swap(kv)
+        # ONE host sync for the whole round.
+        tok_np, par_np, sc_np = jax.device_get((tokens, parents, scores))
+        keep = self.tree_size - 1
+        pos_of = {r.rid: i for i, r in enumerate(reqs)}
+        N = tok_np.shape[1]
+        for bi, r in enumerate(active):
+            toks, pars, scs = tok_np[bi], par_np[bi], sc_np[bi]
+            order = sorted(range(1, N), key=lambda i: -scs[i])
+            chosen: set = set()
+            for i in order:
+                if len(chosen) >= keep:
+                    break
+                path = []
+                j = i
+                while j > 0 and j not in chosen:
+                    path.append(j)
+                    j = int(pars[j])
+                if len(chosen) + len(path) <= keep:
+                    chosen.update(path)
+            sel = sorted(chosen)
+            remap = {0: 0}
+            for newid, old in enumerate(sel, start=1):
+                remap[old] = newid
+            depth = lambda n: 0 if n == 0 else (n - 1) // K + 1  # noqa: E731
+            out[pos_of[r.rid]] = TreeDraft(
+                tokens=[int(toks[0])] + [int(toks[i]) for i in sel],
+                parents=np.asarray(
+                    [-1] + [remap[int(pars[i])] for i in sel], np.int32
+                ),
+                depths=np.asarray(
+                    [0] + [depth(i) for i in sel], np.int32
+                ),
+                scores=np.asarray(
+                    [0.0] + [float(scs[i]) for i in sel], np.float32
+                ),
+            )
+        return out
+
     def propose_all(self, reqs) -> List[List[int]]:
         """k chained greedy draft tokens per request (possibly empty)."""
         drafts: Dict[str, List[int]] = {r.rid: [] for r in reqs}
@@ -459,6 +689,29 @@ class EagleWorker:
                 continue
             active.append(req)
         if not active:
+            return [drafts[r.rid] for r in reqs]
+        import os
+
+        if os.environ.get("SGLANG_TPU_SPEC_EXPAND", "device") == "device":
+            pt, prefix, root, Bp = self._spec_tables(active)
+            aux = jnp.stack(
+                [self.states[r.rid].f_last.astype(jnp.float32)
+                 for r in active]
+                + [self._zeros_f] * (Bp - len(active))
+            )
+            kv = self.kv_pool.kv
+            tok = root
+            toks = []
+            for step in range(self.k):
+                kv, tok, aux = self._chain_step(
+                    self.params, self.target.params, kv, pt, prefix,
+                    jnp.asarray(step, jnp.int32), tok, aux,
+                )
+                toks.append(tok)
+            self.kv_pool.swap(kv)
+            all_tok = np.asarray(jnp.stack(toks))  # [k, Bp]; ONE sync
+            for i, req in enumerate(active):
+                drafts[req.rid] = [int(all_tok[s, i]) for s in range(self.k)]
             return [drafts[r.rid] for r in reqs]
         current = {r.rid: r.all_ids[-1] for r in active}
         aux_bank = jnp.stack(
