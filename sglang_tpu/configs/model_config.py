@@ -66,6 +66,11 @@ class ModelConfig:
         sliding window but carries neither field.
         """
         hf = self.hf_config
+        # Composite VLM configs keep these on the nested text_config.
+        text = getattr(hf, "text_config", None)
+        if text is not None and not getattr(hf, "layer_types", None) \
+                and not getattr(hf, "sliding_window_pattern", None):
+            hf = text
         layer_types = list(getattr(hf, "layer_types", None) or [])
         if layer_types:
             return (
@@ -99,6 +104,14 @@ class ModelConfig:
             hf_config, "num_hidden_layers", None
         ) is None:
             src = text
+        if text is not None:
+            # Surface text-config quirk attributes (query_pre_attn_scalar,
+            # rope_local_base_freq, layer_types, ...) on the top config so
+            # attention/layer classes that read hf_config.<attr> see them
+            # regardless of composite nesting. Existing top-level keys win.
+            for k, v in text.to_dict().items():
+                if not hasattr(hf_config, k):
+                    setattr(hf_config, k, v)
         g = lambda k, d=None: getattr(src, k, d)
         if getattr(src, "d_model", None) and getattr(
             src, "ffn_config", None

@@ -103,6 +103,12 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
                                       "LlavaForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": ("sglang_tpu.models.qwen2_vl",
                                         "Qwen2VLForConditionalGeneration"),
+    "Gemma3ForConditionalGeneration": ("sglang_tpu.models.gemma3_mm",
+                                       "Gemma3ForConditionalGeneration"),
+    "InternVLForConditionalGeneration": ("sglang_tpu.models.internvl",
+                                         "InternVLForConditionalGeneration"),
+    "InternVLChatModel": ("sglang_tpu.models.internvl",
+                          "InternVLForConditionalGeneration"),
     "Qwen2AudioForConditionalGeneration": ("sglang_tpu.models.qwen2_audio",
                                            "Qwen2AudioForConditionalGeneration"),
 }

@@ -226,8 +226,59 @@ def _whisper_processor(hf_config):
     return WhisperASRProcessor(hf_config)
 
 
+class SquareResizeProcessor:
+    """Plain square resize + 0.5/0.5 normalize (HF Gemma3ImageProcessor
+    defaults, pan-and-scan off; also SigLIP-style towers in general)."""
+
+    def __init__(self, hf_config):
+        vc = hf_config.vision_config
+        self.size = vc.image_size
+        self.num_tokens = int(getattr(hf_config, "mm_tokens_per_image", 0)) \
+            or (vc.image_size // vc.patch_size) ** 2
+
+    def __call__(self, img) -> ProcessedImage:
+        img = _resize(img, (self.size, self.size))
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = (arr - 0.5) / 0.5
+        chw = arr.transpose(2, 0, 1)[None]
+        return ProcessedImage(
+            pixel_values=chw.astype(np.float32),
+            grid_thw=None,
+            num_tokens=self.num_tokens,
+            mm_hash=_hash_pixels(chw),
+        )
+
+
+class InternVLImageProcessor:
+    """Single-tile InternVL preprocessing (HF GotOcr2ImageProcessor with
+    crop_to_patches off): square resize + CLIP-stats normalize; tokens =
+    (grid * downsample_ratio)^2 after the pixel shuffle."""
+
+    def __init__(self, hf_config):
+        vc = hf_config.vision_config
+        self.size = vc.image_size if isinstance(vc.image_size, int) \
+            else vc.image_size[0]
+        patch = vc.patch_size if isinstance(vc.patch_size, int) \
+            else vc.patch_size[0]
+        r = float(getattr(hf_config, "downsample_ratio", 0.5))
+        self.num_tokens = int((self.size // patch * r) ** 2)
+
+    def __call__(self, img) -> ProcessedImage:
+        img = _resize(img, (self.size, self.size))
+        chw = _to_chw_norm(img)[None]
+        return ProcessedImage(
+            pixel_values=chw.astype(np.float32),
+            grid_thw=None,
+            num_tokens=self.num_tokens,
+            mm_hash=_hash_pixels(chw),
+        )
+
+
 _PROCESSORS = {
     "LlavaForConditionalGeneration": LlavaImageProcessor,
+    "Gemma3ForConditionalGeneration": SquareResizeProcessor,
+    "InternVLForConditionalGeneration": InternVLImageProcessor,
+    "InternVLChatModel": InternVLImageProcessor,
     "Qwen2VLForConditionalGeneration": Qwen2VLImageProcessor,
     # Audio modality (processor.modality == "audio"):
     "Qwen2AudioForConditionalGeneration": _qwen2_audio_processor,

@@ -106,6 +106,24 @@ class XlaNativeBackend(AttentionBackend):
         B, nq, hd = q.shape
         nk = self.num_kv_heads
         group = nq // nk
+        if (
+            not self.kv_quant
+            and nk % 2 == 0
+            and sinks is None
+            and alibi_slopes is None
+        ):
+            # Half-split formulation: consume the gathered pages in the
+            # pool's native [.., 2, F/2] pair layout (a bitcast off the
+            # T(2,128) tiling) instead of reshaping to [B, C, nk, hd] —
+            # that reshape is a physical relayout of every gathered byte
+            # (measured 37 ms/step at the 8B bench shapes; the split
+            # einsum is bit-identical and 1.76 -> 1.01 ms/layer).
+            # Explicit class call: PallasBackend delegates here with a
+            # non-XlaNativeBackend self.
+            return XlaNativeBackend._decode_split(
+                self, q, kv_layer, fb, window=window, logit_cap=logit_cap,
+                scale=scale,
+            )
         q = self._dp_rows(q)
         k, v = self._gather_pages(
             kv_layer, self._dp_rows(fb.page_table)
@@ -205,6 +223,85 @@ class XlaNativeBackend(AttentionBackend):
             preferred_element_type=jnp.float32,
         )
         out = self._unperm_out(out).reshape(B, nq, hd)
+        return self._dp_rows(out, sharded=False).astype(q.dtype)
+
+    def _decode_split(self, q, kv_layer, fb: ForwardBatch, window=0,
+                      logit_cap=0.0, scale=None):
+        """Decode attention over the pool's native half-pair layout.
+
+        The pool stores tokens as [.., 2, F/2]; reshaping gathers to
+        [B, C, nk, hd] is a physical T(2,128)->T(8,128) relayout of every
+        gathered byte. Viewing them as [B, C, 2, nk/2, hd] instead is a
+        bitcast, and the attention einsums run with the half dim as an
+        extra batch axis — bit-identical outputs (_probe_attn.py)."""
+        B, nq, hd = q.shape
+        nk = self.num_kv_heads
+        h2 = nk // 2
+        g = nq // nk
+        scale = scale or self.scale
+        q = self._dp_rows(q)
+        pt = self._dp_rows(fb.page_table)
+        kp, vp = kv_layer
+        ps = self.page_size
+        P = pt.shape[1]
+        C = P * ps
+        k = self._upcast(kp[pt].reshape(B, C, 2, h2, hd))
+        v = self._upcast(vp[pt].reshape(B, C, 2, h2, hd))
+        qf = q.reshape(B, 2, h2, g, hd)
+        scores = jnp.einsum(
+            "bhjgd,bchjd->bhjgc", qf, k, preferred_element_type=jnp.float32
+        ) * scale
+        scores = self._softcap(scores, logit_cap)
+        ctx = jnp.arange(C, dtype=jnp.int32)
+        mask = ctx[None, :] < fb.seq_lens[:, None]  # [B, C]
+        if window and window > 0:
+            mask &= ctx[None, :] >= fb.seq_lens[:, None] - window
+        elif window and window < 0:
+            c = -window
+            mask &= ctx[None, :] >= ((fb.seq_lens[:, None] - 1) // c) * c
+        scores = jnp.where(mask[:, None, None, None, :], scores, NEG_INF)
+
+        if fb.shared_pages is not None and not window:
+            # Cascade merge in half-split form (joint softmax via LSE).
+            Cs = fb.shared_pages.shape[0] * ps
+            k_s = self._upcast(
+                kp[fb.shared_pages].reshape(Cs, 2, h2, hd)
+            )
+            v_s = self._upcast(
+                vp[fb.shared_pages].reshape(Cs, 2, h2, hd)
+            )
+            ss = jnp.einsum(
+                "bhjgd,chjd->bhjgc", qf, k_s,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            ss = self._softcap(ss, logit_cap)
+            ctx_s = jnp.arange(Cs, dtype=jnp.int32)
+            ss = jnp.where(
+                (ctx_s < fb.shared_len)[None, None, None, None, :], ss,
+                NEG_INF,
+            )
+            m = jnp.maximum(
+                jnp.max(ss, axis=-1), jnp.max(scores, axis=-1)
+            )[..., None]
+            p_s = jnp.exp(ss - m)
+            p_x = jnp.exp(scores - m)
+            denom = jnp.sum(p_s, axis=-1) + jnp.sum(p_x, axis=-1)
+            o_s = jnp.einsum(
+                "bhjgc,chjd->bhjgd", p_s.astype(v.dtype), v_s,
+                preferred_element_type=jnp.float32,
+            )
+            o_x = jnp.einsum(
+                "bhjgc,bchjd->bhjgd", p_x.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            out = (o_s + o_x) / jnp.maximum(denom[..., None], 1e-20)
+            return out.reshape(B, nq, hd).astype(q.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhjgc,bchjd->bhjgd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        out = out.reshape(B, nq, hd)
         return self._dp_rows(out, sharded=False).astype(q.dtype)
 
     # ---- MLA: MQA over latent rows (see base.py mla()) ----
