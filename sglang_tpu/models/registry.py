@@ -43,6 +43,13 @@ _MODEL_TABLE: Dict[str, Tuple[str, str]] = {
     "SmolLM3ForCausalLM": ("sglang_tpu.models.smollm3", "SmolLM3ForCausalLM"),
     "ArceeForCausalLM": ("sglang_tpu.models.arcee", "ArceeForCausalLM"),
     "Ernie4_5ForCausalLM": ("sglang_tpu.models.ernie4_5", "Ernie45ForCausalLM"),
+    "Ernie4_5_MoeForCausalLM": ("sglang_tpu.models.ernie4_5_moe",
+                                "Ernie45MoeForCausalLM"),
+    "Dots1ForCausalLM": ("sglang_tpu.models.dots1", "Dots1ForCausalLM"),
+    "HunYuanDenseV1ForCausalLM": ("sglang_tpu.models.hunyuan",
+                                  "HunYuanDenseV1ForCausalLM"),
+    "HunYuanMoEV1ForCausalLM": ("sglang_tpu.models.hunyuan",
+                                "HunYuanMoEV1ForCausalLM"),
     "NemotronForCausalLM": ("sglang_tpu.models.nemotron", "NemotronForCausalLM"),
     "PhiForCausalLM": ("sglang_tpu.models.phi", "PhiForCausalLM"),
     "GPT2LMHeadModel": ("sglang_tpu.models.gpt2", "GPT2LMHeadModel"),
