@@ -73,6 +73,34 @@ def attn_b(q, kp, vp, pt, seq_lens):
     return out
 
 
+def attn_e(q, kp, vp, pt, seq_lens):
+    """Block-diagonal padded q: consume gathers in native [B,C,2,F/2]
+    form with NO reshape of the big arrays. 4x attention FLOPs (free at
+    decode — bandwidth-bound); q pad + output diag extraction are tiny."""
+    h2 = nk // 2
+    fh = F // 2
+    eye = jnp.eye(h2, dtype=q.dtype)
+    out = jnp.zeros((B, nq, hd), jnp.float32)
+    for _ in range(L):
+        k = kp[pt].reshape(B, C, 2, fh)  # leading-dim merge: free
+        v = vp[pt].reshape(B, C, 2, fh)
+        qf = q.reshape(B, 2, h2, g, hd)
+        qpad = jnp.einsum("bhjgd,jk->bhjgkd", qf, eye).reshape(
+            B, 2, h2 * g, fh)
+        scores = jnp.einsum("bhgf,bchf->bhgc", qpad, k,
+                            preferred_element_type=jnp.float32)
+        ctx = jnp.arange(C, dtype=jnp.int32)
+        mask = ctx[None, :] < seq_lens[:, None]
+        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        opad = jnp.einsum("bhgc,bchf->bhgf", probs.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+        od = opad.reshape(B, 2, h2, g, h2, hd)
+        o = jnp.einsum("bhjgjd->bhjgd", od)
+        out = out + o.reshape(B, nq, hd)
+    return out
+
+
 def gather_only(q, kp, vp, pt, seq_lens):
     out = jnp.zeros((), jnp.float32)
     for _ in range(L):
@@ -83,14 +111,14 @@ def gather_only(q, kp, vp, pt, seq_lens):
     return out
 
 
-fn = {"A": attn_a, "B": attn_b, "C": gather_only}[mode]
+fn = {"A": attn_a, "B": attn_b, "C": gather_only, "E": attn_e}[mode]
 jf = jax.jit(fn)
 r = jf(q, kp, vp, pt, seq_lens)
 np.asarray(r)  # compile + run once
-if mode in ("A", "B"):
+if mode in ("B", "E"):
     ra = np.asarray(jax.jit(attn_a)(q, kp, vp, pt, seq_lens))
-    rb = np.asarray(jax.jit(attn_b)(q, kp, vp, pt, seq_lens))
-    print("A-B max diff:", np.abs(ra - rb.reshape(ra.shape)).max())
+    print(f"A-{mode} max diff:",
+          np.abs(ra - np.asarray(r).reshape(ra.shape)).max())
 t0 = time.perf_counter()
 for _ in range(iters):
     r = jf(q, kp, vp, pt, seq_lens)
